@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Session factory + table loaders for the graft engine.
   *
@@ -11,24 +12,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    overridden by conf / AQE target size, not hardcoded logic.
   *  - No `inferSchema` anywhere: parquet is self-describing, text sources get
   *    explicit StructTypes (SURVEY.md §1.3).
+  *  - This is the ONLY session factory — Verify, Bench, and tests all call
+  *    it, so the nanos / AQE / timezone configs are consistent across
+  *    entrypoints (ADVICE.md r01).
   */
 object Graft {
 
-  def session(master: String = "local[*]", appName: String = "graft"): SparkSession = {
+  /** Default parallelism: SPARK_GRAFT_CPUS env, else all local cores. */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
+
+  def session(appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
-      .master(master)
+      .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores INT64 TIMESTAMP(NANOS); allow reading it.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+      .config("spark.driver.host", "localhost")
+      // events.parquet stores INT64 TIMESTAMP(NANOS); Spark has no ns
+      // timestamp type, so surface it as LongType (nanos since epoch) and
+      // convert explicitly in queries (timestamp_micros(ts div 1000)).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write timestamps as INT64 micros (not INT96) so DuckDB/pandas read
+      // verify outputs losslessly.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // getOrCreate() silently ignores .config() when a session pre-exists in
+    // the JVM; assert the load-bearing configs actually apply (ADVICE.md r01).
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft requires spark.sql.session.timeZone=UTC")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true",
+      "graft requires nanosAsLong=true to read TIMESTAMP(NANOS) parquet")
     spark
   }
 }
@@ -52,7 +72,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** events.ts arrives as LongType nanos (nanosAsLong=true); expose both the
+    * raw nanos (`ts`) and a proper TimestampType `event_ts` (µs precision —
+    * the generator's values are µs-granular, so `div 1000` is lossless).
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events")
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
 }

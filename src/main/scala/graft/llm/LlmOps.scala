@@ -1,0 +1,355 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 + north-star training-data-pipeline operators over
+  * `documents` / `embeddings`.
+  *
+  * Everything is built from codegen'd built-ins (no UDFs): shingling and
+  * MinHash signatures are higher-order array expressions, LSH banding is an
+  * explode + self-join, similarity is exact integer/double arithmetic — so
+  * whole-stage codegen spans the hot paths and the same plan scales to a
+  * cluster unchanged.
+  *
+  * Scale notes (100 TB posture):
+  *  - exact dedup groups on a 256-bit hash, never on the full text (shuffle
+  *    carries 32 bytes + doc_id per row, not documents);
+  *  - MinHash: each shingle is hashed ONCE (xxhash64), the k=128 signature
+  *    lanes are derived by remixing that single long — O(shingles + k) per
+  *    doc, not O(shingles × k) string hashing;
+  *  - LSH banding turns the quadratic pair search into an equi-join on
+  *    (band_idx, band_hash): shuffle-partitioned by bucket, AQE splits
+  *    skewed buckets; candidate pairs are then verified with exact Jaccard
+  *    via a doc_id join against the shingle table (arrays never cross the
+  *    wire twice);
+  *  - all-pairs brute force appears ONLY where the judge needs an exact
+  *    baseline (top-k similarity) — the LSH variants are the scale path.
+  */
+object LlmOps extends QueryModule {
+
+  // ---- shared building blocks -------------------------------------------
+
+  /** Distinct 3-word shingles of a whitespace-tokenized text column. */
+  def shingles3(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2)))))
+  }
+
+  /** k-lane MinHash signature: hash each shingle once, derive lane j by
+    * remixing (xxhash64 of (j, h)) and taking the min per lane. */
+  def minhashSig(shingleArr: Column, k: Int): Column = {
+    val hs = transform(shingleArr, sh => xxhash64(sh))
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(hs, h => xxhash64(j, h))))
+  }
+
+  /** Exact cosine similarity of two float-array columns, accumulated in
+    * double (float products are exact in double). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    * k lanes, b bands of r rows; emits pairs with exact J >= threshold. */
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double,
+                          k: Int = 128, bands: Int = 32): DataFrame = {
+    val r = k / bands
+    val sh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.select(col("doc_id"), minhashSig(col("sh"), k).as("sig"))
+    // band hash = hash of the r consecutive signature lanes of that band
+    val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => xxhash64(slice(col("sig"), bi * r + 1, r)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val l = banded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
+    val rt = banded.select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash"))
+    val candidates = l.join(rt, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // exact verification: join shingle sets back by id (arrays shipped once)
+    val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    candidates.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** 64-bit SimHash over unigram tokens (sign of per-bit weighted sums).
+    * A Scala UDF: the per-row 64×tokens bit loop is imperative by nature and
+    * this operator is ScalaTest-verified (no SQL oracle), so a UDF is the
+    * honest implementation; promote to a codegen Expression only if it ever
+    * lands on a bench hot path. */
+  val simhash64 = udf { text: String =>
+    val counts = new Array[Int](64)
+    if (text != null) text.split(" ").foreach { t =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) {
+        counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  // ---- declared queries --------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LLM-1: exact dedup — group on a 256-bit content hash, keep min id.
+    "llm1_exact_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(sha2(lower(trim(col("text"))).cast("binary"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")),
+
+    // LLM-2 ⚠: MinHash+LSH near-dup pairs, exact-verified. With the data's
+    // bimodal 3-gram Jaccard (background <= 0.07, dups >= 0.8) and b=32,r=4,
+    // P(LSH miss at J=0.8) ≈ 5e-8 → output equals the exact oracle.
+    "llm2_minhash_lsh" -> ((s, d) =>
+      minhashNearDupPairs(Tables.documents(s, d), threshold = 0.8)
+        .orderBy("a_id", "b_id")),
+
+    // LLM-2b: n-gram Jaccard near-dup, exact all-pairs (small-side baseline;
+    // the LSH query above is the scale path for the same semantics).
+    "llm2b_ngram_jaccard" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("jaccard",
+          size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+            size(array_union(col("a_sh"), col("b_sh"))))
+        .filter(col("jaccard") >= 0.8)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // LLM-2c: SimHash fingerprints (no SQL oracle — ScalaTest-verified).
+    "llm2c_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // LLM-3: brute-force cosine top-k against a query vector (vec_id 0) —
+    // the exact baseline; see llm3b for the LSH-bucketed scale path.
+    "llm3_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // LLM-3b ⚠: random-hyperplane LSH ANN (sign-bucket then exact re-rank
+    // within bucket) — approximate, rows-only + recall spec.
+    "llm3b_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      // 8 pseudo-random hyperplanes: plane p, dim i weight derived from
+      // xxhash64 — deterministic (rand() is banned in declared queries).
+      def planeSig(emb: Column): Column =
+        (0 until 8).map { p =>
+          val dot = aggregate(zip_with(emb, sequence(lit(0), lit(63)),
+            (v, i) => v.cast("double") *
+              (xxhash64(lit(p), i).cast("double") / lit(Long.MaxValue.toDouble))),
+            lit(0.0), (a, v) => a + v)
+          when(dot > 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val sig = e.select(col("vec_id"), col("embedding"),
+        planeSig(col("embedding")).as("bucket"))
+      val q = sig.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("bucket"))
+      sig.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), "bucket")
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // LLM-3c: embedding near-dup — all-pairs top-20 most similar pairs
+    "llm3c_embed_pairs_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(cosine(col("a_emb"), col("b_emb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    }),
+
+    // LLM-4: token counting + top terms
+    "llm4_top_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)),
+
+    "llm4b_token_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct"),
+          length(col("text")).as("len_chars"))
+        .orderBy("doc_id")),
+
+    // LLM-5: TF-IDF (pure relational: explode → counts → broadcast join)
+    "llm5_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()  // corpus size: one cheap count, not a collect loop
+      val terms = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = terms.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "token")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6)
+            .as("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // LLM-6: quality scoring — integer counts and exact ratios
+    "llm6_quality" -> ((s, d) => {
+      val text = col("text")
+      val nChars = length(text)
+      val nTokens = size(split(text, " "))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          nChars.as("n_chars"),
+          nTokens.as("n_tokens"),
+          (nChars.cast("double") / nTokens).as("avg_token_len"),
+          when(nChars >= 100 && nTokens >= 20, "keep").otherwise("drop")
+            .as("quality_gate"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID by marker-token counting (deterministic heuristic; the
+    // replace-count trick keeps it exactly SQL-expressible)
+    "llm7_langid" -> ((s, d) => {
+      def cnt(marker: String): Column =
+        ((length(col("text")) - length(replace(col("text"), lit(marker))))
+          / marker.length).cast("int")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          cnt(" the ").as("c_the"),
+          cnt(" data ").as("c_data"),
+          when(cnt(" the ") > 0, "en").otherwise("unknown").as("pred_lang"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm1_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY lower(trim(text))
+        |ORDER BY keep_id""".stripMargin,
+
+    "llm2_minhash_lsh" -> exactJaccardSql(0.8),
+    "llm2b_ngram_jaccard" -> exactJaccardSql(0.8),
+
+    "llm3_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(embedding::DOUBLE[], q.qe) /
+        |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) /
+        |        sqrt(list_dot_product(q.qe, q.qe)), 6) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "llm3c_embed_pairs_topk" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_dot_product(a.e, b.e) /
+        |        sqrt(list_dot_product(a.e, a.e)) /
+        |        sqrt(list_dot_product(b.e, b.e)), 6) AS cos_sim
+        |FROM t a, t b WHERE a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, a_id, b_id LIMIT 20""".stripMargin,
+
+    "llm4_top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "llm4b_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |  length(text) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm5_tfidf" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms
+        |       WHERE token <> '' GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM terms
+        |       WHERE token <> '' GROUP BY 1)
+        |SELECT tf.doc_id, tf.token, round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        |FROM tf JOIN df USING (token), n
+        |WHERE tf.doc_id < 50
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
+
+    "llm6_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+        |  CASE WHEN length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+        |       THEN 'keep' ELSE 'drop' END AS quality_gate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm7_langid" ->
+      """SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, ' the ', ''))) // 6 AS INT) AS c_the,
+        |  CAST((length(text) - length(replace(text, ' data ', ''))) // 7 AS INT) AS c_data,
+        |  CASE WHEN (length(text) - length(replace(text, ' the ', ''))) // 6 > 0
+        |       THEN 'en' ELSE 'unknown' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  private def exactJaccardSql(threshold: Double): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                        for i in range(1, len(w) - 1)]) AS ws
+       |       FROM d WHERE len(w) >= 3)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+       |FROM sh a, sh b
+       |WHERE a.doc_id < b.doc_id
+       |  AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.ws, b.ws))) >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+}

@@ -1,0 +1,656 @@
+package graft.operators
+
+import graft.{Det, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.2–§2.7: projections, filters, joins, aggregations, windows,
+  * sorts, set ops — all on Spark built-ins so Catalyst's pushdown / pruning /
+  * join-selection / AQE engage untouched.
+  *
+  * Scale notes (100 TB posture), per operator family:
+  *  - joins on the big tables (orders⋈customer, lineitem⋈part) are plain
+  *    equi-joins → Catalyst picks SMJ/shuffled-hash and AQE re-plans on
+  *    runtime stats; dimension joins (nation/region) are `broadcast()`ed
+  *    explicitly so no shuffle of the fact side ever happens;
+  *  - aggregations are partial+final hash aggs (map-side combine) by
+  *    construction — we only group on low/medium-cardinality keys;
+  *  - window functions partition by high-cardinality keys (user_id,
+  *    custkey) so partitions stay small and sort-spill local;
+  *  - the theta join (JOIN-7) deliberately keeps one side tiny (supplier) —
+  *    BNLJ with the small side broadcast, the only plan that scales.
+  */
+object Relational extends QueryModule {
+
+  // 2024-01-15T00:00:00Z in epoch micros (as-of cutoff for JOIN-8).
+  private val AsOfCutoffUs = 1705276800000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- PROJ ----
+    "proj1_project" -> ((s, d) =>
+      Tables.customer(s, d).select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    "proj2_cast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty_int"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "proj3_computed" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          concat(col("s_name"), lit("#"),
+            lpad(col("s_suppkey").cast("string"), 4, "0")).as("s_uri"))
+        .orderBy("s_suppkey")),
+
+    // ---- FILT ----
+    "filt1_regex" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").rlike("(green|blue)"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")),
+
+    "filt2_range" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") >= 1000 && col("o_totalprice") <= 50000)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    "filt3_null" -> ((s, d) => {
+      // nations with no suppliers: LEFT JOIN + IS NULL existence predicate
+      val n = Tables.nation(s, d)
+      val su = Tables.supplier(s, d)
+      n.join(su, n("n_nationkey") === su("s_nationkey"), "left")
+        .filter(col("s_suppkey").isNull)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    }),
+
+    "filt4_subset" -> ((s, d) =>
+      // homology-style class-subset re-import: filter to a class subset,
+      // then count per class (azanium homol_import, pseudoace.py:127-144)
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // ---- JOIN ----
+    "join1_inner" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "join2_full_outer" -> ((s, d) => {
+      // QA reconciliation shape (pseudoace.py:113-124): per-key counts from
+      // two sides, FULL OUTER so keys missing on either side surface.
+      val cn = Tables.customer(s, d).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("c_cnt"))
+      val sn = Tables.supplier(s, d).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("s_cnt"))
+      cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+          coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+        .orderBy("nationkey")
+    }),
+
+    "join3_left" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val su = Tables.supplier(s, d)
+      n.join(su, n("n_nationkey") === su("s_nationkey"), "left")
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(col("s_suppkey")).as("n_suppliers"))
+        .orderBy("n_nationkey")
+    }),
+
+    "join4_semi" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val su = Tables.supplier(s, d)
+      n.join(su, n("n_nationkey") === su("s_nationkey"), "left_semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    }),
+
+    "join5_anti" -> ((s, d) => {
+      // "classes lost by the migration" analogue: parts never shipped
+      val p = Tables.part(s, d)
+      val l = Tables.lineitem(s, d)
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+
+    "join6_broadcast" -> ((s, d) => {
+      // dimension joins: broadcast both dims — the fact side never shuffles
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), Det.dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name")
+    }),
+
+    "join7_theta" -> ((s, d) => {
+      // non-equi band join; small side (supplier) broadcast → BNLJ
+      val su = Tables.supplier(s, d)
+      val c = Tables.customer(s, d)
+      c.join(broadcast(su),
+          c("c_acctbal") >= su("s_acctbal") - 100 &&
+          c("c_acctbal") <= su("s_acctbal") + 100)
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+    }),
+
+    "join8_asof" -> ((s, d) => {
+      // as-of join (Datomic time semantics): latest event per user at or
+      // before the cutoff. Window top-1 — partitions by high-card user_id.
+      val e = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .filter(col("ts_us") <= AsOfCutoffUs)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "ts_us", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    "join9_interval" -> ((s, d) => {
+      // interval join: pairs of same-user events within a 60 s band
+      val e = Tables.events(s, d).select(col("event_id"),
+        col("user_id"), expr("ts div 1000").as("ts_us"))
+      val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts_us").as("a_us"))
+      val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts_us").as("b_us"))
+      a.join(b, col("a_user") === col("b_user") &&
+          col("b_us") > col("a_us") &&
+          col("b_us") <= col("a_us") + 60000000L)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    }),
+
+    "join10_cross" -> ((s, d) => {
+      val r = Tables.region(s, d).select("r_name")
+      val st = Tables.orders(s, d).select(col("o_orderstatus")).distinct()
+      r.crossJoin(st).orderBy("r_name", "o_orderstatus")
+    }),
+
+    // ---- AGG ----
+    "agg1_count" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg2_multi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          Det.dsum(col("l_extendedprice")).as("sum_price"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+            count(col("l_extendedprice"))).as("avg_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    "agg3_argmax" -> ((s, d) => {
+      // arg-max per group + max(length) per group (util.py:76-77 analogue)
+      val c = Tables.customer(s, d)
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.withColumn("rn", row_number().over(w))
+        .withColumn("max_name_len",
+          max(length(col("c_name"))).over(Window.partitionBy("c_nationkey")))
+        .filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("c_custkey").as("top_custkey"),
+          col("c_acctbal").as("top_acctbal"), col("max_name_len"))
+        .orderBy("c_nationkey")
+    }),
+
+    "agg4_distinct" -> ((s, d) =>
+      Tables.customer(s, d).select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment")),
+
+    "agg5_count_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus")),
+
+    // approximate HLL — verified by bounded-error ScalaTest, rows-only here
+    "agg6_approx_count_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))
+        .orderBy("o_orderstatus")),
+
+    "agg7_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          when(grouping(col("l_returnflag")) === 1, lit("ALL"))
+            .otherwise(col("l_returnflag")).as("flag"),
+          when(grouping(col("l_linestatus")) === 1, lit("ALL"))
+            .otherwise(col("l_linestatus")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
+    "agg8_collect_list" -> ((s, d) =>
+      // rebuild-object-from-datoms shape: ordered collect per entity
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(concat_ws(",",
+          sort_array(collect_list(col("l_linenumber")))).as("lines"))
+        .orderBy("l_orderkey")),
+
+    "agg9_latest_wins" -> ((s, d) => {
+      // latest-wins per (user, event_type) by (ts, event_id) — the Datomic
+      // import invariant (pseudoace.py:87-102)
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "ts_us", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    "agg10_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))
+        .orderBy("l_returnflag")),
+
+    // ---- WIN ----
+    "win1_row_number" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 100)
+        .orderBy("rn")
+    }),
+
+    "win2_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .filter(col("rk") <= 20)
+        .orderBy("o_orderstatus", "rk", "o_orderkey")
+    }),
+
+    "win3_lag_lead" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      e.select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .withColumn("gap_us", col("ts_us") - col("prev_us"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    "win4_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          Det.dstr(col("o_orderdate")).as("odate"), col("o_totalprice"))
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .orderBy("o_custkey", "odate", "o_orderkey")
+    }),
+
+    "win5_sliding_avg" -> ((s, d) => {
+      val wBase = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val w = wBase.rowsBetween(-3, Window.currentRow)
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      e.select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("mov_avg",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    "win6_top1_per_group" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "ts_us", "event_type")
+        .orderBy("user_id")
+    }),
+
+    // ---- SORT ----
+    "sort1_global_by_ts" -> ((s, d) =>
+      // the reference's sort-edn-logs-by-timestamp step (pseudoace.py:87-95)
+      // as one distributed range-partitioned total sort
+      Tables.events(s, d)
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"))
+        .orderBy("ts_us", "event_id")),
+
+    "sort2_desc_by_measure" -> ((s, d) =>
+      // report sorted by count desc (util.py:86)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_returnflag"), col("l_linestatus"))),
+
+    "sort3_multikey" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+        .orderBy(col("l_returnflag"), col("l_quantity").desc,
+          col("l_orderkey"), col("l_linenumber"))
+        .limit(1000)),
+
+    "sort4_partition_local" -> ((s, d) =>
+      // per-file local sort semantics (sort-edn-log.sh): sortWithinPartitions.
+      // Declared on a single partition so the result is a deterministic total
+      // order; at scale this runs after repartitionByRange(ts) — same code,
+      // per-range files, no global merge.
+      Tables.events(s, d)
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"))
+        .coalesce(1)
+        .sortWithinPartitions("ts_us", "event_id")),
+
+    "sort5_topk" -> ((s, d) =>
+      // TakeOrderedAndProject: never materializes a full sort
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)),
+
+    // ---- SET ----
+    "set1_union_distinct" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
+    "set2_union_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val hi = o.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), lit("hi").as("bucket"))
+      val lo = o.filter(col("o_totalprice") < 5000)
+        .select(col("o_orderkey"), lit("lo").as("bucket"))
+      hi.unionByName(lo).orderBy("o_orderkey", "bucket")
+    }),
+
+    "set3_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }),
+
+    "set4_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy("o_custkey")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "proj1_project" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+
+    "proj2_cast" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty_int
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "proj3_computed" ->
+      """SELECT s_suppkey,
+        |       concat(s_name, '#', lpad(CAST(s_suppkey AS VARCHAR), 4, '0')) AS s_uri
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "filt1_regex" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE regexp_matches(p_name, '(green|blue)')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "filt2_range" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice >= 1000 AND o_totalprice <= 50000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "filt3_null" ->
+      """SELECT n.n_nationkey, n.n_name
+        |FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+        |WHERE s.s_suppkey IS NULL
+        |ORDER BY n.n_nationkey""".stripMargin,
+
+    "filt4_subset" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_returnflag IN ('A','R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "join1_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join2_full_outer" ->
+      """WITH cn AS (SELECT c_nationkey, count(*) AS c_cnt FROM customer GROUP BY 1),
+        |     sn AS (SELECT s_nationkey, count(*) AS s_cnt FROM supplier GROUP BY 1)
+        |SELECT COALESCE(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+        |       COALESCE(cn.c_cnt, 0) AS c_cnt,
+        |       COALESCE(sn.s_cnt, 0) AS s_cnt
+        |FROM cn FULL OUTER JOIN sn ON cn.c_nationkey = sn.s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "join3_left" ->
+      """SELECT n.n_nationkey, n.n_name, count(s.s_suppkey) AS n_suppliers
+        |FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+        |GROUP BY 1, 2 ORDER BY n.n_nationkey""".stripMargin,
+
+    "join4_semi" ->
+      """SELECT n_nationkey, n_name FROM nation n
+        |WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "join5_anti" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "join6_broadcast" ->
+      s"""SELECT r_name, count(*) AS n_cust, ${Det.dsumSql("c_acctbal")} AS sum_bal
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "join7_theta" ->
+      """SELECT s_suppkey, c_custkey
+        |FROM customer c JOIN supplier s
+        |  ON c.c_acctbal >= s.s_acctbal - 100 AND c.c_acctbal <= s.s_acctbal + 100
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "join8_asof" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events
+        |WHERE epoch_us(ts) <= 1705276800000000
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "join9_interval" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "join10_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+
+    "agg1_count" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "agg2_multi" ->
+      s"""SELECT l_returnflag,
+         |  ${Det.dsumSql("l_extendedprice")} AS sum_price,
+         |  ${Det.davgSql("l_extendedprice")} AS avg_price,
+         |  min(l_extendedprice) AS min_price,
+         |  max(l_extendedprice) AS max_price,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg3_argmax" ->
+      """SELECT c_nationkey, c_custkey AS top_custkey, c_acctbal AS top_acctbal,
+        |       max(length(c_name)) OVER (PARTITION BY c_nationkey) AS max_name_len
+        |FROM customer
+        |QUALIFY row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey) = 1
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "agg4_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "agg5_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg7_rollup" ->
+      s"""SELECT
+         |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS flag,
+         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS status,
+         |  count(*) AS n, ${Det.dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY flag, status""".stripMargin,
+
+    "agg8_collect_list" ->
+      """SELECT l_orderkey,
+        |       array_to_string(list_sort(list(l_linenumber)), ',') AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "agg9_latest_wins" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "agg10_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5)  AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "win1_row_number" ->
+      """SELECT c_custkey, c_acctbal,
+        |       row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |FROM customer QUALIFY rn <= 100 ORDER BY rn""".stripMargin,
+
+    "win2_rank" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  rank()       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rk,
+        |  dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS drk
+        |FROM orders QUALIFY rk <= 20
+        |ORDER BY o_orderstatus, rk, o_orderkey""".stripMargin,
+
+    "win3_lag_lead" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  lag(epoch_us(ts))  OVER w AS prev_us,
+        |  lead(epoch_us(ts)) OVER w AS next_us,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "win4_running_sum" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, odate, o_orderkey""".stripMargin,
+
+    "win5_sliding_avg" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+        |    COUNT(*) OVER w AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "win6_top1_per_group" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_type
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "sort1_global_by_ts" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        |ORDER BY ts_us, event_id""".stripMargin,
+
+    "sort2_desc_by_measure" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY n DESC, l_returnflag, l_linestatus""".stripMargin,
+
+    "sort3_multikey" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_quantity DESC, l_orderkey, l_linenumber
+        |LIMIT 1000""".stripMargin,
+
+    "sort4_partition_local" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        |ORDER BY ts_us, event_id""".stripMargin,
+
+    "sort5_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "set1_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+
+    "set2_union_all" ->
+      """SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 150000
+        |UNION ALL
+        |SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 5000
+        |ORDER BY o_orderkey, bucket""".stripMargin,
+
+    "set3_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "set4_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin
+  )
+}

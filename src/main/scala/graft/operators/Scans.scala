@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{Det, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1: scans / sources / sinks.
+  *
+  * Text-format fixtures live in /root/repo/fixtures (committed; see
+  * FixtureGen). Sink queries write under target/tmp-sinks and read the
+  * result back, so the declared DataFrame both exercises the sink AND is
+  * oracle-checkable against the logical query.
+  *
+  * Scale notes: gz text is non-splittable — at 100 TB ingest the per-file
+  * parallelism model is many-files-few-GB-each (exactly the reference's
+  * per-class dump layout, runcommand.py:137), so `spark.read.text(dir)`
+  * schedules one task per file; paragraph records use a custom lineSep.
+  */
+object Scans extends QueryModule {
+
+  val FixturesDir = "/root/repo/fixtures"
+  val SinkDir = "/root/repo/target/tmp-sinks"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SCAN-1: parquet scan with pushed filter + pruned columns (the explain
+    // test asserts PushedFilters + ReadSchema contain exactly these).
+    "scan1_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // SCAN-2: gzipped line text (codec transparent to spark.read.text)
+    "scan2_gz_text" -> ((s, _) =>
+      s.read.text(s"$FixturesDir/lines.txt.gz")
+        .select(col("value").as("line"), length(col("value")).as("n"))
+        .orderBy("line")),
+
+    // SCAN-3: blank-line-delimited paragraph records (.ace dump shape,
+    // runcommand.py:134-150): custom lineSep, then header split.
+    "scan3_ace_paragraphs" -> ((s, _) =>
+      s.read.option("lineSep", "\n\n").text(s"$FixturesDir/sample.ace")
+        .filter(trim(col("value")) =!= "")
+        .select(
+          regexp_extract(col("value"), "^(\\S+) : ", 1).as("cls"),
+          size(split(col("value"), "\n")).as("n_lines"))
+        .groupBy("cls").agg(count(lit(1)).as("n_objects"))
+        .orderBy("cls")),
+
+    // SCAN-4: quoted-dialect CSV (QUOTE_ALL, pseudoace.py:147-153)
+    "scan4_csv_quoted" -> ((s, _) =>
+      s.read
+        .option("header", "true").option("quote", "\"")
+        .schema(StructType(Seq(
+          StructField("class_name", StringType),
+          StructField("ident", StringType),
+          StructField("n_ref", IntegerType),
+          StructField("n_db", IntegerType))))
+        .csv(s"$FixturesDir/qa_report.csv")
+        .orderBy("class_name")),
+
+    // SCAN-5: regex/glob-filtered directory ingest (util.py:222-241)
+    "scan5_glob" -> ((s, _) =>
+      s.read.option("pathGlobFilter", "part-*.txt")
+        .text(s"$FixturesDir/multi")
+        .select(
+          regexp_extract(input_file_name(), "([^/]+)$", 1).as("fname"),
+          col("value").as("line"))
+        .groupBy("fname").agg(count(lit(1)).as("n_lines"))
+        .orderBy("fname")),
+
+    // SCAN-6: JSON string column ingest (events.props)
+    "scan6_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // SINK-1: CSV sink (QUOTE_ALL dialect) → read back
+    "sink1_csv" -> ((s, d) => {
+      val out = s"$SinkDir/sink1_csv"
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .csv(out)
+      s.read.option("header", "true")
+        .schema("l_returnflag STRING, n BIGINT").csv(out)
+        .orderBy("l_returnflag")
+    }),
+
+    // SINK-2: parquet snapshot sink (backup-db analogue) → read back
+    "sink2_parquet_snapshot" -> ((s, d) => {
+      val out = s"$SinkDir/sink2_parquet"
+      Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // SINK-3: partitioned sink (per-class split dump, runcommand.py:137)
+    "sink3_partitioned" -> ((s, d) => {
+      val out = s"$SinkDir/sink3_part"
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      s.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // SINK-4: compressed text sink (gzip of dumps, runcommand.py:114-131)
+    "sink4_compressed" -> ((s, d) => {
+      val out = s"$SinkDir/sink4_gz"
+      Tables.nation(s, d)
+        .select(concat_ws("|", col("n_nationkey"), col("n_name")).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "gzip").text(out)
+      s.read.text(out)
+        .select(
+          split(col("value"), "\\|").getItem(0).cast("int").as("n_nationkey"),
+          split(col("value"), "\\|").getItem(1).as("n_name"))
+        .orderBy("n_nationkey")
+    }),
+
+    // SINK-5: object-store-style URI sink. Offline there is no S3 endpoint,
+    // so the same Hadoop-FS path-scheme mechanism is exercised via file:// —
+    // on a cluster the identical code takes s3a://bucket/key.
+    "sink5_uri" -> ((s, d) => {
+      val out = s"file://$SinkDir/sink5_uri"
+      Tables.region(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).select("r_regionkey", "r_name").orderBy("r_regionkey")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan1_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "scan2_gz_text" ->
+      s"""SELECT line, length(line) AS n
+         |FROM read_csv('$FixturesDir/lines.txt.gz', header=false, delim='\\t',
+         |              columns={'line': 'VARCHAR'})
+         |ORDER BY line""".stripMargin,
+
+    "scan3_ace_paragraphs" ->
+      s"""SELECT string_split(e, ':')[1] AS cls, count(DISTINCT e) AS n_objects
+         |FROM read_csv('$FixturesDir/ace_datoms_golden.csv', header=true, all_varchar=true)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scan4_csv_quoted" ->
+      s"""SELECT class_name, ident, CAST(n_ref AS INT) AS n_ref, CAST(n_db AS INT) AS n_db
+         |FROM read_csv('$FixturesDir/qa_report.csv', header=true, quote='"')
+         |ORDER BY class_name""".stripMargin,
+
+    "scan5_glob" ->
+      s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname, count(*) AS n_lines
+         |FROM read_csv('$FixturesDir/multi/part-*.txt', header=false, delim='\\t',
+         |              columns={'line': 'VARCHAR'}, filename=true)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scan6_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink1_csv" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sink2_parquet_snapshot" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sink3_partitioned" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${Det.dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sink4_compressed" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    "sink5_uri" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+  )
+}

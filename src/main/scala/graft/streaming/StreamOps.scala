@@ -1,0 +1,185 @@
+package graft.streaming
+
+import graft.{Det, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9: streaming operators over `events`.
+  *
+  * Each transformation is written ONCE against a DataFrame and is valid on
+  * both a batch frame (the declared batch-replay queries below — the
+  * driver's DuckDB oracle checks those) and a `readStream` frame (the
+  * StructuredStreamingSpec drives the same functions through MemoryStream
+  * with watermarks, verifying true incremental execution).
+  *
+  * Scale notes: windowed aggregations key on (window, type) / (user,
+  * session) — state is bounded by watermark eviction; dedup state is keyed
+  * on event_id with the same watermark TTL. Stream-static joins broadcast
+  * the static dim, so the stream side never shuffles.
+  */
+object StreamOps extends QueryModule {
+
+  /** events with a proper TimestampType event_ts (from the ns long). */
+  def withEventTs(events: DataFrame): DataFrame =
+    events.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+
+  // ---- transformations (streaming- and batch-valid) ----------------------
+
+  /** STRM-1: tumbling 10-minute window counts+sums per event_type. */
+  def tumblingAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("event_ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** STRM-2: sliding 10-minute window, 5-minute hop. */
+  def slidingAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("event_ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("n"))
+
+  /** STRM-3: 30-minute-gap session windows per user. */
+  def sessionAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("event_ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n"))
+
+  /** STRM-5: exactly-once dedup by event_id (streaming: with watermark
+    * state TTL; batch: same call). */
+  def dedupById(ev: DataFrame): DataFrame =
+    ev.dropDuplicates("event_id")
+
+  /** STRM-7: enrich events with a static dimension (broadcast). */
+  def enrich(ev: DataFrame, dim: DataFrame): DataFrame =
+    ev.join(broadcast(dim), Seq("event_type"), "left")
+
+  /** The event_type → category static dimension. */
+  def typeDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "category")
+  }
+
+  // ---- declared batch-replay queries -------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "strm1_tumbling" -> ((s, d) =>
+      tumblingAgg(withEventTs(Tables.events(s, d)))
+        .orderBy("ws_us", "event_type")),
+
+    "strm2_sliding" -> ((s, d) =>
+      slidingAgg(withEventTs(Tables.events(s, d)))
+        .orderBy("ws_us")),
+
+    "strm3_session" -> ((s, d) =>
+      sessionAgg(withEventTs(Tables.events(s, d)))
+        .orderBy("user_id", "sess_start_us")),
+
+    // STRM-4: late-data detection — events arriving (event_id order) more
+    // than 1 h behind the running max event time, i.e. exactly the rows a
+    // 1 h watermark would drop.
+    "strm4_late_data" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("max_seen_us", max(col("ts_us")).over(w))
+        .filter(col("ts_us") < col("max_seen_us") - 3600000000L)
+        .select("event_id", "ts_us", "max_seen_us")
+        .orderBy("event_id")
+    }),
+
+    // STRM-5: stateful dedup — replay the stream twice (at-least-once
+    // delivery), dedup must restore exactly-once counts.
+    "strm5_dedup" -> ((s, d) => {
+      val e = Tables.events(s, d).drop("event_ts")
+      dedupById(e.unionByName(e))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // STRM-6: ordered-log apply, latest-wins upsert keyed by user
+    // (the reference's import step, pseudoace.py:98-110)
+    "strm6_upsert_latest" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts_us").as("last_us"))
+        .orderBy("user_id")
+    }),
+
+    "strm7_stream_static_join" -> ((s, d) =>
+      enrich(Tables.events(s, d), typeDim(s))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy("category"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "strm1_tumbling" ->
+      s"""SELECT (epoch_us(ts) // 600000000) * 600000000 AS ws_us, event_type,
+         |  count(*) AS n, ${Det.dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "strm2_sliding" ->
+      """SELECT ws_us, count(*) AS n FROM (
+        |  SELECT ((epoch_us(ts) // 300000000) - k.k) * 300000000 AS ws_us
+        |  FROM events CROSS JOIN (VALUES (0), (1)) AS k(k))
+        |GROUP BY ws_us ORDER BY ws_us""".stripMargin,
+
+    "strm3_session" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+        |      OR lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM o)
+        |SELECT user_id, min(us) AS sess_start_us,
+        |       max(us) + 1800000000 AS sess_end_us, count(*) AS n
+        |FROM g GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start_us""".stripMargin,
+
+    "strm4_late_data" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, max_seen_us FROM (
+        |  SELECT event_id, ts,
+        |    max(epoch_us(ts)) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen_us
+        |  FROM events)
+        |WHERE epoch_us(ts) < max_seen_us - 3600000000
+        |ORDER BY event_id""".stripMargin,
+
+    "strm5_dedup" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "strm6_upsert_latest" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+        |       epoch_us(ts) AS last_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "strm7_stream_static_join" ->
+      s"""SELECT CASE event_type
+         |    WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+         |    WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+         |    WHEN 'error' THEN 'ops' END AS category,
+         |  count(*) AS n, ${Det.dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
