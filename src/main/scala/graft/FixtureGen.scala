@@ -1,0 +1,162 @@
+package graft
+
+import java.io.{BufferedWriter, File, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+/** Deterministic generator for the committed text fixtures under
+  * /root/repo/fixtures (referenced by Scans + MigrationOps and their DuckDB
+  * oracles). Run once via `sbt "runMain graft.FixtureGen"`; output is
+  * byte-stable so the files can live in git.
+  *
+  * Formats modeled on the reference:
+  *  - `.ace` dump: blank-line-separated paragraphs, `Class : "Ident"` header,
+  *    `Tag [Subtag...] "value"` body lines, `-D` prefix = retraction
+  *    (reference runcommand.py:134-150 dump shape).
+  *  - QUOTE_ALL CSV dialect (reference pseudoace.py:147-153).
+  *  - Per-file EDN-ish import logs with a total timestamp order
+  *    (reference pseudoace.py:87-102 sort-then-import contract).
+  */
+object FixtureGen {
+
+  val Dir = "/root/repo/fixtures"
+
+  // ---- shared fixture model (single source of truth for .ace + goldens) ---
+
+  /** (class, ident, Seq[(path tokens, value, op)]) */
+  type AceObj = (String, String, Seq[(Seq[String], String, String)])
+
+  val baseObjs: Seq[AceObj] = Seq(
+    ("Gene", "WBGene00000001", Seq(
+      (Seq("CGC_name"), "aap-1", "assert"),
+      (Seq("Sequence"), "Y110A7A.10", "assert"),
+      (Seq("RNASeq", "FPKM"), "3.5", "assert"))),
+    ("Gene", "WBGene00000002", Seq(
+      (Seq("CGC_name"), "abc-1", "assert"),
+      (Seq("Sequence"), "F54D5.1", "assert"))),
+    ("Gene", "WBGene00000003", Seq(
+      (Seq("CGC_name"), "abl-1", "assert"),
+      (Seq("Sequence"), "M79.1", "assert"))),
+    ("Protein", "WP00000101", Seq(
+      (Seq("Peptide"), "MSDNE", "assert"),
+      (Seq("Species"), "Caenorhabditis elegans", "assert"))),
+    ("Protein", "WP00000102", Seq(
+      (Seq("Peptide"), "MKVLA", "assert"),
+      (Seq("Species"), "Caenorhabditis elegans", "assert"))),
+    ("CDS", "Y110A7A.10", Seq(
+      (Seq("Method"), "curated", "assert"),
+      (Seq("Gene_ref"), "WBGene00000001", "assert"))),
+    ("CDS", "F54D5.1", Seq(
+      (Seq("Method"), "curated", "assert"),
+      (Seq("Gene_ref"), "WBGene00000002", "assert")))
+  )
+
+  /** Patch dump: one updated value, one fully-retracted object, one new
+    * object — exercising update / delete / insert in apply-patches. */
+  val patchObjs: Seq[AceObj] = Seq(
+    ("Gene", "WBGene00000002", Seq(
+      (Seq("CGC_name"), "abc-1.2", "assert"))),
+    ("Gene", "WBGene00000003", Seq(
+      (Seq("CGC_name"), "abl-1", "retract"),
+      (Seq("Sequence"), "M79.1", "retract"))),
+    ("Protein", "WP00000103", Seq(
+      (Seq("Peptide"), "MAAAT", "assert"),
+      (Seq("Species"), "Caenorhabditis elegans", "assert")))
+  )
+
+  // ---- writers ------------------------------------------------------------
+
+  private def write(path: String, content: String): Unit = {
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new FileOutputStream(f), StandardCharsets.UTF_8))
+    try w.write(content) finally w.close()
+  }
+
+  private def writeGz(path: String, content: String): Unit = {
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    // (Java's GZIPOutputStream writes MTIME=0 → byte-stable output for git)
+    val out = new GZIPOutputStream(new FileOutputStream(f))
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def aceDump(objs: Seq[AceObj]): String =
+    objs.map { case (cls, ident, datoms) =>
+      (s"""$cls : "$ident"""" +: datoms.map { case (pathToks, v, op) =>
+        val prefix = if (op == "retract") "-D " else ""
+        s"""$prefix${pathToks.mkString(" ")} "$v""""
+      }).mkString("\n")
+    }.mkString("", "\n\n", "\n")
+
+  /** QUOTE_ALL csv (pseudoace.py:147-148 dialect). */
+  private def csvQuoteAll(header: Seq[String], rows: Seq[Seq[String]]): String =
+    (header +: rows)
+      .map(_.map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(","))
+      .mkString("", "\n", "\n")
+
+  def main(args: Array[String]): Unit = {
+    // scan2: gzipped plain-text lines
+    writeGz(s"$Dir/lines.txt.gz",
+      Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel").mkString("", "\n", "\n"))
+
+    // scan3/mig1: .ace dumps
+    write(s"$Dir/sample.ace", aceDump(baseObjs))
+    write(s"$Dir/patches.ace", aceDump(patchObjs))
+
+    // golden datoms for both dumps (parser ground truth):
+    // e = "Class:Ident", path = tokens joined with '.', op, src
+    val goldenRows =
+      (baseObjs.map(o => (o, "base")) ++ patchObjs.map(o => (o, "patch")))
+        .flatMap { case ((cls, ident, datoms), src) =>
+          datoms.map { case (pathToks, v, op) =>
+            Seq(s"$cls:$ident", pathToks.mkString("."), v, op, src)
+          }
+        }
+    write(s"$Dir/ace_datoms_golden.csv",
+      csvQuoteAll(Seq("e", "path", "value", "op", "src"), goldenRows))
+
+    // scan4: QUOTE_ALL QA-report-shaped csv
+    write(s"$Dir/qa_report.csv",
+      csvQuoteAll(Seq("class_name", "ident", "n_ref", "n_db"), Seq(
+        Seq("CDS", "cds/id", "2", "2"),
+        Seq("Gene", "gene/id", "3", "2"),
+        Seq("Protein", "protein/id", "3", "3"),
+        Seq("Variation", "variation/id", "5", "0"))))
+
+    // mig4/mig5: the ACeDB id-catalog (expected per-class object counts)
+    write(s"$Dir/id_catalog.csv",
+      csvQuoteAll(Seq("class_name", "n_ref"), Seq(
+        Seq("CDS", "2"),
+        Seq("Gene", "3"),
+        Seq("Protein", "3"),
+        Seq("Variation", "5"))))
+
+    // scan5: multi-file dir + a file the glob must skip
+    write(s"$Dir/multi/part-0.txt", "m0-a\nm0-b\nm0-c\n")
+    write(s"$Dir/multi/part-1.txt", "m1-a\nm1-b\n")
+    write(s"$Dir/multi/part-2.txt", "m2-a\nm2-b\nm2-c\nm2-d\n")
+    write(s"$Dir/multi/ignore.dat", "must-not-be-read\n")
+
+    // mig2: per-file import logs; global order is BY TS ACROSS FILES
+    // (the reference sorts each EDN log then imports in timestamp order).
+    write(s"$Dir/edn/edn_log_a.csv",
+      csvQuoteAll(Seq("ts", "e", "path", "value", "op"), Seq(
+        Seq("100", "Gene:G1", "name", "alpha", "assert"),
+        Seq("200", "Gene:G1", "name", "beta", "assert"),
+        Seq("150", "Gene:G2", "name", "gamma", "assert"),
+        Seq("300", "Gene:G2", "name", "gamma", "retract"),
+        Seq("250", "Gene:G3", "status", "live", "assert"))))
+    write(s"$Dir/edn/edn_log_b.csv",
+      csvQuoteAll(Seq("ts", "e", "path", "value", "op"), Seq(
+        Seq("400", "Gene:G2", "name", "delta", "assert"),
+        Seq("175", "Gene:G1", "desc", "first", "assert"),
+        Seq("500", "Gene:G3", "status", "dead", "assert"),
+        Seq("120", "Gene:G4", "name", "eps", "assert"),
+        Seq("600", "Gene:G4", "name", "eps", "retract"))))
+
+    println(s"fixtures written under $Dir")
+  }
+}

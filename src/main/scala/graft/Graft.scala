@@ -54,7 +54,7 @@ object Graft {
 }
 
 /** Test-table loaders. Tables are driver-generated parquet under
-  * /root/testdata/sf*/ (TESTDATA.md). Parquet is self-describing; predicate
+  * /root/testdata/sf0.x (TESTDATA.md). Parquet is self-describing; predicate
   * pushdown + column pruning engage automatically on these reads.
   */
 object Tables {

@@ -69,7 +69,7 @@ object LlmOps extends QueryModule {
     // band hash = hash of the r consecutive signature lanes of that band
     val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          bi => xxhash64(slice(col("sig"), bi * r + 1, r)))))
+          bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
     val l = banded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
@@ -331,9 +331,9 @@ object LlmOps extends QueryModule {
 
     "llm7_langid" ->
       """SELECT doc_id,
-        |  CAST((length(text) - length(replace(text, ' the ', ''))) // 6 AS INT) AS c_the,
-        |  CAST((length(text) - length(replace(text, ' data ', ''))) // 7 AS INT) AS c_data,
-        |  CASE WHEN (length(text) - length(replace(text, ' the ', ''))) // 6 > 0
+        |  CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS INT) AS c_the,
+        |  CAST((length(text) - length(replace(text, ' data ', ''))) // 6 AS INT) AS c_data,
+        |  CASE WHEN (length(text) - length(replace(text, ' the ', ''))) // 5 > 0
         |       THEN 'en' ELSE 'unknown' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin
   )

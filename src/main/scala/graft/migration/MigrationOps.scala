@@ -1,0 +1,374 @@
+package graft.migration
+
+import graft.QueryModule
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The migration domain core — the reference's one real program
+  * (SURVEY.md §3.1, §7 phase 4), re-expressed Spark-first.
+  *
+  * Reference pipeline (azanium `migrate`, runcommand.py:299-333):
+  *   ACeDB `.ace` dump → EDN logs → timestamp sort → ordered import →
+  *   apply patches → QA reconciliation report vs the id catalog.
+  *
+  * Spark mapping:
+  *  - `.ace` paragraph → datoms: scalar UDF returning array<struct> +
+  *    `explode` (UDF-1/UDF-3; paragraph format contract from the reference's
+  *    acedump shape, runcommand.py:134-150; datom shape pseudoace.py:69-76);
+  *  - ordered import = `max_by(value, ts)` grouped on (e, path) — the shuffle
+  *    carries one row per datom, the "sort" is implicit in the max, so at
+  *    100 TB this is a single hash-aggregate, not a global sort
+  *    (pseudoace.py:87-102's sort-then-replay collapses into latest-wins);
+  *  - apply-patches = same latest-wins over base∪patches with patch ts >
+  *    base ts (MERGE semantics, pseudoace.py:105-110);
+  *  - QA report = full-outer join of per-class counts vs the id catalog
+  *    (pseudoace.py:113-124), missing objects = left-anti (JOIN-5);
+  *  - markdown render of the final (small) report mirrors util.py:74-99
+  *    (dedupe, sort desc by first count column, right-justified padding);
+  *  - checkpoint/resume runner mirrors runcommand.py:389-409's
+  *    last-step-ok state with idempotent skip-if-done steps.
+  */
+object MigrationOps extends QueryModule {
+
+  val FixturesDir = "/root/repo/fixtures"
+
+  // ---- datom parser (UDF-1) ----------------------------------------------
+
+  /** One parsed datom: entity "Class:Ident", dotted tag path, value, op. */
+  case class AceDatom(e: String, path: String, value: String, op: String)
+
+  private val headerRe = """^(\S+) : "(.+)"$""".r
+  private val lineRe = """^(.*?)\s*"([^"]*)"$""".r
+
+  /** Parse one `.ace` paragraph into datoms. `-D` line prefix = retraction
+    * (tace delete syntax). Malformed lines are skipped, not errors — the
+    * reference's dumps are machine-written, so strictness buys nothing and
+    * a poison paragraph must not kill a 100 TB import. */
+  def parseAceParagraph(paragraph: String): Seq[AceDatom] = {
+    val lines = paragraph.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    lines.headOption match {
+      case Some(headerRe(cls, ident)) =>
+        lines.tail.flatMap { ln =>
+          val (op, body) =
+            if (ln.startsWith("-D ")) ("retract", ln.substring(3))
+            else ("assert", ln)
+          body match {
+            case lineRe(pathStr, v) if pathStr.trim.nonEmpty =>
+              Some(AceDatom(s"$cls:$ident",
+                pathStr.trim.split("\\s+").mkString("."), v, op))
+            case _ => None
+          }
+        }
+      case _ => Seq.empty
+    }
+  }
+
+  /** UDF wrapper: paragraph string → array<struct<e,path,value,op>>. */
+  val parseAce = udf(parseAceParagraph _)
+
+  /** Read an `.ace` dump file into a datom DataFrame (one row per datom).
+    * Blank-line paragraph split via lineSep; explode = the UDTF surface
+    * (UDF-3). One task per file at scale — matches the reference's
+    * many-files dump layout. */
+  def aceDatoms(s: SparkSession, path: String): DataFrame =
+    s.read.option("lineSep", "\n\n").text(path)
+      .filter(trim(col("value")) =!= "")
+      .select(explode(parseAce(col("value"))).as("d"))
+      .select(col("d.e").as("e"), col("d.path").as("path"),
+        col("d.value").as("value"), col("d.op").as("op"))
+
+  // ---- latest-wins import (the ordered-EDN-import semantics) -------------
+
+  /** Final DB state from an (e, path, value, op, ts) changelog: for each
+    * (e, path) take the row with max ts; keep it only if that row asserts.
+    * One hash aggregate — no global sort, no window. (e,path,ts) is assumed
+    * unique (the reference's logs are per-transaction timestamped). */
+  def latestWins(log: DataFrame): DataFrame =
+    log.groupBy("e", "path")
+      .agg(max_by(col("value"), col("ts")).as("value"),
+        max_by(col("op"), col("ts")).as("last_op"))
+      .filter(col("last_op") === "assert")
+      .select("e", "path", "value")
+
+  // ---- UDAF variant (UDF-2): same semantics as an Aggregator -------------
+
+  case class LwIn(value: String, op: String, ts: Long)
+  case class LwBuf(ts: Long, value: String, op: String)
+
+  /** Latest-wins accumulator as a typed Aggregator → registered via udaf.
+    * Buffer carries (bestTs, value, op); merge is associative/commutative, so
+    * Spark's partial aggregation (map-side combine) applies — the shuffle
+    * ships one buffer per (e,path) per partition, not the raw changelog. */
+  object LatestWinsAgg extends Aggregator[LwIn, LwBuf, LwBuf] {
+    def zero: LwBuf = LwBuf(Long.MinValue, null, null)
+    def reduce(b: LwBuf, a: LwIn): LwBuf =
+      if (a.ts > b.ts) LwBuf(a.ts, a.value, a.op) else b
+    def merge(b1: LwBuf, b2: LwBuf): LwBuf = if (b1.ts >= b2.ts) b1 else b2
+    def finish(r: LwBuf): LwBuf = r
+    def bufferEncoder = Encoders.product[LwBuf]
+    def outputEncoder = Encoders.product[LwBuf]
+  }
+
+  val latestWinsUdaf = udaf(LatestWinsAgg, Encoders.product[LwIn])
+
+  // ---- shared pipeline stages --------------------------------------------
+
+  private val ednSchema = StructType(Seq(
+    StructField("ts", LongType), StructField("e", StringType),
+    StructField("path", StringType), StructField("value", StringType),
+    StructField("op", StringType)))
+
+  /** The per-file import logs (reference: sorted EDN logs). Explicit schema —
+    * no inferSchema pass over 100 TB of text. */
+  def ednLogs(s: SparkSession, dir: String = s"$FixturesDir/edn"): DataFrame =
+    s.read.option("header", "true").schema(ednSchema).csv(s"$dir/*.csv")
+
+  /** Base dump ∪ patch dump as a changelog: base ts=0, patches ts=1 —
+    * patches strictly win (apply-patches MERGE, pseudoace.py:105-110). */
+  def patchedLog(s: SparkSession): DataFrame =
+    aceDatoms(s, s"$FixturesDir/sample.ace").withColumn("ts", lit(0L))
+      .unionByName(
+        aceDatoms(s, s"$FixturesDir/patches.ace").withColumn("ts", lit(1L)))
+
+  /** Imported DB state after patches. */
+  def importedState(s: SparkSession): DataFrame = latestWins(patchedLog(s))
+
+  private def clsOf(e: Column): Column = split(e, ":").getItem(0)
+
+  /** Per-class object counts of a datom-state DataFrame. */
+  def classCounts(state: DataFrame): DataFrame =
+    state.select(clsOf(col("e")).as("class_name"), col("e"))
+      .groupBy("class_name").agg(countDistinct(col("e")).as("n_db"))
+
+  private val catalogSchema = StructType(Seq(
+    StructField("class_name", StringType), StructField("n_ref", LongType)))
+
+  def idCatalog(s: SparkSession): DataFrame =
+    s.read.option("header", "true").schema(catalogSchema)
+      .csv(s"$FixturesDir/id_catalog.csv")
+
+  /** QA reconciliation (pseudoace.py:113-124): expected vs actual per-class
+    * counts, full-outer so classes lost by the migration AND unexpected new
+    * classes both surface. The catalog is tiny → broadcast. */
+  def qaReport(s: SparkSession): DataFrame =
+    classCounts(importedState(s))
+      .join(broadcast(idCatalog(s)), Seq("class_name"), "full_outer")
+      .select(col("class_name"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_db"), lit(0L)).as("n_db"),
+        (coalesce(col("n_db"), lit(0L)) - coalesce(col("n_ref"), lit(0L)))
+          .as("n_diff"))
+
+  /** Markdown table render of a (small, final) report — the Spark analogue
+    * of util.py:74-99: dedupe, sort desc by the first count column, cells
+    * right-justified to the max width per column. Declared as a DataFrame of
+    * (line_no, line); the window is over the already-aggregated tiny report
+    * (like the reference, which renders in memory), never over raw data. */
+  def markdownReport(report: DataFrame): DataFrame = {
+    val cols = report.columns
+    val asStr = report.distinct()
+      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+    // per-column max display width incl. the header label (tiny agg result)
+    val widths = asStr.agg(
+      cols.map(c => greatest(max(length(col(c))), lit(c.length)).as(s"w_$c"))
+        .head, cols.tail.map(c =>
+        greatest(max(length(col(c))), lit(c.length)).as(s"w_$c")): _*)
+    val withW = asStr.crossJoin(broadcast(widths))
+    def cell(c: String): Column =
+      concat(lit(" "), lpad(col(c), col(s"w_$c"), lit(" ")), lit(" |"))
+    val dataLines = withW.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col(cols(1)).cast("long").desc, col(cols.head))).as("rn"),
+      concat(lit("|"), concat_ws("", cols.map(cell): _*)).as("line"))
+      .select((col("rn") + 2).as("line_no"), col("line"))
+    val headerLines = widths.select(explode(array(
+      struct(lit(1L).as("line_no"),
+        concat(lit("|"), concat_ws("", cols.map(c =>
+          concat(lit(" "), lpad(lit(c), col(s"w_$c"), lit(" ")), lit(" |"))): _*))
+          .as("line")),
+      struct(lit(2L).as("line_no"),
+        concat(lit("|"), concat_ws("", cols.map(c =>
+          concat(lit(" "), lpad(lit(""), col(s"w_$c"), lit("-")), lit(" |"))): _*))
+          .as("line")))).as("h"))
+      .select(col("h.line_no").as("line_no"), col("h.line").as("line"))
+    headerLines.unionByName(dataLines).orderBy("line_no")
+  }
+
+  // ---- checkpoint/resume runner (runcommand.py:389-409) ------------------
+
+  /** A named pipeline step; `run` must be idempotent (re-running a completed
+    * step is safe — all graft sinks write mode overwrite). */
+  case class Step(name: String, run: SparkSession => Unit)
+
+  /** Step-granular checkpoint/resume: marker file per completed step, skip
+    * on resume — the Spark-side analogue of the reference's shelve-backed
+    * last-step-ok index. Driver-side filesystem markers only; all data work
+    * happens in Spark jobs. */
+  class PipelineRunner(checkpointDir: String) {
+    private val dir = new java.io.File(checkpointDir)
+    dir.mkdirs()
+    private def marker(i: Int) = new java.io.File(dir, f"step-$i%03d.done")
+
+    /** Runs steps not yet marked done, in order; returns per-step status. */
+    def run(s: SparkSession, steps: Seq[Step]): Seq[(Int, String, String)] =
+      steps.zipWithIndex.map { case (st, i) =>
+        if (marker(i).exists()) (i, st.name, "skipped")
+        else {
+          st.run(s)
+          marker(i).createNewFile()
+          (i, st.name, "ran")
+        }
+      }
+
+    def reset(): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".done")).foreach(_.delete())
+  }
+
+  // ---- declared queries ---------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MIG-1 (UDF-1/3): .ace dump → datoms; golden CSV is the parser oracle.
+    "mig1_ace_datoms" -> ((s, _) =>
+      aceDatoms(s, s"$FixturesDir/sample.ace")
+        .select("e", "path", "value", "op")
+        .orderBy("e", "path")),
+
+    // MIG-2: ordered latest-wins import of the per-file logs.
+    "mig2_latest_wins" -> ((s, _) =>
+      latestWins(ednLogs(s)).orderBy("e", "path")),
+
+    // MIG-2b (UDF-2): identical semantics through the typed UDAF.
+    "mig2b_latest_wins_udaf" -> ((s, _) =>
+      ednLogs(s)
+        .groupBy("e", "path")
+        .agg(latestWinsUdaf(col("value"), col("op"), col("ts")).as("lw"))
+        .filter(col("lw.op") === "assert")
+        .select(col("e"), col("path"), col("lw.value").as("value"))
+        .orderBy("e", "path")),
+
+    // MIG-3: apply-patches MERGE — base ∪ patches, patches win.
+    "mig3_apply_patches" -> ((s, _) =>
+      importedState(s).orderBy("e", "path")),
+
+    // MIG-4: QA reconciliation report (the reference's headline output).
+    "mig4_qa_report" -> ((s, _) =>
+      qaReport(s).orderBy(col("n_ref").desc, col("class_name"))),
+
+    // MIG-5 (JOIN-5): objects lost by the migration — in the base dump but
+    // absent from the final imported state (left anti).
+    "mig5_lost_objects" -> ((s, _) => {
+      val base = aceDatoms(s, s"$FixturesDir/sample.ace")
+        .select("e").distinct()
+      val kept = importedState(s).select("e").distinct()
+      base.join(kept, Seq("e"), "left_anti").orderBy("e")
+    }),
+
+    // MIG-6: homology filtered re-import (homol_import, pseudoace.py:127-144)
+    // — same pipeline, datoms filtered to the homology-ish class, fresh
+    // latest-wins state, per-entity datom counts.
+    "mig6_homol_reimport" -> ((s, _) =>
+      latestWins(patchedLog(s).filter(clsOf(col("e")) === "Protein"))
+        .groupBy("e").agg(count(lit(1)).as("n_datoms"))
+        .orderBy("e")),
+
+    // MIG-7: markdown render of the QA report (util.py:74-99 semantics).
+    // Rows-only for the driver; MigrationSpec pins the golden string.
+    "mig7_markdown_report" -> ((s, _) => markdownReport(qaReport(s))),
+
+    // MIG-8: checkpoint/resume runner — runs a 2-step toy pipeline TWICE in
+    // a fresh checkpoint dir; first pass runs, second pass skips, proving
+    // step-granular resume. Rows-only + MigrationSpec.
+    "mig8_checkpoint_resume" -> ((s, _) => {
+      import s.implicits._
+      val ck = "/root/repo/target/tmp-sinks/mig8-checkpoint"
+      val runner = new PipelineRunner(ck)
+      runner.reset()
+      val steps = Seq(
+        Step("import", sp => importedState(sp).count(): Unit),
+        Step("qa", sp => qaReport(sp).count(): Unit))
+      val first = runner.run(s, steps)
+      val second = runner.run(s, steps)
+      (first.map { case (i, n, st) => (0, i, n, st) } ++
+        second.map { case (i, n, st) => (1, i, n, st) })
+        .toDF("pass", "step", "name", "status")
+        .orderBy("pass", "step")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "mig1_ace_datoms" ->
+      s"""SELECT e, path, value, op
+         |FROM read_csv('$FixturesDir/ace_datoms_golden.csv', header=true,
+         |              all_varchar=true)
+         |WHERE src = 'base'
+         |ORDER BY e, path""".stripMargin,
+
+    "mig2_latest_wins" -> (latestWinsSql(
+      s"""SELECT CAST(ts AS BIGINT) ts, e, path, value, op
+         |FROM read_csv('$FixturesDir/edn/edn_log_*.csv', header=true,
+         |              all_varchar=true)""".stripMargin) + "\nORDER BY e, path"),
+
+    "mig2b_latest_wins_udaf" -> (latestWinsSql(
+      s"""SELECT CAST(ts AS BIGINT) ts, e, path, value, op
+         |FROM read_csv('$FixturesDir/edn/edn_log_*.csv', header=true,
+         |              all_varchar=true)""".stripMargin) + "\nORDER BY e, path"),
+
+    "mig3_apply_patches" ->
+      (latestWinsSql(patchedLogSql) + "\nORDER BY e, path"),
+
+    "mig4_qa_report" ->
+      s"""WITH state AS (${latestWinsSql(patchedLogSql)}),
+         |db AS (
+         |  SELECT string_split(e, ':')[1] AS class_name,
+         |         count(DISTINCT e) AS n_db
+         |  FROM state GROUP BY 1),
+         |cat AS (
+         |  SELECT class_name, CAST(n_ref AS BIGINT) AS n_ref
+         |  FROM read_csv('$FixturesDir/id_catalog.csv', header=true,
+         |                all_varchar=true))
+         |SELECT COALESCE(db.class_name, cat.class_name) AS class_name,
+         |       COALESCE(cat.n_ref, 0) AS n_ref,
+         |       COALESCE(db.n_db, 0) AS n_db,
+         |       COALESCE(db.n_db, 0) - COALESCE(cat.n_ref, 0) AS n_diff
+         |FROM db FULL OUTER JOIN cat ON db.class_name = cat.class_name
+         |ORDER BY n_ref DESC, class_name""".stripMargin,
+
+    "mig5_lost_objects" ->
+      s"""WITH state AS (${latestWinsSql(patchedLogSql)})
+         |SELECT DISTINCT g.e
+         |FROM read_csv('$FixturesDir/ace_datoms_golden.csv', header=true,
+         |              all_varchar=true) g
+         |WHERE g.src = 'base'
+         |  AND g.e NOT IN (SELECT e FROM state)
+         |ORDER BY e""".stripMargin,
+
+    "mig6_homol_reimport" ->
+      s"""WITH filtered AS (
+         |  SELECT * FROM (${patchedLogSql})
+         |  WHERE string_split(e, ':')[1] = 'Protein'),
+         |state AS (${latestWinsSql("SELECT * FROM filtered")})
+         |SELECT e, count(*) AS n_datoms FROM state
+         |GROUP BY e ORDER BY e""".stripMargin
+  )
+
+  /** DuckDB latest-wins over a (ts,e,path,value,op) changelog subquery —
+    * textually mirrors [[latestWins]]. */
+  private def latestWinsSql(changelogSql: String): String =
+    s"""SELECT e, path, value FROM (
+       |  SELECT e, path, arg_max(value, ts) AS value,
+       |         arg_max(op, ts) AS last_op
+       |  FROM ($changelogSql) GROUP BY e, path)
+       |WHERE last_op = 'assert'""".stripMargin
+
+  /** DuckDB analogue of [[patchedLog]] built from the golden datom CSV
+    * (DuckDB can't parse .ace; the golden is mig1's verified parse). */
+  private def patchedLogSql: String =
+    s"""SELECT CASE WHEN src = 'base' THEN 0 ELSE 1 END AS ts, e, path,
+       |       value, op
+       |FROM read_csv('$FixturesDir/ace_datoms_golden.csv', header=true,
+       |              all_varchar=true)""".stripMargin
+}

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Det, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
 
 /** SURVEY.md §2.8: scalar function families — all Spark built-ins (codegen'd,
   * whole-stage-compiled; no UDFs in these paths).
@@ -108,7 +109,8 @@ object Funcs extends QueryModule {
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k_json"),
           element_at(
-            from_json(col("props"), "map<string,int>"), "k").as("k_map"))
+            from_json(col("props"), MapType(StringType, IntegerType)), "k")
+            .as("k_map"))
         .orderBy("event_id")),
 
     "func_hash" -> ((s, d) =>
@@ -181,7 +183,7 @@ object Funcs extends QueryModule {
     "func_array" ->
       """SELECT l_orderkey, l_linenumber,
         |  len(range(1, l_linenumber + 1)) AS arr_len,
-        |  list_sum(range(1, l_linenumber + 1)) AS arr_sum,
+        |  CAST(list_sum(range(1, l_linenumber + 1)) AS INT) AS arr_sum,
         |  array_to_string(list_transform(range(1, l_linenumber + 1), x -> x * 2), ',')
         |    AS doubled,
         |  list_contains(range(1, l_linenumber + 1), 3) AS has3

@@ -238,11 +238,14 @@ object Relational extends QueryModule {
     "agg7_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        // grouping() only resolves inside the grouping-sets agg itself
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
         .select(
-          when(grouping(col("l_returnflag")) === 1, lit("ALL"))
+          when(col("g_flag") === 1, lit("ALL"))
             .otherwise(col("l_returnflag")).as("flag"),
-          when(grouping(col("l_linestatus")) === 1, lit("ALL"))
+          when(col("g_status") === 1, lit("ALL"))
             .otherwise(col("l_linestatus")).as("status"),
           col("n"), col("sum_qty"))
         .orderBy("flag", "status")),
@@ -310,10 +313,11 @@ object Relational extends QueryModule {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"),
-          Det.dstr(col("o_orderdate")).as("odate"), col("o_totalprice"))
         .withColumn("running_spend",
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          Det.dstr(col("o_orderdate")).as("odate"), col("o_totalprice"),
+          col("running_spend"))
         .orderBy("o_custkey", "odate", "o_orderkey")
     }),
 

@@ -152,6 +152,7 @@ object Scans extends QueryModule {
     "scan3_ace_paragraphs" ->
       s"""SELECT string_split(e, ':')[1] AS cls, count(DISTINCT e) AS n_objects
          |FROM read_csv('$FixturesDir/ace_datoms_golden.csv', header=true, all_varchar=true)
+         |WHERE src = 'base'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "scan4_csv_quoted" ->

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Reads a graft.Verify output dir (per-query parquet + oracle_sql.json),
+runs each oracle SQL in DuckDB against the same parquet tables, and
+compares: schema (column names sorted), row count, and values (rows in
+the produced order, columns sorted by name — like the driver's hash).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style: exact doubles expected (Det protocol); repr keeps ulps
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            spark = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            results[name] = f"NO_SPARK_OUTPUT {e}"
+            continue
+        try:
+            duck = con.execute(sql).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR {type(e).__name__}: {e}"
+            continue
+        sc, dc = sorted(spark.columns), sorted(duck.columns)
+        if sc != dc:
+            results[name] = f"SCHEMA_MISMATCH spark={sc} duck={dc}"
+            continue
+        if len(spark) != len(duck):
+            results[name] = f"ROWCOUNT spark={len(spark)} duck={len(duck)}"
+            continue
+        s_rows = spark[sc].values.tolist()
+        d_rows = duck[sc].values.tolist()
+        bad = None
+        for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+            na, nb = [norm(x) for x in a], [norm(x) for x in b]
+            if na != nb:
+                bad = (i, na, nb)
+                break
+        results[name] = "OK" if bad is None else \
+            f"VALUE_MISMATCH row {bad[0]}: spark={bad[1]} duck={bad[2]}"
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    for name, v in results.items():
+        if v != "OK":
+            print(f"FAIL {name}: {v}")
+    print(f"\n{n_ok}/{len(results)} oracle-checked queries OK "
+          f"({len(results)} with oracle, of all queries)")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
