@@ -58,6 +58,32 @@ object LlmOps extends QueryModule {
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
+  /** Random-hyperplane sign bucket for cosine LSH: k planes of table
+    * `table`, weights derived from xxhash64(table, plane, dim) —
+    * deterministic (rand() is banned in declared queries). */
+  def planeSig(emb: Column, table: Int, k: Int): Column =
+    (0 until k).map { p =>
+      val dot = aggregate(zip_with(emb, sequence(lit(0), lit(63)),
+        (v, i) => v.cast("double") *
+          (xxhash64(lit(table), lit(p), i).cast("double") /
+            lit(Long.MaxValue.toDouble))),
+        lit(0.0), (a, v) => a + v)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Multi-table LSH index: (vec_id, table, bucket) — L independent tables
+    * of k sign-planes each. Union-of-tables probing keeps recall high at
+    * moderate cosine (p_match = 1-(1-p^k)^L): single-table sign LSH has
+    * near-zero recall when similarities sit around 0.3-0.5, which is what
+    * real embedding corpora look like. k scales with corpus size (bucket
+    * count 2^k), L buys recall — both O(1) columns, no extra shuffle. */
+  def lshIndex(emb: DataFrame, tables: Int = 8, k: Int = 3): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        planeSig(col("embedding"), t, k)): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     * k lanes, b bands of r rows; emits pairs with exact J >= threshold. */
   def minhashNearDupPairs(docs: DataFrame, threshold: Double,
@@ -93,7 +119,7 @@ object LlmOps extends QueryModule {
     * this operator is ScalaTest-verified (no SQL oracle), so a UDF is the
     * honest implementation; promote to a codegen Expression only if it ever
     * lands on a bench hot path. */
-  val simhash64 = udf { text: String =>
+  def simhashOf(text: String): Long = {
     val counts = new Array[Int](64)
     if (text != null) text.split(" ").foreach { t =>
       val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
@@ -108,6 +134,8 @@ object LlmOps extends QueryModule {
     while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
     out
   }
+
+  val simhash64 = udf(simhashOf _)
 
   // ---- declared queries --------------------------------------------------
 
@@ -164,33 +192,53 @@ object LlmOps extends QueryModule {
         .limit(20)
     }),
 
-    // LLM-3b ⚠: random-hyperplane LSH ANN (sign-bucket then exact re-rank
-    // within bucket) — approximate, rows-only + recall spec.
+    // LLM-3b ⚠: multi-table sign-LSH ANN — candidates = ids sharing any
+    // (table, bucket) with the query (semi-join against the broadcast query
+    // index), then exact cosine re-rank of candidates only. Approximate:
+    // rows-only + ApproxSpec recall floor.
     "llm3b_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      // 8 pseudo-random hyperplanes: plane p, dim i weight derived from
-      // xxhash64 — deterministic (rand() is banned in declared queries).
-      def planeSig(emb: Column): Column =
-        (0 until 8).map { p =>
-          val dot = aggregate(zip_with(emb, sequence(lit(0), lit(63)),
-            (v, i) => v.cast("double") *
-              (xxhash64(lit(p), i).cast("double") / lit(Long.MaxValue.toDouble))),
-            lit(0.0), (a, v) => a + v)
-          when(dot > 0, lit(1 << p)).otherwise(lit(0))
-        }.reduce(_ + _)
-      val sig = e.select(col("vec_id"), col("embedding"),
-        planeSig(col("embedding")).as("bucket"))
-      val q = sig.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"), col("bucket"))
-      sig.filter(col("vec_id") =!= 0)
-        .join(broadcast(q), "bucket")
+      val sig = lshIndex(e)
+      val qIdx = sig.filter(col("vec_id") === 0).select("table", "bucket")
+      val qEmb = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val candIds = sig.filter(col("vec_id") =!= 0)
+        .join(broadcast(qIdx), Seq("table", "bucket"), "left_semi")
+        .select("vec_id").distinct()
+      e.join(candIds, "vec_id")
+        .crossJoin(broadcast(qEmb))
         .select(col("vec_id"),
           round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(20)
     }),
 
-    // LLM-3c: embedding near-dup — all-pairs top-20 most similar pairs
+    // LLM-3d ⚠: bucketed pairwise LSH — the scale path for llm3c's
+    // semantics. Each vector hashes to a sign-bucket (8 random hyperplanes);
+    // candidate pairs form only within a bucket (equi-join on bucket, AQE
+    // splits skew), then exact cosine re-ranks. Approximate (rows-only);
+    // LshSpec measures recall vs the exact llm3c baseline.
+    "llm3d_embed_pairs_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val sig = lshIndex(e)
+      val a = sig.select(col("table"), col("bucket"), col("vec_id").as("a_id"))
+      val b = sig.select(col("table"), col("bucket"), col("vec_id").as("b_id"))
+      // candidate ids only cross the bucket join; embeddings re-attach by id
+      val pairs = a.join(b, Seq("table", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      pairs.join(ea, "a_id").join(eb, "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(cosine(col("a_emb"), col("b_emb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    }),
+
+    // LLM-3c: embedding near-dup — all-pairs top-20 most similar pairs.
+    // O(n²) EXACT BASELINE: declared for oracle parity at small sf only;
+    // llm3d above is the bucketed path that survives scale.
     "llm3c_embed_pairs_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
@@ -229,7 +277,10 @@ object LlmOps extends QueryModule {
       val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = terms.select("doc_id", "token").distinct()
         .groupBy("token").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "token")
+      // plain shuffle join: the token→df table scales with vocabulary (can
+      // be billions of terms at 100 TB) — never force-broadcast it; AQE
+      // broadcasts at runtime when it is actually small (VERDICT r02 #9).
+      tf.join(df, "token")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), col("token"),
           round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6)

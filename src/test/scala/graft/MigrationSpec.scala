@@ -1,0 +1,122 @@
+package graft
+
+import graft.migration.MigrationOps
+import graft.migration.MigrationOps.{AceDatom, LatestWinsAgg, LwBuf, LwIn, Step}
+
+/** Unit + property coverage for the migration domain core. The DuckDB
+  * oracle covers the declared queries end-to-end; these specs pin the parts
+  * the oracle can't see: parser edge cases, the resume invariant, the
+  * markdown golden, and checkpoint/resume behavior. Property tests use
+  * seeded random sampling (deterministic across runs). */
+class MigrationSpec extends SparkSpec {
+
+  // ---- .ace paragraph parser (UDF-1) ----
+
+  test("parser: header + tag lines -> datoms") {
+    val p = "Gene : \"WBGene1\"\nCGC_name \"abc-1\"\nRNASeq FPKM \"3.5\""
+    assert(MigrationOps.parseAceParagraph(p) === Seq(
+      AceDatom("Gene:WBGene1", "CGC_name", "abc-1", "assert"),
+      AceDatom("Gene:WBGene1", "RNASeq.FPKM", "3.5", "assert")))
+  }
+
+  test("parser: -D prefix marks retraction") {
+    val p = "Gene : \"G\"\n-D CGC_name \"old\""
+    assert(MigrationOps.parseAceParagraph(p) ===
+      Seq(AceDatom("Gene:G", "CGC_name", "old", "retract")))
+  }
+
+  test("parser: malformed lines skipped, not fatal") {
+    val p = "Gene : \"G\"\nno quoted value here\nTag \"ok\""
+    assert(MigrationOps.parseAceParagraph(p) ===
+      Seq(AceDatom("Gene:G", "Tag", "ok", "assert")))
+  }
+
+  test("parser: paragraph without a valid header yields no datoms") {
+    assert(MigrationOps.parseAceParagraph("junk\nTag \"v\"") === Seq.empty)
+    assert(MigrationOps.parseAceParagraph("") === Seq.empty)
+  }
+
+  test("parser: empty value and multi-token paths") {
+    val p = "CDS : \"c1\"\nA B C \"\""
+    assert(MigrationOps.parseAceParagraph(p) ===
+      Seq(AceDatom("CDS:c1", "A.B.C", "", "assert")))
+  }
+
+  // ---- latest-wins resume invariant (the reference's checkpoint/restart
+  // correctness condition: replaying a prefix then the rest == replaying
+  // the whole log). Holds because the Aggregator's merge is associative +
+  // commutative and reduce agrees with merge. ----
+
+  private def applyAll(b: LwBuf, ins: Seq[LwIn]): LwBuf =
+    ins.foldLeft(b)(LatestWinsAgg.reduce)
+
+  private def randomLog(rnd: scala.util.Random, n: Int): Seq[LwIn] =
+    rnd.shuffle((0 until n).toList).map { ts =>   // distinct ts by design
+      LwIn(rnd.alphanumeric.take(5).mkString,
+        if (rnd.nextBoolean()) "assert" else "retract", ts.toLong)
+    }
+
+  test("latest-wins: split replay == whole replay (resume invariant)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val log = randomLog(rnd, rnd.nextInt(30))
+      val k = if (log.isEmpty) 0 else rnd.nextInt(log.size + 1)
+      val (prefix, rest) = log.splitAt(k)
+      val whole = applyAll(LatestWinsAgg.zero, log)
+      val resumed = applyAll(applyAll(LatestWinsAgg.zero, prefix), rest)
+      assert(whole === resumed)
+    }
+  }
+
+  test("latest-wins: merge is commutative and order-insensitive") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val log = randomLog(rnd, 1 + rnd.nextInt(20))
+      val shuffled = rnd.shuffle(log.toList)
+      assert(applyAll(LatestWinsAgg.zero, log) ===
+        applyAll(LatestWinsAgg.zero, shuffled))
+      val (a, b) = log.splitAt(rnd.nextInt(log.size + 1))
+      val ba = applyAll(LatestWinsAgg.zero, a)
+      val bb = applyAll(LatestWinsAgg.zero, b)
+      assert(LatestWinsAgg.merge(ba, bb) === LatestWinsAgg.merge(bb, ba))
+    }
+  }
+
+  // ---- markdown report golden (util.py:74-99 semantics) ----
+
+  test("markdown report: golden render of the QA report") {
+    val lines = MigrationOps.markdownReport(MigrationOps.qaReport(spark))
+      .collect().map(_.getString(1))
+    assert(lines === Array(
+      "| class_name | n_ref | n_db | n_diff |",
+      "| ---------- | ----- | ---- | ------ |",
+      "|  Variation |     5 |    0 |     -5 |",
+      "|       Gene |     3 |    2 |     -1 |",
+      "|    Protein |     3 |    3 |      0 |",
+      "|        CDS |     2 |    2 |      0 |"))
+  }
+
+  // ---- checkpoint/resume runner (runcommand.py:389-409 semantics) ----
+
+  test("pipeline runner: completed steps skip on resume; failed step retries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val runner = new MigrationOps.PipelineRunner(dir)
+    var fail = true
+    var step2Runs = 0
+    val steps = Seq(
+      Step("ok-step", _ => ()),
+      Step("flaky-step", _ => {
+        step2Runs += 1
+        if (fail) sys.error("transient failure")
+      }))
+    // first run: step 1 completes, step 2 throws -> no marker written
+    intercept[RuntimeException](runner.run(spark, steps))
+    fail = false
+    // resume: step 1 skipped, step 2 re-runs and completes
+    val second = runner.run(spark, steps)
+    assert(second === Seq((0, "ok-step", "skipped"), (1, "flaky-step", "ran")))
+    assert(step2Runs === 2)
+    // idempotent third run: everything skips
+    assert(runner.run(spark, steps).forall(_._3 == "skipped"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan assertions: the optimizations the 100 TB posture depends
+  * on must be visible in the executed plan, not just intended. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan1: filter pushed to parquet + columns pruned") {
+    val p = planOf("scan1_parquet")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_quantity,45"),
+      s"expected l_quantity>=45 pushed to the scan:\n$p")
+    val readSchema = p.linesIterator.mkString
+    assert(readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_extendedprice"),
+      "scan must read only the projected columns")
+  }
+
+  test("win1: global top-k compiles to TakeOrderedAndProject, not full sort") {
+    val p = planOf("win1_row_number")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$p")
+  }
+
+  test("sort4: distributed range partitioning, no single-task collapse") {
+    val p = planOf("sort4_partition_local")
+    assert(p.contains("rangepartitioning"),
+      s"expected a range-partitioned exchange in:\n$p")
+    assert(!p.contains("Coalesce 1"), "must not collapse to one partition")
+  }
+
+  test("sort5: top-k never materializes a full sort") {
+    val p = planOf("sort5_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("join6: dimension joins broadcast the small side") {
+    val p = planOf("join6_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("llm5: document-frequency join is NOT force-broadcast") {
+    val df = SparkEntry.queries("llm5_tfidf")(spark, Sf0001)
+    val logical = df.queryExecution.optimizedPlan.toString
+    // the fix for VERDICT r02 #9: no planner hint pinning the df side into
+    // executor memory; AQE may still choose broadcast at runtime when small
+    assert(!logical.contains("ResolvedHint"),
+      s"no broadcast hint expected on the tf-idf join:\n$logical")
+  }
+
+  test("window queries over raw tables: no single-partition exchange") {
+    // (win1/strm4/mig7 windows run over pre-limited/pre-aggregated tiny
+    // frames by design; these are the raw-scan paths that must scale)
+    for (name <- Seq("win2_rank", "win4_running_sum", "win5_sliding_avg",
+      "strm6_upsert_latest")) {
+      val p = planOf(name)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name must not move the raw table into one task:\n$p")
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** events-shaped record; ts in NANOS like the parquet table. Top-level so
+  * Spark can derive an Encoder without an outer-instance scope. */
+case class Ev(event_id: Long, user_id: Long, event_type: String,
+              value: Double, ts: Long)
+
+/** True incremental-execution coverage: MemoryStream → shared StreamOps
+  * transforms → writeStream, with watermarks. This is what makes the
+  * batch-replay STRM queries honest — the same functions run here as real
+  * streams with state eviction and late-data drop. */
+class StructuredStreamingSpec extends SparkSpec {
+
+  private def nanosAt(minutes: Long): Long = minutes * 60L * 1000000000L
+
+  test("tumbling agg stream: watermark drops late rows, emits closed windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamOps.tumblingAggStream(
+      StreamOps.withEventTs(input.toDF()), "1 hour")
+    val q = agg.writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("append").start()
+    try {
+      // batch 1: two rows in the 600-610min window, one at 720min that
+      // advances the watermark to 660min after the batch
+      input.addData(
+        Ev(1, 1, "click", 1.0, nanosAt(600)),
+        Ev(2, 1, "click", 2.0, nanosAt(605)),
+        Ev(3, 2, "view", 3.0, nanosAt(720)))
+      q.processAllAvailable()
+      // batch 2: a row at 570min — behind the 660min watermark, its window
+      // (570-580) is closed -> DROPPED, must not resurrect the window;
+      // a row at 840min advances the watermark to 780min, closing 600+720
+      input.addData(
+        Ev(4, 1, "click", 99.0, nanosAt(570)),
+        Ev(5, 2, "view", 4.0, nanosAt(840)))
+      q.processAllAvailable()
+      val rows = s.table("tumbling_t")
+        .select("ws_us", "event_type", "n", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // emitted: the 600min window (n=2 — late row 4 NOT counted) and the
+      // 720min window; the 570min window never appears; 840min still open
+      assert(rows === Set(
+        (nanosAt(600) / 1000, "click", 2L, 3.0),
+        (nanosAt(720) / 1000, "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedup stream: duplicate ids within watermark collapse to one") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val deduped = StreamOps.dedupByIdStream(
+      StreamOps.withEventTs(input.toDF()), "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, 1, "click", 1.0, nanosAt(600)))
+      q.processAllAvailable()
+      // same event_id redelivered (at-least-once), plus a new one
+      input.addData(Ev(1, 1, "click", 1.0, nanosAt(601)),
+        Ev(2, 1, "view", 2.0, nanosAt(602)))
+      q.processAllAvailable()
+      val ids = s.table("dedup_t").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids === Array(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert stream == batch latest-wins on the same events") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val stateDir = s"$tmp/state"
+    val ckDir = s"$tmp/ck"
+    val all = Seq(
+      Ev(1, 1, "click", 1.0, nanosAt(600)),
+      Ev(2, 1, "purchase", 9.0, nanosAt(650)),   // user 1 latest
+      Ev(3, 2, "view", 2.0, nanosAt(640)),
+      Ev(4, 2, "view", 3.0, nanosAt(620)),       // older than 3
+      Ev(5, 3, "signup", 0.0, nanosAt(700)))
+    val input = MemoryStream[Ev]
+    input.addData(all.take(2): _*)
+    StreamOps.runUpsertStream(s, input.toDF(), stateDir, ckDir)
+    input.addData(all.drop(2): _*)
+    StreamOps.runUpsertStream(s, input.toDF(), stateDir, ckDir)
+
+    val streamed = s.read.parquet(stateDir)
+      .select("user_id", "last_type", "last_value", "last_us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val batch = StreamOps.latestByUser(all.toDF())
+      .select("user_id", "last_type", "last_value", "last_us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed === Set(
+      (1L, "purchase", 9.0, nanosAt(650) / 1000),
+      (2L, "view", 2.0, nanosAt(640) / 1000),
+      (3L, "signup", 0.0, nanosAt(700) / 1000)))
+  }
+}
