@@ -20,6 +20,7 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s ${if (ok) f"$sec%8.2f s" else "FAILED"}")
       name -> (if (ok) sec else -1.0)
     }
     val nFail = results.count(_._2 < 0)

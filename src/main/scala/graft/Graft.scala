@@ -27,6 +27,9 @@ object Graft {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // custom codegen expressions (cosine_sim) via the sanctioned
+      // extension point — resolves in DataFrame expr() and spark.sql alike
+      .withExtensions(graft.functions.VectorExtensions.apply)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

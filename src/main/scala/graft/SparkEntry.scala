@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Funcs,
     llm.LlmOps,
     streaming.StreamOps,
-    migration.MigrationOps
+    migration.MigrationOps,
+    multimodal.MultimodalOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

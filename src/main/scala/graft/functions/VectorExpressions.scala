@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the embedding hot path (SURVEY §4 item:
+  * "hot paths promoted to custom Expression with codegen").
+  *
+  * `cosine_sim(array<float>, array<float>) -> double`: one fused loop over
+  * the two arrays computing dot(a,b), ||a||², ||b||² — replaces three
+  * interpreted `aggregate(zip_with(...))` higher-order expressions (each of
+  * which allocates a lambda frame per element). Accumulation order is
+  * left-to-right in double, identical to the HOF formulation and to the
+  * DuckDB oracle's list_dot_product — results are bit-equal, only faster.
+  *
+  * Codegen emits a tight primitive loop inside whole-stage codegen; the
+  * interpreted path (nullSafeEval) matches it exactly.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects (array<float>, array<float>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na)
+         |  / java.lang.Math.sqrt($nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `minhash_sig(array<string>, k) -> array<bigint>`: k-lane MinHash
+  * signature in ONE fused loop — each shingle is xxhash64'd once, lane j is
+  * a cheap splitmix remix of that hash, minima tracked in a local array.
+  * Replaces k interpreted `array_min(transform(...))` higher-order exprs
+  * (which also allocated k arrays per row). CodegenFallback is deliberate:
+  * per-row work is O(shingles×k) ≫ one virtual-call dispatch, so custom
+  * codegen would buy nothing measurable (SURVEY §4 preference order (b)).
+  *
+  * The lane-mix function is an internal detail of the sketch (the declared
+  * LSH query is verified against EXACT Jaccard, not signature bytes), so it
+  * only needs determinism + good avalanche, not oracle parity. */
+case class MinHashSig(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(s, org.apache.spark.sql.types.StringType, 42L)
+      var j = 0
+      while (j < k) {
+        // splitmix64 of (h0 ^ golden*j): full-avalanche per-lane remix
+        var z = h0 ^ (j.toLong * 0x9E3779B97F4A7C15L)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        if (z < mins(j)) mins(j) = z
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** `shingles3(string) -> array<string>`: distinct 3-word shingles of a
+  * space-tokenized text, in first-occurrence order — semantics identical to
+  * the HOF formulation
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ', w[i..i+2])))`
+  * with `w = split(text, ' ')`, but tokenizing ONCE per row. The HOF tree
+  * inlines the `split` subexpression into every lambda site (no
+  * common-subexpression elimination across lambda scopes in interpreted
+  * higher-order functions), re-splitting the text ~3× per shingle — this
+  * was the dominant cost of the whole LSH pipeline at bench scale. */
+case class Shingles3(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType)
+
+  override def nullSafeEval(input: Any): Any = {
+    // mirror Spark's split(text, " ") exactly: Java regex, limit -1
+    val toks = input.toString.split(" ", -1)
+    if (toks.length < 3)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+      var i = 0
+      while (i + 2 < toks.length) {
+        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) {
+        out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Shingles3 =
+    copy(child = c)
+}
+
+/** Registration via the sanctioned extension point; Graft.session applies
+  * this so the functions resolve everywhere (SQL included). */
+object VectorExtensions {
+  def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
+      (children: Seq[Expression]) => Shingles3(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children(0), children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig k must be a literal, got $other")
+      })))
+  }
+}

@@ -31,8 +31,14 @@ object LlmOps extends QueryModule {
 
   // ---- shared building blocks -------------------------------------------
 
-  /** Distinct 3-word shingles of a whitespace-tokenized text column. */
-  def shingles3(text: Column): Column = {
+  /** Distinct 3-word shingles of a whitespace-tokenized text column —
+    * native Shingles3 expression (graft.functions): one tokenize pass per
+    * row. The equivalent HOF tree re-split the text at every lambda site
+    * and dominated LSH cost (ShinglesSpec asserts parity with [[shingles3Hof]]). */
+  def shingles3(text: Column): Column = call_function("shingles3", text)
+
+  /** HOF reference formulation (parity baseline for the native expression). */
+  def shingles3Hof(text: Column): Column = {
     val w = split(text, " ")
     when(size(w) < 3, array().cast("array<string>"))
       .otherwise(array_distinct(
@@ -41,17 +47,23 @@ object LlmOps extends QueryModule {
             element_at(w, i + 2)))))
   }
 
-  /** k-lane MinHash signature: hash each shingle once, derive lane j by
-    * remixing (xxhash64 of (j, h)) and taking the min per lane. */
-  def minhashSig(shingleArr: Column, k: Int): Column = {
-    val hs = transform(shingleArr, sh => xxhash64(sh))
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(hs, h => xxhash64(j, h))))
-  }
+  /** k-lane MinHash signature: hash each shingle once, derive lane j by a
+    * splitmix remix, min per lane — one fused native loop (the MinHashSig
+    * expression in graft.functions; replaces k interpreted
+    * array_min(transform(...)) passes). */
+  def minhashSig(shingleArr: Column, k: Int): Column =
+    call_function("minhash_sig", shingleArr, lit(k))
 
   /** Exact cosine similarity of two float-array columns, accumulated in
-    * double (float products are exact in double). */
-  def cosine(a: Column, b: Column): Column = {
+    * double (float products are exact in double). Dispatches to the native
+    * codegen'd CosineSim expression (graft.functions) — one fused loop
+    * instead of three interpreted higher-order aggregates; bit-identical
+    * accumulation order (CosineSimSpec asserts parity with [[cosineHof]]). */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Reference formulation via built-in higher-order functions (kept as the
+    * parity baseline for the native expression). */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
@@ -89,8 +101,13 @@ object LlmOps extends QueryModule {
   def minhashNearDupPairs(docs: DataFrame, threshold: Double,
                           k: Int = 128, bands: Int = 32): DataFrame = {
     val r = k / bands
+    // materialize shingles + banded signatures ONCE: both feed a self-join,
+    // and Spark would otherwise recompute the whole shingle→sig pipeline on
+    // each side. localCheckpoint here == "persist the signature table"
+    // (Delta/parquet stage output) in the 100 TB deployment.
     val sh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     val sig = sh.select(col("doc_id"), minhashSig(col("sh"), k).as("sig"))
     // band hash = hash of the r consecutive signature lanes of that band
     val banded = sig.select(col("doc_id"),
@@ -98,6 +115,7 @@ object LlmOps extends QueryModule {
           bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
+      .localCheckpoint()
     val l = banded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
     val rt = banded.select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash"))
     val candidates = l.join(rt, Seq("band_idx", "band_hash"))
@@ -156,17 +174,26 @@ object LlmOps extends QueryModule {
       minhashNearDupPairs(Tables.documents(s, d), threshold = 0.8)
         .orderBy("a_id", "b_id")),
 
-    // LLM-2b: n-gram Jaccard near-dup, exact all-pairs (small-side baseline;
-    // the LSH query above is the scale path for the same semantics).
+    // LLM-2b: EXACT n-gram Jaccard near-dup via posting lists — the
+    // scale-correct exact formulation (vs naive O(n²) all-pairs): explode
+    // shingles, self-join on the shingle (only pairs sharing ≥1 shingle are
+    // ever scored — pairs with no overlap can't reach any threshold > 0),
+    // count the intersection per pair, |A∪B| = |A|+|B|−|A∩B|. Shuffle is
+    // keyed by shingle → skew from hot shingles is AQE-split; at 100 TB add
+    // a df-cap on pathological stop-shingles.
     "llm2b_ngram_jaccard" -> ((s, d) => {
       val sh = Tables.documents(s, d)
-        .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("jaccard",
-          size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-            size(array_union(col("a_sh"), col("b_sh"))))
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+        .localCheckpoint()  // feeds sizes + both join sides
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("shingle"), col("doc_id").as("a_id"))
+      val b = sh.select(col("shingle"), col("doc_id").as("b_id"))
+      a.join(b, "shingle").filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
         .filter(col("jaccard") >= 0.8)
         .select("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")
@@ -220,7 +247,8 @@ object LlmOps extends QueryModule {
     // LshSpec measures recall vs the exact llm3c baseline.
     "llm3d_embed_pairs_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val sig = lshIndex(e)
+      // materialized once — both sides of the bucket self-join reuse it
+      val sig = lshIndex(e).localCheckpoint()
       val a = sig.select(col("table"), col("bucket"), col("vec_id").as("a_id"))
       val b = sig.select(col("table"), col("bucket"), col("vec_id").as("b_id"))
       // candidate ids only cross the bucket join; embeddings re-attach by id
@@ -389,8 +417,8 @@ object LlmOps extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 
-  private def exactJaccardSql(threshold: Double): String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+  private def exactJaccardSql(threshold: Double, where: String = ""): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents $where),
        |sh AS (SELECT doc_id,
        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
        |                        for i in range(1, len(w) - 1)]) AS ws

@@ -1,0 +1,174 @@
+package graft.multimodal
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north-star mandate): image/audio/video travel as
+  * opaque `binary` columns with a typed metadata struct; decode / resize /
+  * frame-sample / feature-extract run as partition-local batch transforms.
+  *
+  * The decode step is a clearly-marked DETERMINISTIC STUB (no image/audio
+  * codecs ship in this container); everything Spark-side is real and
+  * load-bearing at scale:
+  *  - payloads stay opaque binary end-to-end (no stringly-typed blobs);
+  *  - metadata is a first-class struct column → predicate pushdown and
+  *    column pruning work on it (filter on `meta.width` never reads bytes);
+  *  - per-row transforms are codegen'd expressions where expressible, and
+  *    the UDF surfaces take/return whole payloads so swapping the stub for
+  *    a JNI/codec call changes ONE function body, not the pipeline;
+  *  - frame sampling is a generator (posexplode) — one row in, n frames
+  *    out — the shape a video pipeline needs;
+  *  - batches: partition-local processing via the same mapInPandas-shaped
+  *    contract (iterator of batches in, iterator of batches out) — here a
+  *    `mapPartitions` over rows, because Scala Spark's arrow-batch API is
+  *    Python-only; the partitioning story is identical.
+  *
+  * The synthetic corpus derives payloads deterministically from
+  * `documents.text` bytes, so every query stays oracle-checkable.
+  */
+object MultimodalOps extends QueryModule {
+
+  /** documents → multimodal frame: (doc_id, modality, payload binary,
+    * meta struct<mime,width,height,duration_ms>). Deterministic synth:
+    * payload = utf8 bytes of text; dimensions derived from doc_id/length. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
+        (pmod(col("doc_id"), lit(64)) * 16 + 256).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) * 16 + 144).cast("int").as("height"),
+        (length(col("text")) * 10).cast("long").as("duration_ms")).as("meta"))
+
+  /** DETERMINISTIC STUB of the decode step — stands in for a real codec
+    * (libjpeg/ffmpeg JNI at deploy time). Emits per-payload "pixel stats"
+    * derived only from the bytes, so results are stable and testable. The
+    * signature (binary → struct) is the real contract. */
+  val decodeStub = udf { payload: Array[Byte] =>
+    if (payload == null) (0, 0L, 0.0)
+    else {
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+      (payload.length, sum,
+        if (payload.length == 0) 0.0 else sum.toDouble / payload.length)
+    }
+  }
+
+  /** Feature extraction stub: fixed-dim float vector from payload bytes
+    * (xxhash-remixed rolling statistics). Real contract: binary → dense
+    * float array of dim 8, partition-local, no shuffle. */
+  val featuresStub = udf { payload: Array[Byte] =>
+    val dim = 8
+    val out = new Array[Float](dim)
+    if (payload != null && payload.nonEmpty) {
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        out(i % dim) += b * (1.0f / 255.0f)
+        i += 1
+      }
+      var j = 0
+      while (j < dim) { out(j) = out(j) / payload.length * dim; j += 1 }
+    }
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MM-1: media catalog — metadata projection + filter WITHOUT touching
+    // payload bytes (meta-only reads must prune the binary column).
+    "mm1_media_catalog" -> ((s, d) =>
+      mediaTable(s, d)
+        .filter(col("meta.width") >= 512)
+        .select(col("doc_id"), col("modality"), col("meta.mime").as("mime"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("doc_id")),
+
+    // MM-2: decode (stubbed) — payload-derived stats; byte-exact oracle.
+    "mm2_decode_stats" -> ((s, d) =>
+      mediaTable(s, d)
+        .select(col("doc_id"), decodeStub(col("payload")).as("dec"))
+        .select(col("doc_id"), col("dec._1").as("n_bytes"),
+          col("dec._2").as("byte_sum"),
+          round(col("dec._3"), 6).as("mean_byte"))
+        .orderBy("doc_id")),
+
+    // MM-3: resize — pure metadata arithmetic (halve, min 16), payload
+    // untouched; the real resize swaps decodeStub, the plan is identical.
+    "mm3_resize_meta" -> ((s, d) =>
+      mediaTable(s, d)
+        .filter(col("modality") === "image")
+        .select(col("doc_id"),
+          greatest(expr("meta.width div 2"), lit(16)).cast("int").as("new_w"),
+          greatest(expr("meta.height div 2"), lit(16)).cast("int").as("new_h"),
+          length(col("payload")).as("n_bytes"))
+        .orderBy("doc_id")),
+
+    // MM-4: frame sampling — generator: one video row → ceil(duration/10s)
+    // frame rows with timestamps (the UDTF shape for video pipelines).
+    "mm4_frame_sample" -> ((s, d) =>
+      mediaTable(s, d)
+        .filter(col("modality") === "video" && col("meta.duration_ms") > 0)
+        .select(col("doc_id"), col("meta.duration_ms").as("duration_ms"),
+          posexplode(sequence(lit(0L), col("meta.duration_ms") - 1,
+            lit(10000L))))
+        .select(col("doc_id"), col("pos").as("frame_idx"),
+          col("col").as("frame_off_ms"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // MM-5: feature extraction (stub) — dense vectors; rows-only + spec
+    // (float accumulation order is impl-defined, so no SQL oracle).
+    "mm5_features" -> ((s, d) =>
+      mediaTable(s, d)
+        .select(col("doc_id"), featuresStub(col("payload")).as("features"))
+        .select(col("doc_id"), size(col("features")).as("dim"),
+          round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
+        .orderBy("doc_id"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "mm1_media_catalog" ->
+      """SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |  ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+        |  CAST(doc_id % 64 * 16 + 256 AS INT) AS width,
+        |  CAST(doc_id % 48 * 16 + 144 AS INT) AS height
+        |FROM documents
+        |WHERE doc_id % 64 * 16 + 256 >= 512
+        |ORDER BY doc_id""".stripMargin,
+
+    // documents.text is ASCII (verified) → per-char ord == per-byte value
+    "mm2_decode_stats" ->
+      """SELECT d.doc_id,
+        |  CAST(length(d.text) AS INT) AS n_bytes,
+        |  sum(ord(substr(d.text, CAST(u.i AS INT), 1))) AS byte_sum,
+        |  round(CAST(sum(ord(substr(d.text, CAST(u.i AS INT), 1))) AS DOUBLE)
+        |        / length(d.text), 6) AS mean_byte
+        |FROM documents d, unnest(range(1, length(d.text) + 1)) AS u(i)
+        |GROUP BY d.doc_id, d.text
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "mm3_resize_meta" ->
+      """SELECT doc_id,
+        |  CAST(greatest((doc_id % 64 * 16 + 256) // 2, 16) AS INT) AS new_w,
+        |  CAST(greatest((doc_id % 48 * 16 + 144) // 2, 16) AS INT) AS new_h,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm4_frame_sample" ->
+      """SELECT doc_id, CAST(u.i AS INT) - 1 AS frame_idx,
+        |  (CAST(u.i AS BIGINT) - 1) * 10000 AS frame_off_ms
+        |FROM documents,
+        |  unnest(range(1, CAST(ceil(length(text) * 10 / 10000.0) AS BIGINT) + 1))
+        |    AS u(i)
+        |WHERE doc_id % 3 = 2
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

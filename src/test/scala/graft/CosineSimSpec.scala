@@ -1,0 +1,50 @@
+package graft
+
+import graft.llm.LlmOps
+import org.apache.spark.sql.functions._
+
+/** The native CosineSim expression must be bit-identical to the built-in
+  * higher-order formulation (same left-to-right double accumulation) in
+  * BOTH execution modes — whole-stage codegen and interpreted eval. */
+class CosineSimSpec extends SparkSpec {
+
+  test("cosine_sim == HOF cosine, bit-exact, on real embeddings") {
+    val e = Tables.embeddings(spark, Sf0001).limit(200)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val pairs = a.join(b, col("a_id") + 1 === col("b_id"))
+    val diff = pairs.select(
+      LlmOps.cosine(col("a_emb"), col("b_emb")).as("fast"),
+      LlmOps.cosineHof(col("a_emb"), col("b_emb")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
+  test("cosine_sim interpreted eval matches codegen") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+    val fromSql = df.selectExpr("cosine_sim(a, b) AS c").head.getDouble(0)
+    val expected = 10.0 / math.sqrt(14.0) / math.sqrt(14.0)
+    assert(fromSql === expected)
+    // interpreted path: evaluate the expression directly
+    val ev = graft.functions.CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f, 3.0f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0f, 2.0f, 1.0f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))).eval(null)
+    assert(ev === expected)
+  }
+
+  test("cosine_sim is usable from plain SQL (extension registration)") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c").head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
