@@ -172,6 +172,36 @@ case class Shingles3(child: Expression)
     copy(child = c)
 }
 
+/** `rolling_hash64(string) -> bigint`: polynomial rolling fingerprint over
+  * space-separated tokens — h = Σ xx64(tok_i)·31^(n-1-i) in wrapping 64-bit
+  * arithmetic (Horner's rule). Token-order-sensitive (unlike a bag-of-words
+  * hash), so reorderings fingerprint differently; a native expression
+  * because wrapping multiply is an ANSI-mode overflow error in SQL
+  * arithmetic. Deterministic; FingerprintSpec pins the contract. */
+case class RollingHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(" ", -1)
+    var h = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))
+      val th = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(t, org.apache.spark.sql.types.StringType, 42L)
+      h = h * 31L + th
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingHash64 =
+    copy(child = c)
+}
+
 /** Registration via the sanctioned extension point; Graft.session applies
   * this so the functions resolve everywhere (SQL included). */
 object VectorExtensions {
@@ -184,6 +214,10 @@ object VectorExtensions {
       new FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (children: Seq[Expression]) => Shingles3(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+      (children: Seq[Expression]) => RollingHash64(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

@@ -331,6 +331,15 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // LLM-8: document fingerprinting — order-sensitive rolling hash
+    // (rolling_hash64 native expression; rows-only + FingerprintSpec).
+    // Exact-dedup on fingerprints == exact-dedup on token sequences.
+    "llm8_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          call_function("rolling_hash64", col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
     // language-ID by marker-token counting (deterministic heuristic; the
     // replace-count trick keeps it exactly SQL-expressible)
     "llm7_langid" -> ((s, d) => {

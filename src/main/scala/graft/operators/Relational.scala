@@ -292,6 +292,24 @@ object Relational extends QueryModule {
       top.withColumn("rn", row_number().over(w)).orderBy("rn")
     }),
 
+    // AGG-11: salted two-phase aggregation — the skew-mitigation pattern for
+    // hot grouping keys at 100 TB (a single hot key otherwise lands all its
+    // rows in one reducer). Phase 1 groups on (key, salt) — partial sums
+    // spread across 16 reducers per key; phase 2 re-groups on key alone over
+    // the tiny partial-sum table. Decimal partials keep the result exactly
+    // equal to the unsalted plan (associativity), so the plain-SQL oracle
+    // hash-matches.
+    "agg11_salted_skew" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("part_qty"),
+          count(lit(1)).as("part_n"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("part_qty")).cast("double").as("sum_qty"),
+          sum(col("part_n")).as("n"))
+        .orderBy("l_returnflag")),
+
     "win2_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc)
       Tables.orders(s, d)
@@ -567,6 +585,11 @@ object Relational extends QueryModule {
         |  quantile_cont(l_quantity, 0.5)  AS p50,
         |  quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg11_salted_skew" ->
+      s"""SELECT l_returnflag, ${Det.dsumSql("l_quantity")} AS sum_qty,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "win1_row_number" ->
       """SELECT c_custkey, c_acctbal,

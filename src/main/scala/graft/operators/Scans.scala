@@ -135,6 +135,31 @@ object Scans extends QueryModule {
       val out = s"file://$SinkDir/sink5_uri"
       Tables.region(s, d).write.mode("overwrite").parquet(out)
       s.read.parquet(out).select("r_regionkey", "r_name").orderBy("r_regionkey")
+    }),
+
+    // SINK-6/SCAN-7: ORC round-trip — the second columnar format; predicate
+    // pushdown + pruning apply to the ORC read exactly as to parquet.
+    "sink6_orc" -> ((s, d) => {
+      val out = s"$SinkDir/sink6_orc"
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("o_totalprice") > 100000)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // SINK-7: JSON-lines round-trip with explicit read schema (schemaless
+    // text interchange; no inferSchema pass).
+    "sink7_jsonl" -> ((s, d) => {
+      val out = s"$SinkDir/sink7_jsonl"
+      Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(out)
+        .orderBy("n_nationkey")
     })
   )
 
@@ -186,6 +211,15 @@ object Scans extends QueryModule {
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
 
     "sink5_uri" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "sink6_orc" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_totalprice > 100000 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sink7_jsonl" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS INT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin
   )
 }

@@ -117,6 +117,38 @@ object StreamOps extends QueryModule {
     q.stop()
   }
 
+  /** Typed input/state/output for the custom-state operator below. */
+  case class UserEvent(user_id: Long, event_id: Long, ts_us: Long)
+  case class UserState(n: Long, last_us: Long)
+  case class UserCounts(user_id: Long, n: Long, last_us: Long)
+
+  /** STRM-5/SURVEY §2.9 custom state: running per-user event counts via
+    * `flatMapGroupsWithState` — arbitrary per-key state the built-in
+    * windowed aggs can't express (the KeyValueGroupedDataset path the
+    * north-star brief names). State is one small struct per user; at 100 TB
+    * stream rates bound it with a timeout (NoTimeout here — the spec
+    * drives finite input; production sets EventTimeTimeout + watermark). */
+  def userRunningCounts(ev: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserCounts] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserCounts](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent],
+         state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.n
+          var last = prev.last_us
+          rows.foreach { r =>
+            n += 1
+            if (r.ts_us > last) last = r.ts_us
+          }
+          state.update(UserState(n, last))
+          Iterator(UserCounts(uid, n, last))
+      }
+  }
+
   /** Latest event per user within a frame (shared by batch strm6 + the
     * foreachBatch upsert). */
   def latestByUser(ev: DataFrame): DataFrame = {

@@ -75,6 +75,28 @@ class StructuredStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: running user counts accumulate across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[StreamOps.UserEvent]
+    val counts = StreamOps.userRunningCounts(input.toDS())
+    val q = counts.toDF().writeStream.format("memory").queryName("state_t")
+      .outputMode("update").start()
+    try {
+      input.addData(StreamOps.UserEvent(1, 1, 100), StreamOps.UserEvent(1, 2, 200),
+        StreamOps.UserEvent(2, 3, 150))
+      q.processAllAvailable()
+      input.addData(StreamOps.UserEvent(1, 4, 300), StreamOps.UserEvent(2, 5, 120))
+      q.processAllAvailable()
+      // update mode: latest emission per user reflects accumulated state
+      val finalCounts = s.table("state_t")
+        .groupBy("user_id").agg(max("n").as("n"), max("last_us").as("last_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(finalCounts === Set((1L, 3L, 300L), (2L, 2L, 150L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert stream == batch latest-wins on the same events") {
     val s = spark
     import s.implicits._
