@@ -316,20 +316,38 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id", "token")
     }),
 
-    // LLM-6: quality scoring — integer counts and exact ratios
+    // LLM-6: quality scoring — length / punctuation / stopword ratios, the
+    // standard pretraining-corpus filters; all codegen'd exprs.
     "llm6_quality" -> ((s, d) => {
       val text = col("text")
       val nChars = length(text)
       val nTokens = size(split(text, " "))
+      val nPunct = nChars - length(regexp_replace(text, "[.,;:!?]", ""))
+      val stops = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it")
+      val nStop = size(filter(split(text, " "),
+        t => t.isInCollection(stops)))
       Tables.documents(s, d).select(
           col("doc_id"),
           nChars.as("n_chars"),
           nTokens.as("n_tokens"),
           (nChars.cast("double") / nTokens).as("avg_token_len"),
+          round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
+          round(nStop.cast("double") / nTokens, 6).as("stopword_ratio"),
           when(nChars >= 100 && nTokens >= 20, "keep").otherwise("drop")
             .as("quality_gate"))
         .orderBy("doc_id")
     }),
+
+    // LLM-4c: BPE-ish regex tokenization — split on word/number/punct
+    // boundaries rather than whitespace (subword-style pre-tokenizer).
+    "llm4c_regex_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(array_remove(
+            split(col("text"), "[^a-zA-Z0-9]+"), "")).as("n_word_tokens"),
+          size(array_remove(
+            split(col("text"), "[^0-9]+"), "")).as("n_number_runs"))
+        .orderBy("doc_id")),
 
     // LLM-8: document fingerprinting — order-sensitive rolling hash
     // (rolling_hash64 native expression; rows-only + FingerprintSpec).
@@ -413,8 +431,21 @@ object LlmOps extends QueryModule {
         |  length(text) AS n_chars,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |        AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','an','of','to','and','in','is','it')))
+        |        AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
         |  CASE WHEN length(text) >= 100 AND len(string_split(text, ' ')) >= 20
         |       THEN 'keep' ELSE 'drop' END AS quality_gate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm4c_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+        |        t -> t <> '')) AS INT) AS n_word_tokens,
+        |  CAST(len(list_filter(string_split_regex(text, '[^0-9]+'),
+        |        t -> t <> '')) AS INT) AS n_number_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "llm7_langid" ->

@@ -185,6 +185,44 @@ object Relational extends QueryModule {
       r.crossJoin(st).orderBy("r_name", "o_orderstatus")
     }),
 
+    // JOIN-11: bucketed co-located join — both sides written bucketBy(8) on
+    // the join key, so the sort-merge join runs WITHOUT a shuffle exchange
+    // on either side (the bucketing IS the partitioning). This is the
+    // pre-partitioning story for repeated big-table joins at 100 TB: pay
+    // the shuffle once at write time, never again per query.
+    // (BucketJoinSpec asserts the no-exchange plan.)
+    "join11_bucketed" -> ((s, d) => {
+      val wh = "graft_b_orders" -> "graft_b_lineitem"
+      if (!s.catalog.tableExists(wh._1)) {
+        // the in-memory catalog forgets tables across JVMs but their files
+        // persist under the warehouse dir — clear stale locations first
+        def purge(t: String): Unit = {
+          val root = new java.io.File(
+            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          if (root.exists()) rm(root)
+        }
+        purge(wh._1); purge(wh._2)
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(wh._1)
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(wh._2)
+      }
+      s.table(wh._1)
+        .join(s.table(wh._2), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- AGG ----
     "agg1_count" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -590,6 +628,12 @@ object Relational extends QueryModule {
       s"""SELECT l_returnflag, ${Det.dsumSql("l_quantity")} AS sum_qty,
          |  count(*) AS n
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join11_bucketed" ->
+      s"""SELECT o_orderkey, count(*) AS n_lines,
+         |  ${Det.dsumSql("l_quantity")} AS sum_qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "win1_row_number" ->
       """SELECT c_custkey, c_acctbal,

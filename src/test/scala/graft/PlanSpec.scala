@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
       s"no broadcast hint expected on the tf-idf join:\n$logical")
   }
 
+  test("join11: bucketed join runs with NO shuffle exchange") {
+    val df = SparkEntry.queries("join11_bucketed")(spark, Sf0001)
+    // materialize so AQE settles, then inspect the final plan
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not re-shuffle either side:\n$p")
+  }
+
   test("window queries over raw tables: no single-partition exchange") {
     // (win1/strm4/mig7 windows run over pre-limited/pre-aggregated tiny
     // frames by design; these are the raw-scan paths that must scale)
