@@ -140,6 +140,26 @@ object FixtureGen {
     write(s"$Dir/multi/part-2.txt", "m2-a\nm2-b\nm2-c\nm2-d\n")
     write(s"$Dir/multi/ignore.dat", "must-not-be-read\n")
 
+    // mig2c: the same changelog as real EDN log lines
+    // [op e path value ts] — one datom per line, gzip like the
+    // reference's *.edn.gz dumps (pseudoace.py:91).
+    val ednRows = Seq(
+      ("100", "Gene:G1", "name", "alpha", "assert"),
+      ("200", "Gene:G1", "name", "beta", "assert"),
+      ("150", "Gene:G2", "name", "gamma", "assert"),
+      ("300", "Gene:G2", "name", "gamma", "retract"),
+      ("250", "Gene:G3", "status", "live", "assert"),
+      ("400", "Gene:G2", "name", "delta", "assert"),
+      ("175", "Gene:G1", "desc", "first", "assert"),
+      ("500", "Gene:G3", "status", "dead", "assert"),
+      ("120", "Gene:G4", "name", "eps", "assert"),
+      ("600", "Gene:G4", "name", "eps", "retract"))
+    writeGz(s"$Dir/edn/edn_log.edn.gz",
+      ednRows.map { case (ts, e, path, v, op) =>
+        val kw = if (op == "assert") ":db/add" else ":db/retract"
+        s"""[$kw "$e" :$path "$v" $ts]"""
+      }.mkString("", "\n", "\n"))
+
     // mig2: per-file import logs; global order is BY TS ACROSS FILES
     // (the reference sorts each EDN log then imports in timestamp order).
     write(s"$Dir/edn/edn_log_a.csv",

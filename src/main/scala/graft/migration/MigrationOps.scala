@@ -68,6 +68,37 @@ object MigrationOps extends QueryModule {
   /** UDF wrapper: paragraph string → array<struct<e,path,value,op>>. */
   val parseAce = udf(parseAceParagraph _)
 
+  // ---- EDN log-line parser (SURVEY §4 custom-work item 2) ----------------
+
+  /** One EDN log datom: `[:db/add|:db/retract "e" :path "value" ts]`. */
+  case class EdnDatom(e: String, path: String, value: String, op: String,
+                      ts: Long)
+
+  private val ednRe =
+    """^\[(:db/add|:db/retract) "([^"]+)" :(\S+) "([^"]*)" (\d+)\]$""".r
+
+  /** Parse one EDN log line; malformed lines → None (same poison-line
+    * policy as the .ace parser). */
+  def parseEdnLine(line: String): Option[EdnDatom] = line.trim match {
+    case ednRe(kw, e, path, v, ts) =>
+      Some(EdnDatom(e, path, v,
+        if (kw == ":db/add") "assert" else "retract", ts.toLong))
+    case _ => None
+  }
+
+  val parseEdn = udf(parseEdnLine _)
+
+  /** Read gzipped EDN log files into the changelog frame (gz codec is
+    * transparent to the text source; one task per file, the reference's
+    * per-class dump parallelism). */
+  def ednTextDatoms(s: SparkSession, path: String): DataFrame =
+    s.read.text(path)
+      .select(parseEdn(col("value")).as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("d.ts").as("ts"), col("d.e").as("e"),
+        col("d.path").as("path"), col("d.value").as("value"),
+        col("d.op").as("op"))
+
   /** Read an `.ace` dump file into a datom DataFrame (one row per datom).
     * Blank-line paragraph split via lineSep; explode = the UDTF surface
     * (UDF-3). One task per file at scale — matches the reference's
@@ -250,9 +281,27 @@ object MigrationOps extends QueryModule {
         .select(col("e"), col("path"), col("lw.value").as("value"))
         .orderBy("e", "path")),
 
+    // MIG-2c: same import over the REAL EDN text format (gz) — proves the
+    // line parser against the same oracle as the CSV-shaped logs (the
+    // fixture encodes the identical changelog both ways).
+    "mig2c_edn_import" -> ((s, _) =>
+      latestWins(ednTextDatoms(s, s"$FixturesDir/edn/edn_log.edn.gz"))
+        .orderBy("e", "path")),
+
     // MIG-3: apply-patches MERGE — base ∪ patches, patches win.
     "mig3_apply_patches" -> ((s, _) =>
       importedState(s).orderBy("e", "path")),
+
+    // MIG-9 (AGG-8 in anger): rebuild ACeDB-style objects from datoms —
+    // per-entity ordered collect of path=value pairs (the datom→object
+    // direction of the reference's data model, SURVEY §1.1).
+    "mig9_rebuild_objects" -> ((s, _) =>
+      importedState(s)
+        .groupBy("e")
+        .agg(concat_ws(";",
+          sort_array(collect_list(concat(col("path"), lit("="),
+            col("value"))))).as("obj"))
+        .orderBy("e")),
 
     // MIG-4: QA reconciliation report (the reference's headline output).
     "mig4_qa_report" -> ((s, _) =>
@@ -317,8 +366,19 @@ object MigrationOps extends QueryModule {
          |FROM read_csv('$FixturesDir/edn/edn_log_*.csv', header=true,
          |              all_varchar=true)""".stripMargin) + "\nORDER BY e, path"),
 
+    "mig2c_edn_import" -> (latestWinsSql(
+      s"""SELECT CAST(ts AS BIGINT) ts, e, path, value, op
+         |FROM read_csv('$FixturesDir/edn/edn_log_*.csv', header=true,
+         |              all_varchar=true)""".stripMargin) + "\nORDER BY e, path"),
+
     "mig3_apply_patches" ->
       (latestWinsSql(patchedLogSql) + "\nORDER BY e, path"),
+
+    "mig9_rebuild_objects" ->
+      s"""WITH state AS (${latestWinsSql(patchedLogSql)})
+         |SELECT e, array_to_string(list_sort(list(path || '=' || value)), ';')
+         |  AS obj
+         |FROM state GROUP BY e ORDER BY e""".stripMargin,
 
     "mig4_qa_report" ->
       s"""WITH state AS (${latestWinsSql(patchedLogSql)}),

@@ -117,6 +117,24 @@ object StreamOps extends QueryModule {
     q.stop()
   }
 
+  /** JOIN-9 streaming: stream-stream interval join — click events joined to
+    * purchase events of the same user within [0, 30 min) after the click.
+    * Both sides watermarked so the join state is evicted once the range
+    * can no longer match (bounded state at 100 TB/day rates). */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("event_ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("event_ts").as("click_ts"))
+    val p = purchases.withWatermark("event_ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("user_id", "click_id", "purchase_id")
+  }
+
   /** Typed input/state/output for the custom-state operator below. */
   case class UserEvent(user_id: Long, event_id: Long, ts_us: Long)
   case class UserState(n: Long, last_us: Long)

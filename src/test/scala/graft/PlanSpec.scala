@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Physical-plan assertions: the optimizations the 100 TB posture depends
   * on must be visible in the executed plan, not just intended. */
 class PlanSpec extends SparkSpec {
@@ -50,6 +52,17 @@ class PlanSpec extends SparkSpec {
     // executor memory; AQE may still choose broadcast at runtime when small
     assert(!logical.contains("ResolvedHint"),
       s"no broadcast hint expected on the tf-idf join:\n$logical")
+  }
+
+  test("partitioned sink: reading one partition prunes the rest") {
+    // sink3 writes lineitem partitioned by l_returnflag; a filtered read
+    // must show the partition filter at the scan (no full-table read)
+    SparkEntry.queries("sink3_partitioned")(spark, Sf0001).count()
+    val df = spark.read.parquet("/root/repo/target/tmp-sinks/sink3_part")
+      .filter(col("l_returnflag") === "R")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"expected partition pruning in:\n$p")
   }
 
   test("join11: bucketed join runs with NO shuffle exchange") {

@@ -97,6 +97,32 @@ class StructuredStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases within 30min of a click") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamOps.clickToPurchase(
+      StreamOps.withEventTs(clicks.toDF()),
+      StreamOps.withEventTs(purchases.toDF()))
+    val q = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(10, 1, "click", 0, nanosAt(600)),
+        Ev(11, 2, "click", 0, nanosAt(600)))
+      purchases.addData(
+        Ev(20, 1, "purchase", 5, nanosAt(620)),   // within 30min → match
+        Ev(21, 2, "purchase", 5, nanosAt(640)),   // 40min later → no match
+        Ev(22, 1, "purchase", 5, nanosAt(590)))   // before click → no match
+      q.processAllAvailable()
+      val rows = s.table("ssj_t")
+        .select("user_id", "click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set((1L, 10L, 20L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert stream == batch latest-wins on the same events") {
     val s = spark
     import s.implicits._
