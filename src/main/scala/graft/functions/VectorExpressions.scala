@@ -172,6 +172,72 @@ case class Shingles3(child: Expression)
     copy(child = c)
 }
 
+/** `lsh_buckets(array<float>, tables, k) -> array<int>`: multi-table
+  * random-hyperplane sign buckets. Semantically identical to the HOF
+  * formulation (weight for (table t, plane p, dim i) =
+  * xxhash64(t, p, i) / Long.MaxValue; bucket bit p set iff dot > 0) but the
+  * weights are computed ONCE per (tables, k, dim) and cached — the HOF tree
+  * re-derived every weight per row per element, which dominated ANN cost.
+  * Weight layout is deterministic, so bucket assignments are stable across
+  * runs and executors. */
+case class LshBuckets(child: Expression, tables: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType)
+
+  @transient private lazy val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+  private def weights(dim: Int): Array[Array[Double]] =
+    weightCache.computeIfAbsent(dim, { _ =>
+      Array.tabulate(tables * k) { tp =>
+        val t = tp / k
+        val p = tp % k
+        Array.tabulate(dim) { i =>
+          // same derivation as the HOF: xxhash64 of the long-encoded ints
+          val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(t.toLong, org.apache.spark.sql.types.LongType, 42L)
+          val h2 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(p.toLong, org.apache.spark.sql.types.LongType, h1)
+          val h3 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(i.toLong, org.apache.spark.sql.types.LongType, h2)
+          h3.toDouble / Long.MaxValue.toDouble
+        }
+      }
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val w = weights(dim)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < k) {
+        val wr = w(t * k + p)
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += v(j) * wr(j); j += 1 }
+        if (dot > 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
+}
+
 /** `rolling_hash64(string) -> bigint`: polynomial rolling fingerprint over
   * space-separated tokens — h = Σ xx64(tok_i)·31^(n-1-i) in wrapping 64-bit
   * arithmetic (Horner's rule). Token-order-sensitive (unlike a bag-of-words
@@ -214,6 +280,18 @@ object VectorExtensions {
       new FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (children: Seq[Expression]) => Shingles3(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (children: Seq[Expression]) => {
+        def intLit(e: Expression): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"lsh_buckets tables/k must be literals, got $other")
+        }
+        LshBuckets(children(0), intLit(children(1)), intLit(children(2)))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),

@@ -70,29 +70,18 @@ object LlmOps extends QueryModule {
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
-  /** Random-hyperplane sign bucket for cosine LSH: k planes of table
-    * `table`, weights derived from xxhash64(table, plane, dim) —
-    * deterministic (rand() is banned in declared queries). */
-  def planeSig(emb: Column, table: Int, k: Int): Column =
-    (0 until k).map { p =>
-      val dot = aggregate(zip_with(emb, sequence(lit(0), lit(63)),
-        (v, i) => v.cast("double") *
-          (xxhash64(lit(table), lit(p), i).cast("double") /
-            lit(Long.MaxValue.toDouble))),
-        lit(0.0), (a, v) => a + v)
-      when(dot > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
-
   /** Multi-table LSH index: (vec_id, table, bucket) — L independent tables
-    * of k sign-planes each. Union-of-tables probing keeps recall high at
-    * moderate cosine (p_match = 1-(1-p^k)^L): single-table sign LSH has
-    * near-zero recall when similarities sit around 0.3-0.5, which is what
-    * real embedding corpora look like. k scales with corpus size (bucket
-    * count 2^k), L buys recall — both O(1) columns, no extra shuffle. */
+    * of k sign-planes each, via the native lsh_buckets expression
+    * (hyperplane weights computed once and cached, not re-derived per row).
+    * Union-of-tables probing keeps recall high at moderate cosine
+    * (p_match = 1-(1-p^k)^L): single-table sign LSH has near-zero recall
+    * when similarities sit around 0.3-0.5, which is what real embedding
+    * corpora look like. k scales with corpus size (bucket count 2^k), L
+    * buys recall — both O(1) columns, no extra shuffle. */
   def lshIndex(emb: DataFrame, tables: Int = 8, k: Int = 3): DataFrame =
     emb.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        planeSig(col("embedding"), t, k)): _*)))
+      posexplode(call_function("lsh_buckets", col("embedding"),
+        lit(tables), lit(k))))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
 

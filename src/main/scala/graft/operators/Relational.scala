@@ -288,6 +288,21 @@ object Relational extends QueryModule {
           col("n"), col("sum_qty"))
         .orderBy("flag", "status")),
 
+    // AGG-7b: full cube — all 4 grouping sets of (flag, status)
+    "agg7b_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .select(
+          when(col("g_flag") === 1, lit("ALL"))
+            .otherwise(col("l_returnflag")).as("flag"),
+          when(col("g_status") === 1, lit("ALL"))
+            .otherwise(col("l_linestatus")).as("status"),
+          col("n"))
+        .orderBy("flag", "status")),
+
     "agg8_collect_list" -> ((s, d) =>
       // rebuild-object-from-datoms shape: ordered collect per entity
       Tables.lineitem(s, d)
@@ -604,6 +619,14 @@ object Relational extends QueryModule {
          |  count(*) AS n, ${Det.dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY flag, status""".stripMargin,
+
+    "agg7b_cube" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS flag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS status,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
 
     "agg8_collect_list" ->
       """SELECT l_orderkey,
