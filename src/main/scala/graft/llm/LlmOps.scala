@@ -253,6 +253,37 @@ object LlmOps extends QueryModule {
         .limit(20)
     }),
 
+    // LLM-3e ⚠: IVF ANN — coarse quantizer of 16 deterministically sampled
+    // centroids (the 16 lowest xxhash64(vec_id) vectors: stable across
+    // runs, no RNG); every vector is assigned to its nearest centroid
+    // (inverted file = cell column), the query probes its nprobe=4 nearest
+    // cells and exact-cosine re-ranks only those candidates. At 100 TB the
+    // assignment is one broadcast-join pass and the probe reads ~nprobe/C
+    // of the corpus; rows-only + ApproxSpec recall floor.
+    "llm3e_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
+      val ranked = e.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine(col("embedding"), col("cent")))
+        .withColumn("rn", row_number().over(w))
+        .localCheckpoint()  // reused for corpus cells AND query probe cells
+      val corpus = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 4)
+        .select(col("cent_id").as("cell"))
+      val qEmb = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      corpus.join(broadcast(qCells), "cell")
+        .crossJoin(broadcast(qEmb))
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // LLM-3c: embedding near-dup — all-pairs top-20 most similar pairs.
     // O(n²) EXACT BASELINE: declared for oracle parity at small sf only;
     // llm3d above is the bucketed path that survives scale.

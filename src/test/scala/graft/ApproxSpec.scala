@@ -57,6 +57,16 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.3, s"pairwise recall $recall below floor")
   }
 
+  test("llm3e: IVF ANN recall vs exact cosine top-20") {
+    val exact = SparkEntry.queries("llm3_cosine_topk")(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("llm3e_ann_ivf")(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(ivf.nonEmpty, "IVF must return candidates")
+    assert(recall >= 0.2, s"IVF recall $recall below floor (nprobe=2 of 16)")
+  }
+
   test("llm2: LSH near-dup output equals the exact all-pairs baseline") {
     // with b=32,r=4 and the corpus's bimodal jaccard the miss probability is
     // ~5e-8 — the LSH path must reproduce the exact result on sf0.001
