@@ -179,6 +179,33 @@ object Relational extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // JOIN-9b: the same interval-join semantics with a coarse time-bucket
+    // in the equi-key — the shape that survives a hot user at 100× scale:
+    // a user with M events is no longer one M×M join partition; each
+    // (user, minute-bucket) pair is its own key. Side b is duplicated into
+    // its bucket and the preceding one so every ≤60 s pair lands in a
+    // shared key; the exact band filter then prunes. Identical output to
+    // join9 (same oracle).
+    "join9b_banded_bucket" -> ((s, d) => {
+      val bandUs = 60000000L
+      val e = Tables.events(s, d).select(col("event_id"),
+        col("user_id"), expr("ts div 1000").as("ts_us"))
+      val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts_us").as("a_us"),
+        expr(s"ts_us div $bandUs").as("a_bucket"))
+      val b0 = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts_us").as("b_us"),
+        expr(s"ts_us div $bandUs").as("b_bucket"))
+      val b = b0.select(col("b_id"), col("b_user"), col("b_us"),
+          explode(array(col("b_bucket"), col("b_bucket") - 1)).as("bucket"))
+      a.join(b, col("a_user") === col("b_user") &&
+          col("a_bucket") === col("bucket") &&
+          col("b_us") > col("a_us") &&
+          col("b_us") <= col("a_us") + bandUs)
+        .select("a_id", "b_id").distinct()
+        .orderBy("a_id", "b_id")
+    }),
+
     "join10_cross" -> ((s, d) => {
       val r = Tables.region(s, d).select("r_name")
       val st = Tables.orders(s, d).select(col("o_orderstatus")).distinct()
@@ -572,6 +599,14 @@ object Relational extends QueryModule {
         |ORDER BY user_id""".stripMargin,
 
     "join9_interval" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "join9b_banded_bucket" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id

@@ -167,6 +167,49 @@ object StreamOps extends QueryModule {
       }
   }
 
+  /** UserEvent + its event-time column (needed for EventTimeTimeout). */
+  case class TimedUserEvent(user_id: Long, event_id: Long, ts_us: Long,
+                            event_ts: java.sql.Timestamp)
+
+  /** [[userRunningCounts]] with a real state TTL: watermarked input +
+    * EventTimeTimeout. When the watermark passes last_event + ttl the
+    * per-user state is REMOVED — the bounded-memory configuration for an
+    * unbounded key space (the "production sets EventTimeTimeout" path;
+    * StructuredStreamingSpec proves counts restart after eviction). */
+  def userRunningCountsTtl(ev: DataFrame, watermark: String,
+                           ttlMinutes: Int)
+      : org.apache.spark.sql.Dataset[UserCounts] = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val typed = ev
+      .withWatermark("event_ts", watermark)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us", "event_ts")
+      .as[TimedUserEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserCounts](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[TimedUserEvent],
+         state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0L))
+            var n = prev.n
+            var last = prev.last_us
+            rows.foreach { r =>
+              n += 1
+              if (r.ts_us > last) last = r.ts_us
+            }
+            state.update(UserState(n, last))
+            // evict once the watermark passes last event + ttl (ms epoch)
+            state.setTimeoutTimestamp(last / 1000L + ttlMinutes * 60000L)
+            Iterator(UserCounts(uid, n, last))
+          }
+      }
+  }
+
   /** Latest event per user within a frame (shared by batch strm6 + the
     * foreachBatch upsert). */
   def latestByUser(ev: DataFrame): DataFrame = {

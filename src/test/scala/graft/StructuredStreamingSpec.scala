@@ -97,6 +97,38 @@ class StructuredStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EventTimeTimeout: per-user state evicted after TTL, counts restart") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val counts = StreamOps.userRunningCountsTtl(
+      StreamOps.withEventTs(input.toDF()), watermark = "10 minutes",
+      ttlMinutes = 30)
+    val q = counts.toDF().writeStream.format("memory").queryName("ttl_t")
+      .outputMode("update").start()
+    try {
+      // user 1 active around t=600min; user 2 keeps the stream moving
+      input.addData(Ev(1, 1, "click", 0, nanosAt(600)),
+        Ev(2, 1, "click", 0, nanosAt(605)), Ev(3, 2, "view", 0, nanosAt(600)))
+      q.processAllAvailable()
+      // t=700min event advances the watermark to 690min — past user 1's
+      // timeout (605 + 30 = 635min) → user 1 state removed
+      input.addData(Ev(4, 2, "view", 0, nanosAt(700)))
+      q.processAllAvailable()
+      // user 1 returns: state must have restarted, NOT continued at 3
+      input.addData(Ev(5, 1, "click", 0, nanosAt(701)))
+      q.processAllAvailable()
+      val u1 = s.table("ttl_t").filter(col("user_id") === 1)
+        .select("n", "last_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(u1.contains((1L, nanosAt(701) / 1000)),
+        s"expected restarted count 1 after eviction, got $u1")
+      assert(!u1.exists(_._1 == 3L),
+        s"state must not survive the TTL: $u1")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases within 30min of a click") {
     val s = spark
     import s.implicits._
