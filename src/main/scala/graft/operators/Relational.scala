@@ -372,6 +372,45 @@ object Relational extends QueryModule {
       top.withColumn("rn", row_number().over(w)).orderBy("rn")
     }),
 
+    // AGG-10b: the same exact interpolated percentiles computed from the
+    // VALUE DISTRIBUTION (counts per distinct value + cumulative ranges)
+    // instead of buffering every value per group — the formulation that
+    // survives 100 TB: state is O(distinct values), not O(rows). The
+    // interpolation (lower + frac·(higher−lower), rank p·(N−1)) matches
+    // percentile()/quantile_cont bit-for-bit, so the same oracle applies.
+    "agg10b_percentile_counts" -> ((s, d) => {
+      import s.implicits._
+      val counts = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val cum = counts
+        .withColumn("cum_end", sum("cnt").over(w) - 1)
+        .withColumn("cum_start", col("cum_end") - col("cnt") + 1)
+        .localCheckpoint()  // tiny (distinct values); reused per percentile
+      val n = cum.groupBy("l_returnflag").agg(sum("cnt").as("n"))
+      val targets = n.crossJoin(Seq(0.25, 0.5, 0.75).toDF("p"))
+        .withColumn("r", col("p") * (col("n") - 1))
+        .withColumn("k", floor(col("r")).cast("long"))
+        .withColumn("frac", col("r") - col("k"))
+        .withColumn("k1", least(col("k") + 1, col("n") - 1))
+      def lookup(idx: String, out: String) = cum.select(
+        col("l_returnflag").as(s"f_$out"), col("l_quantity").as(out),
+        col("cum_start").as(s"cs_$out"), col("cum_end").as(s"ce_$out"))
+      val withVk = targets
+        .join(lookup("k", "v_k"), col("l_returnflag") === col("f_v_k") &&
+          col("k").between(col("cs_v_k"), col("ce_v_k")))
+        .join(lookup("k1", "v_k1"), col("l_returnflag") === col("f_v_k1") &&
+          col("k1").between(col("cs_v_k1"), col("ce_v_k1")))
+        .withColumn("pv",
+          col("v_k") + col("frac") * (col("v_k1") - col("v_k")))
+      withVk.groupBy("l_returnflag")
+        .agg(max(when(col("p") === 0.25, col("pv"))).as("p25"),
+          max(when(col("p") === 0.5, col("pv"))).as("p50"),
+          max(when(col("p") === 0.75, col("pv"))).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
     // AGG-11: salted two-phase aggregation — the skew-mitigation pattern for
     // hot grouping keys at 100 TB (a single hot key otherwise lands all its
     // rows in one reducer). Phase 1 groups on (key, salt) — partial sums
@@ -676,6 +715,13 @@ object Relational extends QueryModule {
         |ORDER BY user_id, event_type""".stripMargin,
 
     "agg10_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5)  AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg10b_percentile_counts" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,
         |  quantile_cont(l_quantity, 0.5)  AS p50,
