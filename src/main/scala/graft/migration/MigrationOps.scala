@@ -292,6 +292,20 @@ object MigrationOps extends QueryModule {
     "mig3_apply_patches" -> ((s, _) =>
       importedState(s).orderBy("e", "path")),
 
+    // MIG-10: input validation (runcommand.py:62-71) — presence + row-count
+    // checks over every input table before the pipeline runs; emits one row
+    // per table so a missing/empty input fails loudly, not mid-import.
+    "mig10_input_validation" -> ((s, d) => {
+      val frames = graft.Tables.all.map { t =>
+        graft.Tables.load(s, d, t)
+          .select(lit(t).as("tbl"), lit(1).as("one"))
+          .groupBy("tbl").agg(count(col("one")).as("n_rows"))
+      }
+      frames.reduce(_.unionByName(_))
+        .withColumn("status", when(col("n_rows") > 0, "ok").otherwise("EMPTY"))
+        .orderBy("tbl")
+    }),
+
     // MIG-9 (AGG-8 in anger): rebuild ACeDB-style objects from datoms —
     // per-entity ordered collect of path=value pairs (the datom→object
     // direction of the reference's data model, SURVEY §1.1).
@@ -373,6 +387,13 @@ object MigrationOps extends QueryModule {
 
     "mig3_apply_patches" ->
       (latestWinsSql(patchedLogSql) + "\nORDER BY e, path"),
+
+    "mig10_input_validation" ->
+      ("SELECT tbl, n_rows, CASE WHEN n_rows > 0 THEN 'ok' ELSE 'EMPTY' END AS status FROM (" +
+        graft.Tables.all.map(t =>
+          s"SELECT '$t' AS tbl, count(*) AS n_rows FROM $t")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY tbl"),
 
     "mig9_rebuild_objects" ->
       s"""WITH state AS (${latestWinsSql(patchedLogSql)})
