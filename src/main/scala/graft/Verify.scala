@@ -8,6 +8,24 @@ import java.nio.file.{Files, Paths}
   * (ADVICE.md r01, VERDICT r02 item 2).
   */
 object Verify {
+
+  /** Strict JSON object encoding of a string map. Escapes backslash, quote,
+    * and ALL control chars (<0x20) — a tab or CR in builder-authored SQL
+    * would otherwise make the driver's json.load fail and silently zero the
+    * round's correctness (VerifyJsonSpec pins this). */
+  def toJsonObject(m: Map[String, String]): String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = Graft.session("graft-verify")
@@ -21,21 +39,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      toJsonObject(SparkEntry.oracleSql))
     System.err.println(s"[verify] done: ${SparkEntry.queries.size - failed}/" +
       s"${SparkEntry.queries.size} queries wrote output")
     spark.stop()

@@ -306,6 +306,20 @@ object MigrationOps extends QueryModule {
         .orderBy("tbl")
     }),
 
+    // MIG-11: the datom-store layout (SURVEY §7 "partition datoms by
+    // class") — imported state written partitioned by class, then a
+    // class-filtered read back proves partition pruning serves the
+    // reference's per-class access pattern without touching other classes.
+    "mig11_datom_store" -> ((s, _) => {
+      val out = "/root/repo/target/tmp-sinks/mig11_datoms"
+      importedState(s)
+        .withColumn("cls", clsOf(col("e")))
+        .write.mode("overwrite").partitionBy("cls").parquet(out)
+      s.read.parquet(out)
+        .groupBy("cls").agg(count(lit(1)).as("n_datoms"))
+        .orderBy("cls")
+    }),
+
     // MIG-9 (AGG-8 in anger): rebuild ACeDB-style objects from datoms —
     // per-entity ordered collect of path=value pairs (the datom→object
     // direction of the reference's data model, SURVEY §1.1).
@@ -394,6 +408,11 @@ object MigrationOps extends QueryModule {
           s"SELECT '$t' AS tbl, count(*) AS n_rows FROM $t")
           .mkString(" UNION ALL ") +
         ") ORDER BY tbl"),
+
+    "mig11_datom_store" ->
+      s"""WITH state AS (${latestWinsSql(patchedLogSql)})
+         |SELECT string_split(e, ':')[1] AS cls, count(*) AS n_datoms
+         |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mig9_rebuild_objects" ->
       s"""WITH state AS (${latestWinsSql(patchedLogSql)})
