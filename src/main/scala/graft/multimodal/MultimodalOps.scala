@@ -81,14 +81,21 @@ object MultimodalOps extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // MM-1: media catalog — metadata projection + filter WITHOUT touching
-    // payload bytes (meta-only reads must prune the binary column).
-    "mm1_media_catalog" -> ((s, d) =>
-      mediaTable(s, d)
+    // MM-1: media catalog — the media table is MATERIALIZED (payload as a
+    // stored binary column, like any production media store), then the
+    // metadata-only catalog read must prune the payload column entirely:
+    // the scan's ReadSchema has doc_id/modality/meta but NO payload
+    // (MultimodalPlanSpec asserts this). Filtering on meta.width never
+    // touches a single payload byte.
+    "mm1_media_catalog" -> ((s, d) => {
+      val out = "/root/repo/target/tmp-sinks/mm1_media_store"
+      mediaTable(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
         .filter(col("meta.width") >= 512)
         .select(col("doc_id"), col("modality"), col("meta.mime").as("mime"),
           col("meta.width").as("width"), col("meta.height").as("height"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // MM-2: decode (stubbed) — payload-derived stats; byte-exact oracle.
     "mm2_decode_stats" -> ((s, d) =>

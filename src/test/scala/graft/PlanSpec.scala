@@ -54,6 +54,18 @@ class PlanSpec extends SparkSpec {
       s"no broadcast hint expected on the tf-idf join:\n$logical")
   }
 
+  test("mm1: metadata-only catalog read prunes the binary payload column") {
+    SparkEntry.queries("mm1_media_catalog")(spark, Sf0001).count()
+    val df = spark.read.parquet("/root/repo/target/tmp-sinks/mm1_media_store")
+      .filter(col("meta.width") >= 512)
+      .select("doc_id", "modality", "meta.mime")
+    val p = df.queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no scan in plan:\n$p"))
+    assert(!readSchema.contains("payload"),
+      s"payload bytes must not be read for a metadata query:\n$readSchema")
+  }
+
   test("partitioned sink: reading one partition prunes the rest") {
     // sink3 writes lineitem partitioned by l_returnflag; a filtered read
     // must show the partition filter at the scan (no full-table read)
