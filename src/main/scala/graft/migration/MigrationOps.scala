@@ -198,7 +198,7 @@ object MigrationOps extends QueryModule {
     * (line_no, line); the window is over the already-aggregated tiny report
     * (like the reference, which renders in memory), never over raw data. */
   def markdownReport(report: DataFrame): DataFrame = {
-    val cols = report.columns
+    val cols = report.columns.toIndexedSeq
     val asStr = report.distinct()
       .select(cols.map(c => col(c).cast("string").as(c)): _*)
     // per-column max display width incl. the header label (tiny agg result)
