@@ -150,6 +150,24 @@ object Scans extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // SINK-8: small-file compaction — the operational fix for the
+    // many-tiny-files problem at ingest scale: an over-partitioned dataset
+    // (32 files here; millions at 100 TB) is rewritten into few right-sized
+    // files with repartition(n). Content is unchanged (same oracle shape);
+    // CompactionSpec asserts the file-count drop. At cluster scale n comes
+    // from target_size / avg_row_size, not a constant.
+    "sink8_compacted" -> ((s, d) => {
+      val fragmented = s"$SinkDir/sink8_fragmented"
+      val compacted = s"$SinkDir/sink8_compacted"
+      Tables.documents(s, d).repartition(32)
+        .write.mode("overwrite").parquet(fragmented)
+      s.read.parquet(fragmented).repartition(2)
+        .write.mode("overwrite").parquet(compacted)
+      s.read.parquet(compacted)
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // SINK-7: JSON-lines round-trip with explicit read schema (schemaless
     // text interchange; no inferSchema pass).
     "sink7_jsonl" -> ((s, d) => {
@@ -220,6 +238,10 @@ object Scans extends QueryModule {
     "sink7_jsonl" ->
       """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS INT) AS n_regionkey
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "sink8_compacted" ->
+      """SELECT doc_id, length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
