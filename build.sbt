@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forward the forked child's stdout/stderr verbatim — no "[info] " prefix
+// on the one JSON line the bench/verify drivers parse out of stdout
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,10 +26,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local mode = driver-only JVM. Default heap derives from the host's
+// physical RAM (~40%, clamped to [2g, 48g]) so sbt still starts on small
+// boxes; override explicitly with SPARK_DRIVER_MEM=48g for bench runs.
+val driverHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val physGb =
+    try {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    (os.getTotalMemorySize / (1L << 30)).toInt
+    } catch { case _: Throwable => 8 }
+  s"${math.max(2, math.min(48, physGb * 2 / 5))}g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local mode = driver-only JVM; size the heap for the 128 GiB box so
-  // shuffles/aggregations at sf0.1 never spill (overridable via env)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx$driverHeap",
 )

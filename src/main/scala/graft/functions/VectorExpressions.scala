@@ -16,6 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * which allocates a lambda frame per element). Accumulation order is
   * left-to-right in double, identical to the HOF formulation and to the
   * DuckDB oracle's list_dot_product — results are bit-equal, only faster.
+  * Edge cases match the HOF formulation exactly (ADVICE r3 item 3):
+  * mismatched lengths → null (zip_with pads the short side with null, which
+  * nulls the aggregate); zero-norm / empty input → null (rather than the
+  * 0/0 = NaN the naive formula yields — NaN breaks orderBy-desc top-k).
   *
   * Codegen emits a tight primitive loop inside whole-stage codegen; the
   * interpreted path (nullSafeEval) matches it exactly.
@@ -37,10 +41,14 @@ case class CosineSim(left: Expression, right: Expression)
           s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
 
+  // may return null for non-null inputs (length mismatch / zero norm)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -53,7 +61,8 @@ case class CosineSim(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / math.sqrt(na) / math.sqrt(nb)
+    if (na == 0.0 || nb == 0.0) null
+    else dot / math.sqrt(na) / math.sqrt(nb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,15 +75,23 @@ case class CosineSim(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($na)
+         |      / java.lang.Math.sqrt($nb);
+         |  }
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na)
-         |  / java.lang.Math.sqrt($nb);
        """.stripMargin
     })
 

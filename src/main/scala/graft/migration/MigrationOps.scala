@@ -112,14 +112,40 @@ object MigrationOps extends QueryModule {
 
   // ---- latest-wins import (the ordered-EDN-import semantics) -------------
 
+  /** Deterministic ordering key for latest-wins: ts first, then at equal ts
+    * an assert beats a retract (the common `.ace` patch idiom `-D old` +
+    * re-assert lands both in ONE patch, i.e. one ts), then value as a final
+    * total-order tiebreak. Because the key embeds (op, value), any two rows
+    * that tie on the FULL key carry identical (op, value) — so picking value
+    * and op via two max_by calls over the same key cannot mix rows. */
+  private def lwOrderKey: Column =
+    struct(col("ts"),
+      when(col("op") === "assert", 1).otherwise(0).as("op_rank"),
+      col("value"))
+
   /** Final DB state from an (e, path, value, op, ts) changelog: for each
-    * (e, path) take the row with max ts; keep it only if that row asserts.
-    * One hash aggregate — no global sort, no window. (e,path,ts) is assumed
-    * unique (the reference's logs are per-transaction timestamped). */
+    * (e, path) take the row winning under [[lwOrderKey]]; keep it only if
+    * that row asserts. One hash aggregate — no global sort, no window.
+    * NOTE these are cardinality-ONE semantics (a newer assert on the same
+    * (e, path) replaces the old value — the Datomic card-one mapping);
+    * multi-valued ACeDB tags go through [[latestWinsMulti]]. */
   def latestWins(log: DataFrame): DataFrame =
     log.groupBy("e", "path")
-      .agg(max_by(col("value"), col("ts")).as("value"),
-        max_by(col("op"), col("ts")).as("last_op"))
+      .agg(max_by(col("value"), lwOrderKey).as("value"),
+        max_by(col("op"), lwOrderKey).as("last_op"))
+      .filter(col("last_op") === "assert")
+      .select("e", "path", "value")
+
+  /** Cardinality-MANY latest-wins: the datom triple (e, path, value) is the
+    * unit of assertion/retraction, so concurrent values on one tag all
+    * survive and `-D` retracts exactly the value it names (ACeDB's native
+    * multi-valued tag semantics). Tie at equal ts on one triple → assert
+    * wins (a patch that retracts and re-asserts the same datom keeps it). */
+  def latestWinsMulti(log: DataFrame): DataFrame =
+    log.groupBy("e", "path", "value")
+      .agg(max_by(col("op"),
+        struct(col("ts"),
+          when(col("op") === "assert", 1).otherwise(0))).as("last_op"))
       .filter(col("last_op") === "assert")
       .select("e", "path", "value")
 
@@ -131,12 +157,21 @@ object MigrationOps extends QueryModule {
   /** Latest-wins accumulator as a typed Aggregator → registered via udaf.
     * Buffer carries (bestTs, value, op); merge is associative/commutative, so
     * Spark's partial aggregation (map-side combine) applies — the shuffle
-    * ships one buffer per (e,path) per partition, not the raw changelog. */
+    * ships one buffer per (e,path) per partition, not the raw changelog.
+    * Ordering matches [[lwOrderKey]]: (ts, assert>retract, value) — fully
+    * deterministic regardless of partitioning / merge order. */
   object LatestWinsAgg extends Aggregator[LwIn, LwBuf, LwBuf] {
     def zero: LwBuf = LwBuf(Long.MinValue, null, null)
+    private def opRank(op: String) = if (op == "assert") 1 else 0
+    private def wins(aTs: Long, aOp: String, aV: String, b: LwBuf): Boolean =
+      aTs > b.ts ||
+        (aTs == b.ts && (b.value == null ||
+          opRank(aOp) > opRank(b.op) ||
+          (opRank(aOp) == opRank(b.op) && aV.compareTo(b.value) > 0)))
     def reduce(b: LwBuf, a: LwIn): LwBuf =
-      if (a.ts > b.ts) LwBuf(a.ts, a.value, a.op) else b
-    def merge(b1: LwBuf, b2: LwBuf): LwBuf = if (b1.ts >= b2.ts) b1 else b2
+      if (wins(a.ts, a.op, a.value, b)) LwBuf(a.ts, a.value, a.op) else b
+    def merge(b1: LwBuf, b2: LwBuf): LwBuf =
+      if (wins(b2.ts, b2.op, b2.value, b1)) b2 else b1
     def finish(r: LwBuf): LwBuf = r
     def bufferEncoder = Encoders.product[LwBuf]
     def outputEncoder = Encoders.product[LwBuf]
@@ -288,6 +323,11 @@ object MigrationOps extends QueryModule {
       latestWins(ednTextDatoms(s, s"$FixturesDir/edn/edn_log.edn.gz"))
         .orderBy("e", "path")),
 
+    // MIG-2d: cardinality-MANY import — datom-triple latest-wins, so
+    // multi-valued ACeDB tags keep every live value (ADVICE r3 item 2).
+    "mig2d_latest_wins_multi" -> ((s, _) =>
+      latestWinsMulti(ednLogs(s)).orderBy("e", "path", "value")),
+
     // MIG-3: apply-patches MERGE — base ∪ patches, patches win.
     "mig3_apply_patches" -> ((s, _) =>
       importedState(s).orderBy("e", "path")),
@@ -399,6 +439,12 @@ object MigrationOps extends QueryModule {
          |FROM read_csv('$FixturesDir/edn/edn_log_*.csv', header=true,
          |              all_varchar=true)""".stripMargin) + "\nORDER BY e, path"),
 
+    "mig2d_latest_wins_multi" -> (latestWinsMultiSql(
+      s"""SELECT CAST(ts AS BIGINT) ts, e, path, value, op
+         |FROM read_csv('$FixturesDir/edn/edn_log_*.csv', header=true,
+         |              all_varchar=true)""".stripMargin) +
+      "\nORDER BY e, path, value"),
+
     "mig3_apply_patches" ->
       (latestWinsSql(patchedLogSql) + "\nORDER BY e, path"),
 
@@ -456,13 +502,28 @@ object MigrationOps extends QueryModule {
   )
 
   /** DuckDB latest-wins over a (ts,e,path,value,op) changelog subquery —
-    * textually mirrors [[latestWins]]. */
+    * mirrors [[latestWins]] incl. the deterministic (ts, assert>retract,
+    * value) ordering, phrased as a row_number pick so determinism is
+    * explicit in standard SQL. */
   private def latestWinsSql(changelogSql: String): String =
     s"""SELECT e, path, value FROM (
-       |  SELECT e, path, arg_max(value, ts) AS value,
-       |         arg_max(op, ts) AS last_op
-       |  FROM ($changelogSql) GROUP BY e, path)
-       |WHERE last_op = 'assert'""".stripMargin
+       |  SELECT e, path, value, op, row_number() OVER (
+       |    PARTITION BY e, path
+       |    ORDER BY ts DESC,
+       |             CASE WHEN op = 'assert' THEN 1 ELSE 0 END DESC,
+       |             value DESC) AS rn
+       |  FROM ($changelogSql))
+       |WHERE rn = 1 AND op = 'assert'""".stripMargin
+
+  /** DuckDB mirror of [[latestWinsMulti]] (triple-level latest op). */
+  private def latestWinsMultiSql(changelogSql: String): String =
+    s"""SELECT e, path, value FROM (
+       |  SELECT e, path, value, op, row_number() OVER (
+       |    PARTITION BY e, path, value
+       |    ORDER BY ts DESC,
+       |             CASE WHEN op = 'assert' THEN 1 ELSE 0 END DESC) AS rn
+       |  FROM ($changelogSql))
+       |WHERE rn = 1 AND op = 'assert'""".stripMargin
 
   /** DuckDB analogue of [[patchedLog]] built from the golden datom CSV
     * (DuckDB can't parse .ace; the golden is mig1's verified parse). */

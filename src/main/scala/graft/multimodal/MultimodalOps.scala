@@ -154,7 +154,7 @@ object MultimodalOps extends QueryModule {
     "mm2_decode_stats" ->
       """SELECT d.doc_id,
         |  CAST(length(d.text) AS INT) AS n_bytes,
-        |  sum(ord(substr(d.text, CAST(u.i AS INT), 1))) AS byte_sum,
+        |  CAST(sum(ord(substr(d.text, CAST(u.i AS INT), 1))) AS BIGINT) AS byte_sum,
         |  round(CAST(sum(ord(substr(d.text, CAST(u.i AS INT), 1))) AS DOUBLE)
         |        / length(d.text), 6) AS mean_byte
         |FROM documents d, unnest(range(1, length(d.text) + 1)) AS u(i)

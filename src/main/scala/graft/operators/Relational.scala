@@ -219,7 +219,11 @@ object Relational extends QueryModule {
     // the shuffle once at write time, never again per query.
     // (BucketJoinSpec asserts the no-exchange plan.)
     "join11_bucketed" -> ((s, d) => {
-      val wh = "graft_b_orders" -> "graft_b_lineitem"
+      // table names encode the data dir (ADVICE r3 item 4): one JVM running
+      // against two different dirs must not silently reuse the first dir's
+      // bucketed files. String.hashCode is stable across JVMs.
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val wh = s"graft_b_orders_$tag" -> s"graft_b_lineitem_$tag"
       if (!s.catalog.tableExists(wh._1)) {
         // the in-memory catalog forgets tables across JVMs but their files
         // persist under the warehouse dir — clear stale locations first

@@ -41,6 +41,31 @@ class CosineSimSpec extends SparkSpec {
     assert(ev === expected)
   }
 
+  test("cosine_sim nulls on length mismatch and zero norm (HOF parity)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("mismatch", Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      ("zero_a", Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      ("ok", Array(1.0f, 0.0f), Array(1.0f, 0.0f)))
+      .toDF("k", "a", "b")
+    val rows = df.selectExpr("k", "cosine_sim(a, b) AS c")
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(rows("mismatch") === null)
+    assert(rows("zero_a") === null)
+    assert(rows("ok") === 1.0)
+    // interpreted path agrees
+    def lit(a: Array[Float]) =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+    assert(graft.functions.CosineSim(
+      lit(Array(1.0f, 2.0f)), lit(Array(1.0f, 2.0f, 3.0f))).eval(null) === null)
+    assert(graft.functions.CosineSim(
+      lit(Array(0.0f)), lit(Array(1.0f))).eval(null) === null)
+  }
+
   test("cosine_sim is usable from plain SQL (extension registration)") {
     val r = spark.sql(
       "SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
