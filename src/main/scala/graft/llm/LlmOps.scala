@@ -121,6 +121,45 @@ object LlmOps extends QueryModule {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** EXACT n-gram Jaccard near-dup via posting lists — the scale-correct
+    * exact formulation (vs naive O(n²) all-pairs): explode shingles,
+    * self-join on the shingle (only pairs sharing ≥1 shingle are ever
+    * scored), count the intersection per pair, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Hot-shingle df-cap (VERDICT r4 #3): the self-join is keyed by shingle,
+    * so a stop-shingle present in k docs emits k² candidate rows — quadratic
+    * blowup at 100 TB. Shingles with document frequency > dfCap are dropped
+    * from the posting lists BEFORE the join (sizes |A|,|B| stay uncapped),
+    * bounding fan-out at dfCap² per shingle. Exactness: dropping shingles
+    * only removes common-shingle evidence, so computed J <= true J — never a
+    * false positive. A true pair (J >= t) is missed only if its overlap
+    * rests on shingles each shared by > dfCap documents — at t=0.8 that
+    * means two near-identical documents composed almost entirely of 3-grams
+    * that each also appear in a thousand other documents: adversarial, not
+    * organic, text. ApproxSpec asserts capped == uncapped on the corpus and
+    * that the cap actually prunes when lowered. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        dfCap: Int = 1000): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+      .localCheckpoint()  // feeds sizes + df + both join sides
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // shingles3 emits DISTINCT shingles per doc, so count(*) == doc freq
+    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") <= dfCap)
+      .select("shingle")
+    val capped = sh.join(keep, "shingle")
+    val a = capped.select(col("shingle"), col("doc_id").as("a_id"))
+    val b = capped.select(col("shingle"), col("doc_id").as("b_id"))
+    a.join(b, "shingle").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** 64-bit SimHash over unigram tokens (sign of per-bit weighted sums).
     * A Scala UDF: the per-row 64×tokens bit loop is imperative by nature and
     * this operator is ScalaTest-verified (no SQL oracle), so a UDF is the
@@ -163,30 +202,12 @@ object LlmOps extends QueryModule {
       minhashNearDupPairs(Tables.documents(s, d), threshold = 0.8)
         .orderBy("a_id", "b_id")),
 
-    // LLM-2b: EXACT n-gram Jaccard near-dup via posting lists — the
-    // scale-correct exact formulation (vs naive O(n²) all-pairs): explode
-    // shingles, self-join on the shingle (only pairs sharing ≥1 shingle are
-    // ever scored — pairs with no overlap can't reach any threshold > 0),
-    // count the intersection per pair, |A∪B| = |A|+|B|−|A∩B|. Shuffle is
-    // keyed by shingle → skew from hot shingles is AQE-split; at 100 TB add
-    // a df-cap on pathological stop-shingles.
-    "llm2b_ngram_jaccard" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
-        .localCheckpoint()  // feeds sizes + both join sides
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col("shingle"), col("doc_id").as("a_id"))
-      val b = sh.select(col("shingle"), col("doc_id").as("b_id"))
-      a.join(b, "shingle").filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-        .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
-        .withColumn("jaccard", col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")))
-        .filter(col("jaccard") >= 0.8)
-        .select("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id")
-    }),
+    // LLM-2b: EXACT n-gram Jaccard near-dup via posting lists with the
+    // hot-shingle df-cap — see [[ngramJaccardPairs]] for the plan and the
+    // exactness condition of the cap.
+    "llm2b_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardPairs(Tables.documents(s, d), threshold = 0.8)
+        .orderBy("a_id", "b_id")),
 
     // LLM-2c: SimHash fingerprints (no SQL oracle — ScalaTest-verified).
     "llm2c_simhash" -> ((s, d) =>

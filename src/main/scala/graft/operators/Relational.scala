@@ -237,6 +237,9 @@ object Relational extends QueryModule {
           if (root.exists()) rm(root)
         }
         purge(wh._1); purge(wh._2)
+        // one-time sweep of the pre-tag legacy dirs (ADVICE r4): earlier
+        // rounds wrote untagged table names that nothing recreates or cleans
+        purge("graft_b_orders"); purge("graft_b_lineitem")
         Tables.orders(s, d).select("o_orderkey", "o_totalprice")
           .write.mode("overwrite")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -273,19 +276,21 @@ object Relational extends QueryModule {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
-    "agg3_argmax" -> ((s, d) => {
-      // arg-max per group + max(length) per group (util.py:76-77 analogue)
-      val c = Tables.customer(s, d)
-      val w = Window.partitionBy("c_nationkey")
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      c.withColumn("rn", row_number().over(w))
-        .withColumn("max_name_len",
-          max(length(col("c_name"))).over(Window.partitionBy("c_nationkey")))
-        .filter(col("rn") === 1)
-        .select(col("c_nationkey"), col("c_custkey").as("top_custkey"),
-          col("c_acctbal").as("top_acctbal"), col("max_name_len"))
-        .orderBy("c_nationkey")
-    }),
+    "agg3_argmax" -> ((s, d) =>
+      // arg-max per group + max(length) per group (util.py:76-77 analogue).
+      // Pure hash aggregate, NOT a window (VERDICT r4 #4): max_by over the
+      // deterministic key (acctbal, -custkey) == "order by acctbal desc,
+      // custkey asc, take first", and partial aggregation combines map-side,
+      // so no single task ever sorts a whole 25-key group at 100×. The top
+      // row's acctbal IS max(acctbal) (the key's primary component).
+      Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(
+          max_by(col("c_custkey"),
+            struct(col("c_acctbal"), -col("c_custkey"))).as("top_custkey"),
+          max(col("c_acctbal")).as("top_acctbal"),
+          max(length(col("c_name"))).as("max_name_len"))
+        .orderBy("c_nationkey")),
 
     "agg4_distinct" -> ((s, d) =>
       Tables.customer(s, d).select("c_mktsegment").distinct()
@@ -434,9 +439,26 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")),
 
     "win2_rank" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc)
-      Tables.orders(s, d)
+      // Two-phase top-k-per-group (VERDICT r4 #4): o_orderstatus has 3
+      // values, so a direct rank() window sorts a third of the table in ONE
+      // task at 100×. Phase 1 ranks within (status, salt) buckets — a row's
+      // local rank is <= its global rank (dropping rows can only shrink the
+      // strictly-greater count), so keeping local rank <= 20 is lossless for
+      // global rank <= 20. Phase 2 re-ranks the <= ~20·64 survivors per
+      // status: every row strictly greater than a global-top-20 row has
+      // global rank < 20 and thus survives phase 1, so rank AND dense_rank
+      // recompute to their exact global values on the pruned set.
+      val salted = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("salt", pmod(hash(col("o_orderkey")), lit(64)))
+      val wLocal = Window.partitionBy("o_orderstatus", "salt")
+        .orderBy(col("o_totalprice").desc)
+      val pruned = salted
+        .withColumn("lrk", rank().over(wLocal))
+        .filter(col("lrk") <= 20)
+        .drop("salt", "lrk")
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc)
+      pruned
         .withColumn("rk", rank().over(w))
         .withColumn("drk", dense_rank().over(w))
         .filter(col("rk") <= 20)

@@ -67,6 +67,26 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall $recall below floor (nprobe=2 of 16)")
   }
 
+  test("llm2b: hot-shingle df-cap is lossless here and actually prunes") {
+    val docs = Tables.documents(spark, Sf0001)
+    def pairs(cap: Int): Set[(Long, Long)] =
+      LlmOps.ngramJaccardPairs(docs, threshold = 0.8, dfCap = cap)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(1000)            // the declared-query default
+    val uncapped = pairs(Int.MaxValue)  // cap disabled
+    assert(capped === uncapped,
+      "default df-cap must not change the output on this corpus")
+    assert(capped.nonEmpty, "corpus must contain near-dup pairs")
+    // the cap must be wired into the plan, not decorative: with dfCap=1 only
+    // doc-unique shingles survive, so no pair can share a shingle
+    assert(pairs(1) === Set.empty[(Long, Long)],
+      "dfCap=1 must prune every candidate pair")
+    val plan = LlmOps.ngramJaccardPairs(docs, 0.8)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("df_docs"), s"df filter missing from plan:\n$plan")
+  }
+
   test("llm2: LSH near-dup output equals the exact all-pairs baseline") {
     // with b=32,r=4 and the corpus's bimodal jaccard the miss probability is
     // ~5e-8 — the LSH path must reproduce the exact result on sf0.001

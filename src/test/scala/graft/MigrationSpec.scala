@@ -56,30 +56,77 @@ class MigrationSpec extends SparkSpec {
         if (rnd.nextBoolean()) "assert" else "retract", ts.toLong)
     }
 
+  /** Colliding-ts generator (ADVICE r4): tiny ts/value domains force the
+    * equal-ts tiebreak branches (op rank, value compare) and null values
+    * exercise the null ordering — none of which distinct-ts logs reach. */
+  private def collidingLog(rnd: scala.util.Random, n: Int): Seq[LwIn] =
+    (0 until n).map { _ =>
+      LwIn(if (rnd.nextInt(5) == 0) null else s"v${rnd.nextInt(3)}",
+        if (rnd.nextBoolean()) "assert" else "retract",
+        rnd.nextInt(4).toLong)
+    }
+
+  private val generators: Seq[(String, (scala.util.Random, Int) => Seq[LwIn])] =
+    Seq("distinct-ts" -> randomLog, "colliding-ts" -> collidingLog)
+
   test("latest-wins: split replay == whole replay (resume invariant)") {
-    val rnd = new scala.util.Random(42)
-    for (_ <- 1 to 200) {
-      val log = randomLog(rnd, rnd.nextInt(30))
-      val k = if (log.isEmpty) 0 else rnd.nextInt(log.size + 1)
-      val (prefix, rest) = log.splitAt(k)
-      val whole = applyAll(LatestWinsAgg.zero, log)
-      val resumed = applyAll(applyAll(LatestWinsAgg.zero, prefix), rest)
-      assert(whole === resumed)
+    for ((gname, gen) <- generators) {
+      val rnd = new scala.util.Random(42)
+      for (_ <- 1 to 200) {
+        val log = gen(rnd, rnd.nextInt(30))
+        val k = if (log.isEmpty) 0 else rnd.nextInt(log.size + 1)
+        val (prefix, rest) = log.splitAt(k)
+        val whole = applyAll(LatestWinsAgg.zero, log)
+        val resumed = applyAll(applyAll(LatestWinsAgg.zero, prefix), rest)
+        assert(whole === resumed, s"generator $gname")
+      }
     }
   }
 
   test("latest-wins: merge is commutative and order-insensitive") {
-    val rnd = new scala.util.Random(7)
-    for (_ <- 1 to 200) {
-      val log = randomLog(rnd, 1 + rnd.nextInt(20))
-      val shuffled = rnd.shuffle(log.toList)
-      assert(applyAll(LatestWinsAgg.zero, log) ===
-        applyAll(LatestWinsAgg.zero, shuffled))
-      val (a, b) = log.splitAt(rnd.nextInt(log.size + 1))
-      val ba = applyAll(LatestWinsAgg.zero, a)
-      val bb = applyAll(LatestWinsAgg.zero, b)
-      assert(LatestWinsAgg.merge(ba, bb) === LatestWinsAgg.merge(bb, ba))
+    for ((gname, gen) <- generators) {
+      val rnd = new scala.util.Random(7)
+      for (_ <- 1 to 200) {
+        val log = gen(rnd, 1 + rnd.nextInt(20))
+        val shuffled = rnd.shuffle(log.toList)
+        assert(applyAll(LatestWinsAgg.zero, log) ===
+          applyAll(LatestWinsAgg.zero, shuffled), s"generator $gname")
+        val (a, b) = log.splitAt(rnd.nextInt(log.size + 1))
+        val ba = applyAll(LatestWinsAgg.zero, a)
+        val bb = applyAll(LatestWinsAgg.zero, b)
+        assert(LatestWinsAgg.merge(ba, bb) === LatestWinsAgg.merge(bb, ba),
+          s"generator $gname")
+      }
     }
+  }
+
+  test("latest-wins: equal-ts tiebreaks — assert beats retract, binary value order") {
+    // assert outranks retract at equal ts
+    val b1 = applyAll(LatestWinsAgg.zero,
+      Seq(LwIn("x", "retract", 5L), LwIn("y", "assert", 5L)))
+    assert(b1.op === "assert" && b1.value === "y")
+    // same outcome regardless of arrival order
+    val b2 = applyAll(LatestWinsAgg.zero,
+      Seq(LwIn("y", "assert", 5L), LwIn("x", "retract", 5L)))
+    assert(b1 === b2)
+    // value tiebreak is UTF-8 binary order (not UTF-16 code units): U+10000
+    // (surrogate pair, first UTF-16 unit 0xD800) must BEAT U+FFFD, because
+    // its UTF-8 bytes (F0 90 80 80) sort above U+FFFD's (EF BF BD)
+    val supp = new String(Character.toChars(0x10000))
+    val b3 = applyAll(LatestWinsAgg.zero,
+      Seq(LwIn("\uFFFD", "assert", 1L), LwIn(supp, "assert", 1L)))
+    assert(b3.value === supp, "UTF-8 binary order must pick the supplementary char")
+    // null value loses to any non-null at equal ts/op, and never NPEs
+    val b4 = applyAll(LatestWinsAgg.zero,
+      Seq(LwIn(null, "assert", 1L), LwIn("a", "assert", 1L)))
+    assert(b4.value === "a")
+    val b5 = applyAll(LatestWinsAgg.zero,
+      Seq(LwIn("a", "assert", 1L), LwIn(null, "assert", 1L)))
+    assert(b5.value === "a")
+    // a null-valued winner at a LATER ts does win (nullity != empty buffer)
+    val b6 = applyAll(LatestWinsAgg.zero,
+      Seq(LwIn("a", "assert", 1L), LwIn(null, "assert", 2L)))
+    assert(b6.value === null && b6.set)
   }
 
   // ---- markdown report golden (util.py:74-99 semantics) ----

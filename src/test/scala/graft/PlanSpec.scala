@@ -86,6 +86,25 @@ class PlanSpec extends SparkSpec {
       s"bucketed join must not re-shuffle either side:\n$p")
   }
 
+  test("win2: two-phase salted top-k — no raw-table window over 3 statuses") {
+    val p = planOf("win2_rank")
+    // phase 1 must rank within (status, salt) buckets; phase 2 over the
+    // pruned union — two Window nodes, the first keyed by the salt
+    assert("Window ".r.findAllIn(p).size >= 2,
+      s"expected the salted phase-1 window AND the final window:\n$p")
+    assert(p.contains("salt"), s"phase 1 must partition by (status, salt):\n$p")
+  }
+
+  test("agg3: arg-max is a partial/final aggregate, not a window") {
+    val p = planOf("agg3_argmax")
+    assert(!p.contains("Window"),
+      s"agg3 must compile to an aggregate (map-side combine), no window:\n$p")
+    // max_by's struct ordering plans as SortAggregate; the load-bearing
+    // property is the partial (map-side) phase before the exchange
+    assert(p.contains("partial_max_by"),
+      s"expected a partial map-side max_by in:\n$p")
+  }
+
   test("window queries over raw tables: no single-partition exchange") {
     // (win1/strm4/mig7 windows run over pre-limited/pre-aggregated tiny
     // frames by design; these are the raw-scan paths that must scale)
