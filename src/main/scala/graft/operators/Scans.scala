@@ -168,6 +168,25 @@ object Scans extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // SINK-9: versioned snapshot store (Delta stand-in; VersionedStore) —
+    // the reference KEEPS prior snapshots restorable (backup-db,
+    // runcommand.py:221-255), so an overwrite must not destroy history.
+    // Commit v1 (F orders), then "overwrite" with v2 (O orders), then
+    // time-travel read v1: the answer must still be the F snapshot. The
+    // flip to each version is one atomic marker create — no torn reads.
+    "sink9_versioned" -> ((s, d) => {
+      val root = s"$SinkDir/sink9_versioned"
+      VersionedStore.destroy(root)
+      val orders = Tables.orders(s, d)
+      VersionedStore.commit(
+        orders.filter(col("o_orderstatus") === "F"), root)
+      VersionedStore.commit(
+        orders.filter(col("o_orderstatus") === "O"), root)
+      VersionedStore.read(s, root, version = 1L)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // SINK-7: JSON-lines round-trip with explicit read schema (schemaless
     // text interchange; no inferSchema pass).
     "sink7_jsonl" -> ((s, d) => {
@@ -239,6 +258,12 @@ object Scans extends QueryModule {
       """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS INT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // version 1 was the F-filtered snapshot; the later v2 commit must not
+    // change this answer
+    "sink9_versioned" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sink8_compacted" ->
       """SELECT doc_id, length(text) AS n_chars

@@ -1,0 +1,113 @@
+package graft.operators
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned-snapshot table — the Delta-style layout the north-star
+  * contract names, stood up on plain parquet because Delta jars cannot ship
+  * in this offline image. Reference motivation: backup-db KEEPS prior
+  * snapshots restorable (runcommand.py:221-255, datomic.py:12-23) — a plain
+  * overwrite destroys them.
+  *
+  * Layout under `root/`:
+  * {{{
+  *   data-<uuid>/            one immutable parquet dir per commit ATTEMPT
+  *   data-<uuid>/
+  *   _versions/00001.commit  marker per version; its CONTENT names the data
+  *   _versions/00002.commit  dir (a one-line manifest). Version visible iff
+  *                           its marker exists.
+  * }}}
+  *
+  * Commit protocol: (1) write a fresh uniquely-named `data-<uuid>` dir —
+  * writers never share a path, so concurrent attempts cannot clobber each
+  * other's files; (2) claim the next version number by creating
+  * `_versions/N.commit` (create-new semantics) with the data-dir name as its
+  * body, retrying with N+1 if another writer won N. The flip is one atomic
+  * file creation, so a reader either sees version N complete or not at all —
+  * no torn reads, no window where the table is empty mid-overwrite (the
+  * failure mode of read-merge-overwrite upserts). A crashed writer leaves
+  * only an invisible orphan data dir. Prior versions stay readable (time
+  * travel) until [[vacuum]]. On an object store the marker create maps to a
+  * conditional PUT-if-absent and no rename is ever needed — data dirs are
+  * immutable and only referenced through the marker manifest.
+  */
+object VersionedStore {
+
+  private def vdir(root: String) = new File(root, "_versions")
+  private def marker(root: String, v: Long) =
+    new File(vdir(root), f"$v%05d.commit")
+
+  /** Committed (visible) versions, ascending. */
+  def versions(root: String): Seq[Long] =
+    Option(vdir(root).listFiles()).getOrElse(Array.empty).toSeq
+      .map(_.getName).filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong).sorted
+
+  def latestVersion(root: String): Option[Long] = versions(root).lastOption
+
+  /** Data dir a committed version's manifest points at. */
+  private def dataDirOf(root: String, v: Long): File = {
+    val m = marker(root, v)
+    require(m.exists(),
+      s"version $v not committed under $root (have ${versions(root)})")
+    val name = new String(
+      Files.readAllBytes(m.toPath), StandardCharsets.UTF_8).trim
+    new File(root, name)
+  }
+
+  /** Write `df` as the next version; returns the committed version number.
+    * The version becomes visible only at the final marker create; on a
+    * version-number race the loser retries at the next number — its data
+    * dir is private, so nothing is ever overwritten. */
+  def commit(df: DataFrame, root: String, maxRetries: Int = 64): Long = {
+    val dataName = s"data-${java.util.UUID.randomUUID()}"
+    df.write.mode("errorifexists").parquet(new File(root, dataName).toString)
+    vdir(root).mkdirs()
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val v = latestVersion(root).getOrElse(0L) + 1
+      try {
+        Files.write(marker(root, v).toPath,
+          dataName.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        committed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"could not claim a version under $root after $maxRetries races")
+      }
+    }
+    committed
+  }
+
+  /** Read a specific committed version, or the latest when version < 0. */
+  def read(s: SparkSession, root: String, version: Long = -1L): DataFrame = {
+    val v =
+      if (version >= 0) version
+      else latestVersion(root).getOrElse(
+        throw new IllegalStateException(s"no committed versions under $root"))
+    s.read.parquet(dataDirOf(root, v).toString)
+  }
+
+  private def rmTree(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Drop all but the newest `keep` versions. Marker deleted before data so
+    * a concurrent reader never resolves a visible version to missing files. */
+  def vacuum(root: String, keep: Int): Unit =
+    versions(root).dropRight(keep).foreach { v =>
+      val data = dataDirOf(root, v)
+      marker(root, v).delete(): Unit
+      rmTree(data)
+    }
+
+  /** Recursive delete of a store root (test/sink reset helper). */
+  def destroy(root: String): Unit = rmTree(new File(root))
+}

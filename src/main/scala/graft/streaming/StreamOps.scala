@@ -84,11 +84,16 @@ object StreamOps extends QueryModule {
 
   /** STRM-6 streaming: latest-wins upsert maintained incrementally via
     * foreachBatch MERGE (SURVEY §2.9). Each micro-batch merges into the
-    * parquet state: union(previous state, batch-latest) → latest-wins.
-    * With Delta this would be a real MERGE INTO; plain parquet
-    * read-merge-overwrite has the same semantics (idempotent per batch). */
+    * versioned state store: union(previous state, batch-latest) →
+    * latest-wins → commit as the next version. With Delta this would be a
+    * real MERGE INTO; [[graft.operators.VersionedStore]] gives the same
+    * atomicity — the new state becomes visible at one marker-file create,
+    * so a concurrent reader never sees a half-written or empty table (the
+    * failure window of the old read-merge-OVERWRITE two-step), and prior
+    * versions stay readable for audit/rollback. */
   def runUpsertStream(s: SparkSession, ev: DataFrame, stateDir: String,
                       checkpointDir: String): Unit = {
+    import graft.operators.VersionedStore
     val q = ev.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -96,26 +101,24 @@ object StreamOps extends QueryModule {
         val spark = batch.sparkSession
         val batchLatest = latestByUser(batch)
         val merged =
-          if (new java.io.File(stateDir).exists()) {
-            val prev = spark.read.parquet(stateDir)
+          if (VersionedStore.latestVersion(stateDir).isDefined) {
+            val prev = VersionedStore.read(spark, stateDir)
             val w = Window.partitionBy("user_id")
               .orderBy(col("last_us").desc, col("event_id").desc)
             prev.unionByName(batchLatest)
               .withColumn("rn", row_number().over(w))
               .filter(col("rn") === 1).drop("rn")
           } else batchLatest
-        // write via temp + rename-free overwrite: parquet state is small
-        // (one row per user); Delta MERGE replaces this at scale
-        val tmp = stateDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val st = spark.read.parquet(tmp)
-        st.write.mode("overwrite").parquet(stateDir)
-        (): Unit
+        VersionedStore.commit(merged, stateDir): Unit
       }
       .start()
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Latest committed upsert state (the read side of [[runUpsertStream]]). */
+  def upsertState(s: SparkSession, stateDir: String): DataFrame =
+    graft.operators.VersionedStore.read(s, stateDir)
 
   /** JOIN-9 streaming: stream-stream interval join — click events joined to
     * purchase events of the same user within [0, 30 min) after the click.

@@ -174,10 +174,17 @@ class StructuredStreamingSpec extends SparkSpec {
     input.addData(all.drop(2): _*)
     StreamOps.runUpsertStream(s, input.toDF(), stateDir, ckDir)
 
-    val streamed = s.read.parquet(stateDir)
+    val streamed = StreamOps.upsertState(s, stateDir)
       .select("user_id", "last_type", "last_value", "last_us")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
         r.getLong(3))).toSet
+    // each micro-batch committed one atomic version; the first batch's
+    // state (users 1-2 only, pre-merge) is still readable = time travel
+    val vs = graft.operators.VersionedStore.versions(stateDir)
+    assert(vs.size === 2, s"one version per micro-batch, got $vs")
+    val v1Users = graft.operators.VersionedStore.read(s, stateDir, vs.head)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(v1Users === Set(1L))
     val batch = StreamOps.latestByUser(all.toDF())
       .select("user_id", "last_type", "last_value", "last_us")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),

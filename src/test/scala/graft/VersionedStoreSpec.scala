@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.VersionedStore
+import org.apache.spark.sql.functions._
+
+/** Commit-protocol guarantees of the versioned snapshot store (SINK-9):
+  * snapshot isolation across overwrites, invisibility of uncommitted data,
+  * concurrent-writer detection, and vacuum retention. */
+class VersionedStoreSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-vstore").toString + "/store"
+
+  test("commit/read: versions are isolated snapshots; latest wins by default") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val v1 = VersionedStore.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    val v2 = VersionedStore.commit(Seq((3, "c")).toDF("k", "v"), root)
+    assert((v1, v2) === (1L, 2L))
+    // time travel: v1 unchanged after the v2 overwrite
+    val r1 = VersionedStore.read(s, root, v1).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(r1 === Seq((1, "a"), (2, "b")))
+    // default read resolves to the latest committed version
+    val latest = VersionedStore.read(s, root)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(latest === Seq((3, "c")))
+  }
+
+  test("uncommitted data dirs are invisible; reading them is an error") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedStore.commit(Seq((1, "a")).toDF("k", "v"), root)
+    // simulate a failed writer: data dir fully written, marker never created
+    Seq((9, "orphan")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$root/data-00002")
+    assert(VersionedStore.versions(root) === Seq(1L))
+    assert(VersionedStore.read(s, root).count() === 1L)
+    intercept[IllegalArgumentException] {
+      VersionedStore.read(s, root, version = 2L)
+    }
+  }
+
+  test("concurrent writers: no lost updates — every visible version is a full commit") {
+    val s = spark
+    import s.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = freshRoot()
+    // racing writers both read the same latest version and target the same
+    // slot; the create-new marker lets exactly one of them win that slot —
+    // the loser throws instead of silently clobbering (lost update)
+    val results = Await.result(Future.sequence((1 to 8).map(i => Future {
+      try Right(VersionedStore.commit(Seq((i, s"w$i")).toDF("k", "v"), root))
+      catch { case e: IllegalArgumentException => Left(e.getMessage) }
+    })), 2.minutes)
+    val won = results.collect { case Right(v) => v }
+    assert(won.distinct.size === won.size, s"two writers claimed one version: $won")
+    assert(VersionedStore.versions(root) === won.sorted)
+    // every visible version resolves to complete, readable data
+    VersionedStore.versions(root).foreach { v =>
+      assert(VersionedStore.read(s, root, v).count() === 1L)
+    }
+  }
+
+  test("vacuum drops oldest versions, keeps the newest k readable") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    (1 to 4).foreach(i => VersionedStore.commit(Seq(i).toDF("k"), root))
+    VersionedStore.vacuum(root, keep = 2)
+    assert(VersionedStore.versions(root) === Seq(3L, 4L))
+    assert(VersionedStore.read(s, root, 3L).select("k")
+      .collect().map(_.getInt(0)).toSeq === Seq(3))
+    intercept[IllegalArgumentException] {
+      VersionedStore.read(s, root, 1L)
+    }
+    // vacuumed data dirs are physically gone, not just unlisted
+    assert(!new java.io.File(s"$root/data-00001").exists())
+  }
+
+  test("sink9 query: v1 aggregate unchanged by the v2 overwrite") {
+    val s = spark
+    val df = SparkEntry.queries("sink9_versioned")(s, Sf0001)
+    val viaV1 = df.agg(sum("n")).head().getLong(0)
+    val expected = Tables.orders(s, Sf0001)
+      .filter(col("o_orderstatus") === "F").count()
+    assert(viaV1 === expected)
+  }
+}
