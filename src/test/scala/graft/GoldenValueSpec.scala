@@ -1,0 +1,69 @@
+package graft
+
+import graft.multimodal.MultimodalOps
+import org.apache.spark.sql.functions._
+
+/** Pinned-literal coverage for the two operators with no SQL oracle
+  * (VERDICT r4 #1): `func_hash_xx64` (xxhash64 is Spark-native — no DuckDB
+  * equivalent) and `mm5_features` (float accumulation order is
+  * impl-defined, so no SQL oracle). Pinning literal values guards the
+  * actual contract — seed 42, UTF-8 byte hashing, the stub's exact
+  * arithmetic — against silent drift. */
+class GoldenValueSpec extends SparkSpec {
+
+  test("xxhash64: pinned seed-42 values for known strings") {
+    val s = spark
+    import s.implicits._
+    // independently derived from the xxHash64 reference algorithm over the
+    // UTF-8 bytes with Spark's fixed seed 42
+    val expected = Map(
+      "" -> -7444071767201028348L,
+      "a" -> -8582455328737087284L,
+      "abc" -> 1423657621850124518L,
+      "Customer#000000001" -> 5289279398613631133L,
+      "WBGene00000001" -> -1928116113957435403L)
+    val got = expected.keys.toSeq.toDF("t")
+      .select(col("t"), xxhash64(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("func_hash_xx64 query: customer 1 hashes to the pinned value") {
+    val df = SparkEntry.queries("func_hash_xx64")(spark, Sf0001)
+    // c_custkey=1 is named Customer#000000001 in every TPC-H-ish sf
+    val row = df.filter(col("c_custkey") === 1).collect().head
+    assert(row.getLong(1) === 5289279398613631133L)
+  }
+
+  test("mm5 featuresStub: golden vector — one byte per lane") {
+    val s = spark
+    import s.implicits._
+    // "ABCDEFGH": byte i lands in lane i, so lane j accumulates
+    // (65+j)/255, and the /len*dim renormalization cancels (len == dim)
+    val vec = Seq("ABCDEFGH").toDF("t")
+      .select(MultimodalOps.featuresStub(col("t").cast("binary")).as("f"))
+      .collect().head.getSeq[Float](0)
+    assert(vec.length === 8)
+    vec.zipWithIndex.foreach { case (f, j) =>
+      assert(math.abs(f - (65 + j) / 255.0f) < 1e-6f,
+        s"lane $j: got $f, want ${(65 + j) / 255.0f}")
+    }
+  }
+
+  test("mm5 featuresStub: dim, determinism, and normalization bound on real docs") {
+    val s = spark
+    val feats = MultimodalOps.mediaTable(s, Sf0001)
+      .select(col("doc_id"), MultimodalOps.featuresStub(col("payload")).as("f"))
+    val rows = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(rows.nonEmpty)
+    // fixed dim, every element in [0, dim]: each lane averages bytes/255
+    // over its stride (≤ 1) before the *dim renormalization
+    rows.foreach { case (id, v) =>
+      assert(v.length === 8, s"doc $id: dim ${v.length}")
+      v.foreach(f => assert(f >= 0.0f && f <= 8.0f, s"doc $id out of bound: $f"))
+    }
+    // deterministic: a second evaluation is bit-identical
+    val again = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+}
