@@ -30,6 +30,9 @@ object FixtureGen {
     ("Gene", "WBGene00000001", Seq(
       (Seq("CGC_name"), "aap-1", "assert"),
       (Seq("Sequence"), "Y110A7A.10", "assert"),
+      // Other_name is a multi-valued ACeDB tag: two concurrent values
+      (Seq("Other_name"), "cep-1", "assert"),
+      (Seq("Other_name"), "nop-1", "assert"),
       (Seq("RNASeq", "FPKM"), "3.5", "assert"))),
     ("Gene", "WBGene00000002", Seq(
       (Seq("CGC_name"), "abc-1", "assert"),
@@ -52,8 +55,14 @@ object FixtureGen {
   )
 
   /** Patch dump: one updated value, one fully-retracted object, one new
-    * object — exercising update / delete / insert in apply-patches. */
+    * object, and a `-D value` retract of ONE value of a multi-valued tag —
+    * exercising update / delete / insert / multi-value surgery in
+    * apply-patches. */
   val patchObjs: Seq[AceObj] = Seq(
+    ("Gene", "WBGene00000001", Seq(
+      // retract exactly one of the two Other_name values, add a third
+      (Seq("Other_name"), "cep-1", "retract"),
+      (Seq("Other_name"), "yop-1", "assert"))),
     ("Gene", "WBGene00000002", Seq(
       (Seq("CGC_name"), "abc-1.2", "assert"))),
     ("Gene", "WBGene00000003", Seq(

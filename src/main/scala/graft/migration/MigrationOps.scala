@@ -331,10 +331,12 @@ object MigrationOps extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // MIG-1 (UDF-1/3): .ace dump → datoms; golden CSV is the parser oracle.
+    // Sort includes (value, op): multi-valued tags repeat (e, path), so the
+    // order must be total for the row-order-sensitive compare.
     "mig1_ace_datoms" -> ((s, _) =>
       aceDatoms(s, s"$FixturesDir/sample.ace")
         .select("e", "path", "value", "op")
-        .orderBy("e", "path")),
+        .orderBy("e", "path", "value", "op")),
 
     // MIG-2: ordered latest-wins import of the per-file logs.
     "mig2_latest_wins" -> ((s, _) =>
@@ -364,6 +366,15 @@ object MigrationOps extends QueryModule {
     // MIG-3: apply-patches MERGE — base ∪ patches, patches win.
     "mig3_apply_patches" -> ((s, _) =>
       importedState(s).orderBy("e", "path")),
+
+    // MIG-3b: apply-patches under cardinality-MANY semantics — a `-D value`
+    // patch line retracts exactly the value it names from a multi-valued
+    // tag; the tag's other concurrent values survive and new asserts add to
+    // the set (ACeDB multi-valued tag surgery, the second half of ADVICE r3
+    // item 2). Same single hash-aggregate shape as mig3, keyed on the full
+    // datom triple.
+    "mig3b_apply_patches_multi" -> ((s, _) =>
+      latestWinsMulti(patchedLog(s)).orderBy("e", "path", "value")),
 
     // MIG-10: input validation (runcommand.py:62-71) — presence + row-count
     // checks over every input table before the pipeline runs; emits one row
@@ -465,7 +476,7 @@ object MigrationOps extends QueryModule {
          |FROM read_csv('$FixturesDir/ace_datoms_golden.csv', header=true,
          |              all_varchar=true)
          |WHERE src = 'base'
-         |ORDER BY e, path""".stripMargin,
+         |ORDER BY e, path, value, op""".stripMargin,
 
     "mig2_latest_wins" -> (latestWinsSql(
       s"""SELECT CAST(ts AS BIGINT) ts, e, path, value, op
@@ -490,6 +501,9 @@ object MigrationOps extends QueryModule {
 
     "mig3_apply_patches" ->
       (latestWinsSql(patchedLogSql) + "\nORDER BY e, path"),
+
+    "mig3b_apply_patches_multi" ->
+      (latestWinsMultiSql(patchedLogSql) + "\nORDER BY e, path, value"),
 
     "mig10_input_validation" ->
       ("SELECT tbl, n_rows, CASE WHEN n_rows > 0 THEN 'ok' ELSE 'EMPTY' END AS status FROM (" +

@@ -129,6 +129,23 @@ class MigrationSpec extends SparkSpec {
     assert(b6.value === null && b6.set)
   }
 
+  // ---- cardinality-many patch surgery (mig3b) ----
+
+  test("apply-patches multi: -D removes one value, others survive, new adds") {
+    val state = MigrationOps.latestWinsMulti(MigrationOps.patchedLog(spark))
+      .filter(org.apache.spark.sql.functions.col("path") === "Other_name")
+      .collect().map(r => (r.getString(0), r.getString(2))).sorted
+    // base asserted {cep-1, nop-1}; patch retracts cep-1, asserts yop-1
+    assert(state === Array(
+      ("Gene:WBGene00000001", "nop-1"),
+      ("Gene:WBGene00000001", "yop-1")))
+    // cardinality-ONE latest-wins on the same tag keeps exactly one winner
+    val one = MigrationOps.importedState(spark)
+      .filter(org.apache.spark.sql.functions.col("path") === "Other_name")
+      .collect()
+    assert(one.length === 1)
+  }
+
   // ---- markdown report golden (util.py:74-99 semantics) ----
 
   test("markdown report: golden render of the QA report") {
