@@ -34,6 +34,11 @@ object MigrationOps extends QueryModule {
 
   val FixturesDir = "/root/repo/fixtures"
 
+  /** Root of the homology second store (mig6b) — deliberately distinct from
+    * the main datom store so the two lifecycles are independent, like the
+    * reference's separate homology DB (runcommand.py:439-461). */
+  val HomolStoreDir = "/root/repo/target/tmp-sinks/mig6b_homol_store"
+
   // ---- datom parser (UDF-1) ----------------------------------------------
 
   /** One parsed datom: entity "Class:Ident", dotted tag path, value, op. */
@@ -446,6 +451,25 @@ object MigrationOps extends QueryModule {
         .groupBy("e").agg(count(lit(1)).as("n_datoms"))
         .orderBy("e")),
 
+    // MIG-6b: homology SECOND store (runcommand.py:439-461 writes the
+    // homology re-import into a SEPARATE database) — the re-import state
+    // for the sequence-feature classes persisted under its own root with
+    // the mig11 per-class layout, then a class-pruned read back. Homology
+    // queries never touch the main datom store, and within the homology
+    // store a one-class read prunes the other classes (PlanSpec asserts
+    // the partition filter). Output matches mig6 exactly: class is a
+    // function of e, so filtering before or after latest-wins commutes.
+    "mig6b_homol_store" -> ((s, _) => {
+      latestWins(patchedLog(s)
+          .filter(clsOf(col("e")).isin("Protein", "CDS")))
+        .withColumn("cls", clsOf(col("e")))
+        .write.mode("overwrite").partitionBy("cls").parquet(HomolStoreDir)
+      s.read.parquet(HomolStoreDir)
+        .filter(col("cls") === "Protein")
+        .groupBy("e").agg(count(lit(1)).as("n_datoms"))
+        .orderBy("e")
+    }),
+
     // MIG-7: markdown render of the QA report (util.py:74-99 semantics).
     // Rows-only for the driver; MigrationSpec pins the golden string.
     "mig7_markdown_report" -> ((s, _) => markdownReport(qaReport(s))),
@@ -550,6 +574,16 @@ object MigrationOps extends QueryModule {
          |ORDER BY e""".stripMargin,
 
     "mig6_homol_reimport" ->
+      s"""WITH filtered AS (
+         |  SELECT * FROM (${patchedLogSql})
+         |  WHERE string_split(e, ':')[1] = 'Protein'),
+         |state AS (${latestWinsSql("SELECT * FROM filtered")})
+         |SELECT e, count(*) AS n_datoms FROM state
+         |GROUP BY e ORDER BY e""".stripMargin,
+
+    // Same oracle as mig6: the Protein slice of the homology store equals
+    // the direct Protein re-import (class filter commutes with latest-wins).
+    "mig6b_homol_store" ->
       s"""WITH filtered AS (
          |  SELECT * FROM (${patchedLogSql})
          |  WHERE string_split(e, ':')[1] = 'Protein'),

@@ -77,6 +77,20 @@ class PlanSpec extends SparkSpec {
       s"expected partition pruning in:\n$p")
   }
 
+  test("mig6b: homology second store is class-pruned and not the main store") {
+    SparkEntry.queries("mig6b_homol_store")(spark, Sf0001).count()
+    val root = new java.io.File(graft.migration.MigrationOps.HomolStoreDir)
+    val parts = root.listFiles().map(_.getName).filter(_.startsWith("cls=")).sorted
+    // the second store holds ONLY the homology classes — it is the filtered
+    // re-import, not a copy of the main datom store (which also has Gene)
+    assert(parts === Array("cls=CDS", "cls=Protein"), parts.mkString(","))
+    val df = spark.read.parquet(root.toString)
+      .filter(col("cls") === "Protein")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(cls"),
+      s"expected class-partition pruning on the homology store read:\n$p")
+  }
+
   test("join11: bucketed join runs with NO shuffle exchange") {
     val df = SparkEntry.queries("join11_bucketed")(spark, Sf0001)
     // materialize so AQE settles, then inspect the final plan
