@@ -22,11 +22,54 @@ object Graft {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     Runtime.getRuntime.availableProcessors().toString)
 
+  /** Object-store (s3a://) readiness — SINK-5's production path (the
+    * reference uploads snapshots to S3, runcommand.py:463-498). This
+    * container has no S3 endpoint or hadoop-aws jars, so sink5_uri
+    * exercises the same Hadoop-FS scheme mechanism via file://; on a
+    * cluster the identical `.write.parquet(path)` call takes
+    * s3a://bucket/prefix once these configs apply. Gated behind
+    * SPARK_GRAFT_S3A=1 so local runs stay untouched.
+    *
+    * Credentials contract: graft NEVER carries secrets — auth resolves
+    * through the standard fs.s3a provider chain (env
+    * AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY, instance/role profile, or
+    * cluster-injected provider), which is the Hadoop-AWS default; only the
+    * optional endpoint override (SPARK_GRAFT_S3_ENDPOINT, for S3-compatible
+    * stores) is plumbed here.
+    *
+    * Committer contract: the default FileOutputCommitter v1 finalizes by
+    * RENAME, which on S3 is an O(files) server-side copy and not atomic —
+    * at 100 TB that is hours of commit time and torn outputs on failure.
+    * The S3A "magic" committer (multipart-upload completion, no rename)
+    * is the production choice; its binding classes live in the
+    * spark-hadoop-cloud module, present on real clusters.
+    */
+  private def withObjectStoreConf(
+      b: SparkSession.Builder): SparkSession.Builder =
+    if (!sys.env.get("SPARK_GRAFT_S3A").contains("1")) b
+    else {
+      val withCommitter = b
+        .config("spark.hadoop.fs.s3a.committer.name", "magic")
+        .config("spark.hadoop.fs.s3a.committer.magic.enabled", "true")
+        .config("spark.sql.sources.commitProtocolClass",
+          "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol")
+        .config("spark.sql.parquet.output.committer.class",
+          "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter")
+        // block uploads stream multiparts as they fill — no local spill of
+        // the whole object before the PUT
+        .config("spark.hadoop.fs.s3a.fast.upload", "true")
+      sys.env.get("SPARK_GRAFT_S3_ENDPOINT")
+        .fold(withCommitter)(ep =>
+          withCommitter.config("spark.hadoop.fs.s3a.endpoint", ep)
+            // non-AWS endpoints generally require path-style addressing
+            .config("spark.hadoop.fs.s3a.path.style.access", "true"))
+    }
+
   def session(appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+    val spark = withObjectStoreConf(SparkSession
       .builder()
       .master(s"local[$cpus]")
-      .appName(appName)
+      .appName(appName))
       // custom codegen expressions (cosine_sim) via the sanctioned
       // extension point — resolves in DataFrame expr() and spark.sql alike
       .withExtensions(graft.functions.VectorExtensions.apply)
