@@ -187,6 +187,37 @@ object Scans extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // SINK-10: batch MERGE INTO on the versioned store — all three Delta
+    // MERGE clauses against a committed snapshot: v1 = full customer
+    // snapshot; the change set UPDATES BUILDING balances (+100), DELETES
+    // MACHINERY customers, INSERTS supplier-derived rows under disjoint
+    // keys. The latest read must reflect all three clauses atomically
+    // (v1 stays time-travel readable; sink9 proves that isolation).
+    "sink10_merge" -> ((s, d) => {
+      val root = s"$SinkDir/sink10_merge"
+      VersionedStore.destroy(root)
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      VersionedStore.commit(cust, root)
+      val changes =
+        cust.filter(col("c_mktsegment") === "BUILDING")
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+          .withColumn("op", lit("upsert"))
+          .unionByName(cust.filter(col("c_mktsegment") === "MACHINERY")
+            .withColumn("op", lit("delete")))
+          .unionByName(Tables.supplier(s, d)
+            .select((col("s_suppkey") + 10000000L).as("c_custkey"),
+              col("s_name").as("c_name"),
+              col("s_acctbal").as("c_acctbal"),
+              lit("SUPPLIER").as("c_mktsegment"))
+            .withColumn("op", lit("upsert")))
+      VersionedStore.merge(s, root, changes, Seq("c_custkey"))
+      VersionedStore.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // SINK-7: JSON-lines round-trip with explicit read schema (schemaless
     // text interchange; no inferSchema pass).
     "sink7_jsonl" -> ((s, d) => {
@@ -267,6 +298,22 @@ object Scans extends QueryModule {
 
     "sink8_compacted" ->
       """SELECT doc_id, length(text) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the merged state: updated BUILDING rows, untouched other segments
+    // minus deleted MACHINERY, plus supplier-derived inserts
+    "sink10_merge" ->
+      s"""WITH merged AS (
+         |  SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+         |  FROM customer WHERE c_mktsegment = 'BUILDING'
+         |  UNION ALL
+         |  SELECT c_custkey, c_acctbal, c_mktsegment
+         |  FROM customer
+         |  WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+         |  UNION ALL
+         |  SELECT s_suppkey + 10000000, s_acctbal, 'SUPPLIER' FROM supplier)
+         |SELECT c_mktsegment, count(*) AS n,
+         |       ${Det.dsumSql("c_acctbal")} AS sum_bal
+         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

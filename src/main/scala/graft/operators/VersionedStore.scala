@@ -94,6 +94,31 @@ object VersionedStore {
     s.read.parquet(dataDirOf(root, v).toString)
   }
 
+  /** MERGE INTO the latest committed version — the batch form of Delta's
+    * three-clause MERGE (the streaming form is StreamOps.runUpsertStream).
+    * Source rows carry an `opCol`: 'delete' drops the matched target row;
+    * anything else upserts the whole source row (replaces when the key
+    * matches, inserts when it doesn't). Target rows unmatched by any source
+    * key carry over unchanged.
+    *
+    * Plan shape: ONE left-anti shuffle join on the merge key plus a union —
+    * no window, no global sort. At 100 TB both sides shuffle once on the
+    * key and AQE splits skewed keys; a small change set broadcasts. (Delta
+    * additionally file-skips so only touched files rewrite — with a
+    * partitioned store root the same effect comes from partition-pruning
+    * the target before the merge.) The result commits through the atomic
+    * marker protocol: readers see the pre- or post-merge snapshot, never an
+    * intermediate, and the pre-merge version stays time-travel readable. */
+  def merge(s: SparkSession, root: String, source: DataFrame,
+            keys: Seq[String], opCol: String = "op"): Long = {
+    import org.apache.spark.sql.functions.col
+    val target = read(s, root)
+    val untouched = target.join(
+      source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val upserts = source.filter(col(opCol) =!= "delete").drop(opCol)
+    commit(untouched.unionByName(upserts), root)
+  }
+
   private def rmTree(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(): Unit

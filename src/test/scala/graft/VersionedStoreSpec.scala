@@ -82,6 +82,28 @@ class VersionedStoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/data-00001").exists())
   }
 
+  test("merge: update/delete/insert clauses apply; pre-merge version intact") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val v1 = VersionedStore.commit(
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "x"), root)
+    val changes = Seq(
+      (2, "b2", 21, "upsert"),   // matched  -> update
+      (3, "c", 30, "delete"),    // matched  -> delete
+      (4, "d", 40, "upsert"))    // no match -> insert
+      .toDF("k", "v", "x", "op")
+    val v2 = VersionedStore.merge(s, root, changes, Seq("k"))
+    assert(v2 === v1 + 1)
+    val merged = VersionedStore.read(s, root).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    // row 1 carried over untouched, 2 replaced, 3 gone, 4 inserted
+    assert(merged === Seq((1, "a", 10), (2, "b2", 21), (4, "d", 40)))
+    // time travel: the pre-merge snapshot still reads exactly as committed
+    assert(VersionedStore.read(s, root, v1).orderBy("k")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+  }
+
   test("sink9 query: v1 aggregate unchanged by the v2 overwrite") {
     val s = spark
     val df = SparkEntry.queries("sink9_versioned")(s, Sf0001)
