@@ -274,19 +274,40 @@ object LlmOps extends QueryModule {
         .limit(20)
     }),
 
-    // LLM-3e ⚠: IVF ANN — coarse quantizer of 16 deterministically sampled
-    // centroids (the 16 lowest xxhash64(vec_id) vectors: stable across
-    // runs, no RNG); every vector is assigned to its nearest centroid
-    // (inverted file = cell column), the query probes its nprobe=4 nearest
-    // cells and exact-cosine re-ranks only those candidates. At 100 TB the
-    // assignment is one broadcast-join pass and the probe reads ~nprobe/C
-    // of the corpus; rows-only + ApproxSpec recall floor.
+    // LLM-3e ⚠: IVF ANN — coarse quantizer of 16 centroids: deterministic
+    // hash-sampled seeds refined by ONE Lloyd iteration (per-cell mean);
+    // every vector is assigned to its nearest centroid (inverted file =
+    // cell column), the query probes its nprobe=4 nearest cells and
+    // exact-cosine re-ranks only those candidates. At 100 TB the training
+    // runs on a hash-sample, the assignment is one broadcast-join pass and
+    // the probe reads ~nprobe/C of the corpus; rows-only + ApproxSpec
+    // recall floor.
     "llm3e_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
+      // seed: 16 deterministically hash-sampled vectors
+      val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+      // one Lloyd refinement: assign to the nearest seed, replace each seed
+      // with its cell's elementwise mean — moves centroids from arbitrary
+      // sample points toward actual cluster centers (standard IVF training).
+      // The mean runs in decimal so the result is bit-deterministic across
+      // partition orders; cosine normalizes, so no re-normalization needed.
+      // At 100 TB this trains on a hash-sample of the corpus, not all of it
+      // (the assignment pass below is the only full-corpus pass).
+      val assigned0 = e.crossJoin(broadcast(seeds))
+        .withColumn("sim", cosine(col("embedding"), col("cent")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cents = assigned0
+        .groupBy("cent_id", "pos")
+        .agg(avg(col("v").cast("decimal(28,12)")).as("m"))
+        .groupBy("cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("cent"))
       val ranked = e.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("embedding"), col("cent")))
         .withColumn("rn", row_number().over(w))
