@@ -420,6 +420,40 @@ object LlmOps extends QueryModule {
           call_function("rolling_hash64", col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // LLM-9: END-TO-END corpus-prep pipeline — the composition a real
+    // training-data build runs over raw documents: quality gate (llm6's
+    // keep rule) → exact dedup keeping the lowest id (llm1) → language id
+    // (llm7's heuristic) → per-language corpus stats. The declared value is
+    // COMPOSITION: the gate's predicate evaluates at the scan, dedup is one
+    // hash-agg + semi-join keyed on the 32-byte content hash (ids-only
+    // shuffle, text never moves twice), langid is codegen'd string exprs on
+    // the surviving rows, and the final rollup aggregates a tiny frame. At
+    // 100 TB: two passes over the gated text and nothing else.
+    "llm9_pipeline" -> ((s, d) => {
+      val text = col("text")
+      val nChars = length(text)
+      val nTokens = size(split(text, " "))
+      val gated = Tables.documents(s, d)
+        .filter(nChars >= 100 && nTokens >= 20)
+      val keep = gated
+        .groupBy(sha2(lower(trim(text)).cast("binary"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      def cnt(marker: String): Column =
+        ((length(text) - length(replace(text, lit(marker))))
+          / marker.length).cast("int")
+      gated.join(keep, Seq("doc_id"), "left_semi")
+        .select(
+          when(cnt(" the ") > 0, "en").otherwise("unknown").as("pred_lang"),
+          nTokens.cast("long").as("n_tokens"),
+          nChars.cast("long").as("n_chars"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("pred_lang")
+    }),
+
     // language-ID by marker-token counting (deterministic heuristic; the
     // replace-count trick keeps it exactly SQL-expressible)
     "llm7_langid" -> ((s, d) => {
@@ -509,6 +543,25 @@ object LlmOps extends QueryModule {
         |  CAST(len(list_filter(string_split_regex(text, '[^0-9]+'),
         |        t -> t <> '')) AS INT) AS n_number_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm9_pipeline" ->
+      """WITH gated AS (
+        |  SELECT doc_id, text,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE length(text) >= 100 AND len(string_split(text, ' ')) >= 20),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY lower(trim(text))),
+        |labeled AS (
+        |  SELECT CASE WHEN (length(text) - length(replace(text, ' the ', ''))) // 5 > 0
+        |              THEN 'en' ELSE 'unknown' END AS pred_lang,
+        |         n_tokens, n_chars
+        |  FROM gated WHERE doc_id IN (SELECT doc_id FROM keep))
+        |SELECT pred_lang, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM labeled GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm7_langid" ->
       """SELECT doc_id,
