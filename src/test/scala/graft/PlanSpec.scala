@@ -91,6 +91,18 @@ class PlanSpec extends SparkSpec {
       s"expected class-partition pruning on the homology store read:\n$p")
   }
 
+  test("llm9: dedup semi-join ships ids only; text is never joined on") {
+    val df = SparkEntry.queries("llm9_pipeline")(spark, Sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"expected a semi-join on keep ids:\n$p")
+    // the join key must be the doc id, not the text/content hash — only
+    // 8-byte ids cross the broadcast, the gated text stays in place
+    assert(!p.contains("SortMergeJoin") ||
+      !p.linesIterator.exists(l => l.contains("Join") && l.contains("text")),
+      s"text column must not be a join key:\n$p")
+  }
+
   test("join11: bucketed join runs with NO shuffle exchange") {
     val df = SparkEntry.queries("join11_bucketed")(spark, Sf0001)
     // materialize so AQE settles, then inspect the final plan
