@@ -45,7 +45,9 @@ class ApproxSpec extends SparkSpec {
     // scoring) — every returned id that IS in the exact set must have the
     // same rank-order source
     assert(ann.nonEmpty, "ANN must return candidates")
-    assert(recall >= 0.3, s"recall $recall below floor")
+    // measured 0.75 at sf0.001, 0.95 at sf0.01; floor leaves headroom for
+    // regenerated testdata
+    assert(recall >= 0.5, s"recall $recall below floor")
   }
 
   test("llm3d: bucketed pairwise LSH finds the dominant near-dup pairs") {
@@ -54,7 +56,8 @@ class ApproxSpec extends SparkSpec {
     val lsh = SparkEntry.queries("llm3d_embed_pairs_lsh")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & lsh).size.toDouble / exact.size
-    assert(recall >= 0.3, s"pairwise recall $recall below floor")
+    // measured 0.9 at sf0.001; floor leaves headroom
+    assert(recall >= 0.6, s"pairwise recall $recall below floor")
   }
 
   test("llm3e: IVF ANN recall vs exact cosine top-20") {
