@@ -111,7 +111,17 @@ object VersionedStore {
     * intermediate, and the pre-merge version stays time-travel readable. */
   def merge(s: SparkSession, root: String, source: DataFrame,
             keys: Seq[String], opCol: String = "op"): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // Delta-parity contract: two source rows with the same key make the
+    // outcome order-dependent — fail loudly instead of silently writing a
+    // duplicate-keyed version. One small agg over the change set (the small
+    // side of the merge), not over the target.
+    val dup = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
+      .collect()
+    require(dup.isEmpty,
+      s"MERGE source has multiple rows for key ${dup.headOption.orNull} — " +
+        "dedupe the change set (e.g. latest-wins) before merging")
     val target = read(s, root)
     val untouched = target.join(
       source.select(keys.map(col): _*).distinct(), keys, "left_anti")

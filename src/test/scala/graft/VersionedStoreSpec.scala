@@ -104,6 +104,20 @@ class VersionedStoreSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
   }
 
+  test("merge: duplicate source keys are rejected, store stays unchanged") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val v1 = VersionedStore.commit(Seq((1, "a")).toDF("k", "v"), root)
+    val dupSource = Seq((1, "x", "upsert"), (1, "y", "upsert"))
+      .toDF("k", "v", "op")
+    intercept[IllegalArgumentException] {
+      VersionedStore.merge(s, root, dupSource, Seq("k"))
+    }
+    // the failed merge must not have committed anything
+    assert(VersionedStore.versions(root) === Seq(v1))
+  }
+
   test("sink9 query: v1 aggregate unchanged by the v2 overwrite") {
     val s = spark
     val df = SparkEntry.queries("sink9_versioned")(s, Sf0001)
