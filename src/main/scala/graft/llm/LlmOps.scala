@@ -326,6 +326,35 @@ object LlmOps extends QueryModule {
         .limit(20)
     }),
 
+    // LLM-3f: BATCH retrieval — k nearest corpus vectors for EACH of a set
+    // of query vectors (the realistic retrieval shape: N queries answered
+    // in ONE corpus scan, not N scans). Queries broadcast; per-query top-5
+    // by the same lossless salted two-phase prune as win2_rank (local
+    // row_number <= global row_number, so pruning to local <= 5 keeps every
+    // global-top-5 row) — no single task ever sorts a whole per-query
+    // partition when the query count is small relative to the cluster.
+    "llm3f_ann_batch" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = e.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(qs))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        .withColumn("salt", pmod(hash(col("vec_id")), lit(64)))
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id", "salt")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+      scored
+        .withColumn("lrn", row_number().over(wLocal))
+        .filter(col("lrn") <= 5).drop("salt", "lrn")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+        .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // LLM-3c: embedding near-dup — all-pairs top-20 most similar pairs.
     // O(n²) EXACT BASELINE: declared for oracle parity at small sf only;
     // llm3d above is the bucketed path that survives scale.
@@ -486,6 +515,20 @@ object LlmOps extends QueryModule {
         |        sqrt(list_dot_product(q.qe, q.qe)), 6) AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "llm3f_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] e
+        |      FROM embeddings WHERE vec_id >= 5)
+        |SELECT q_id, vec_id,
+        |  round(list_dot_product(e, qe) /
+        |        sqrt(list_dot_product(e, e)) /
+        |        sqrt(list_dot_product(qe, qe)), 6) AS cos_sim
+        |FROM c, q
+        |QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_sim DESC, vec_id) <= 5
+        |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin,
 
     "llm3c_embed_pairs_topk" ->
       """WITH t AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)
