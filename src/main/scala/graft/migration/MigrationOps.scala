@@ -419,6 +419,32 @@ object MigrationOps extends QueryModule {
         .orderBy("cls")
     }),
 
+    // MIG-12: `.ace` dump WRITER + round-trip — the reference's other
+    // direction (runcommand.py:134-150 dumps per-class .ace files FROM the
+    // db). Rebuild paragraph text per entity from the imported state, write
+    // it partitioned by class (per-class dump layout, one text file set per
+    // class), then re-parse the written dump with the same aceDatoms reader.
+    // The declared result is the re-parsed datoms: round-trip equality with
+    // the state IS the oracle (parse(write(state)) == state). Paragraphs
+    // end with a trailing newline so the text writer's record separator
+    // yields the blank-line paragraph framing the reader expects.
+    "mig12_ace_dump_roundtrip" -> ((s, _) => {
+      val out = "/root/repo/target/tmp-sinks/mig12_ace_dump"
+      importedState(s)
+        .withColumn("cls", clsOf(col("e")))
+        .withColumn("line",
+          concat(regexp_replace(col("path"), "\\.", " "),
+            lit(" \""), col("value"), lit("\"")))
+        .groupBy("e", "cls")
+        .agg(sort_array(collect_list(col("line"))).as("lines"))
+        .select(col("cls"), concat(
+          col("cls"), lit(" : \""), substring_index(col("e"), ":", -1),
+          lit("\"\n"), concat_ws("\n", col("lines")), lit("\n")).as("value"))
+        .write.mode("overwrite").partitionBy("cls").text(out)
+      aceDatoms(s, out)
+        .orderBy("e", "path", "value", "op")
+    }),
+
     // MIG-9 (AGG-8 in anger): rebuild ACeDB-style objects from datoms —
     // per-entity ordered collect of path=value pairs (the datom→object
     // direction of the reference's data model, SURVEY §1.1).
@@ -540,6 +566,13 @@ object MigrationOps extends QueryModule {
       s"""WITH state AS (${latestWinsSql(patchedLogSql)})
          |SELECT string_split(e, ':')[1] AS cls, count(*) AS n_datoms
          |FROM state GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // round-trip: parse(write(state)) == state (all rows assert by
+    // construction — retractions never reach the final state)
+    "mig12_ace_dump_roundtrip" ->
+      s"""WITH state AS (${latestWinsSql(patchedLogSql)})
+         |SELECT e, path, value, 'assert' AS op FROM state
+         |ORDER BY e, path, value, op""".stripMargin,
 
     "mig9_rebuild_objects" ->
       s"""WITH state AS (${latestWinsSql(patchedLogSql)})
