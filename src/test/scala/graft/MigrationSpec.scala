@@ -146,6 +146,23 @@ class MigrationSpec extends SparkSpec {
     assert(one.length === 1)
   }
 
+  // ---- .ace dump writer round-trip layout (mig12) ----
+
+  test("ace dump writer: per-class dirs, each re-parses to only its class") {
+    SparkEntry.queries("mig12_ace_dump_roundtrip")(spark, Sf0001).count()
+    val root = new java.io.File("/root/repo/target/tmp-sinks/mig12_ace_dump")
+    val parts = root.listFiles().map(_.getName).filter(_.startsWith("cls=")).sorted
+    // the final state holds Gene + Protein + CDS objects (Variation was
+    // never imported; WBGene00000003 is fully retracted but others remain)
+    assert(parts === Array("cls=CDS", "cls=Gene", "cls=Protein"),
+      parts.mkString(","))
+    // one class's dump re-parses to datoms of that class only
+    val geneDatoms = MigrationOps.aceDatoms(spark, s"$root/cls=Gene")
+      .collect()
+    assert(geneDatoms.nonEmpty)
+    assert(geneDatoms.forall(_.getString(0).startsWith("Gene:")))
+  }
+
   // ---- markdown report golden (util.py:74-99 semantics) ----
 
   test("markdown report: golden render of the QA report") {
