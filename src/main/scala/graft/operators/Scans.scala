@@ -187,6 +187,25 @@ object Scans extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // SINK-11: restore-db cycle (runcommand.py:221-255) — back up (commit
+    // v1), keep writing (v2 diverges), then RESTORE the backup: rollback
+    // re-commits v1's manifest as v3 with zero data movement. The latest
+    // read must again be the v1 snapshot, and the divergent v2 stays
+    // auditable in history.
+    "sink11_restore" -> ((s, d) => {
+      val root = s"$SinkDir/sink11_restore"
+      VersionedStore.destroy(root)
+      val orders = Tables.orders(s, d)
+      val v1 = VersionedStore.commit(
+        orders.filter(col("o_orderstatus") === "F"), root)
+      VersionedStore.commit(
+        orders.filter(col("o_orderstatus") === "O"), root)
+      VersionedStore.rollback(s, root, v1)
+      VersionedStore.read(s, root)  // latest == restored v1 snapshot
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // SINK-10: batch MERGE INTO on the versioned store — all three Delta
     // MERGE clauses against a committed snapshot: v1 = full customer
     // snapshot; the change set UPDATES BUILDING balances (+100), DELETES
@@ -293,6 +312,11 @@ object Scans extends QueryModule {
     // version 1 was the F-filtered snapshot; the later v2 commit must not
     // change this answer
     "sink9_versioned" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // after the rollback the LATEST version must again answer as v1 (F)
+    "sink11_restore" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -58,13 +58,10 @@ object VersionedStore {
     new File(root, name)
   }
 
-  /** Write `df` as the next version; returns the committed version number.
-    * The version becomes visible only at the final marker create; on a
-    * version-number race the loser retries at the next number — its data
-    * dir is private, so nothing is ever overwritten. */
-  def commit(df: DataFrame, root: String, maxRetries: Int = 64): Long = {
-    val dataName = s"data-${java.util.UUID.randomUUID()}"
-    df.write.mode("errorifexists").parquet(new File(root, dataName).toString)
+  /** Claim the next version number for an existing data dir: create-new
+    * marker semantics, retry at the next number if another writer won. */
+  private def claimMarker(root: String, dataName: String,
+                          maxRetries: Int = 64): Long = {
     vdir(root).mkdirs()
     var attempt = 0
     var committed = -1L
@@ -84,6 +81,26 @@ object VersionedStore {
     }
     committed
   }
+
+  /** Write `df` as the next version; returns the committed version number.
+    * The version becomes visible only at the final marker create; on a
+    * version-number race the loser retries at the next number — its data
+    * dir is private, so nothing is ever overwritten. */
+  def commit(df: DataFrame, root: String, maxRetries: Int = 64): Long = {
+    val dataName = s"data-${java.util.UUID.randomUUID()}"
+    df.write.mode("errorifexists").parquet(new File(root, dataName).toString)
+    claimMarker(root, dataName, maxRetries)
+  }
+
+  /** Restore-db: make version `version`'s contents the NEW latest version
+    * (the reference restores a backup as the live db, runcommand.py:221-255
+    * — here history stays intact and the rollback is itself an auditable
+    * commit). Metadata-only: the new marker references the SAME immutable
+    * data dir, so restoring a 100 TB snapshot costs one file create, zero
+    * data movement. [[vacuum]] is reference-counted, so the shared data dir
+    * survives as long as ANY retained version points at it. */
+  def rollback(s: SparkSession, root: String, version: Long): Long =
+    claimMarker(root, dataDirOf(root, version).getName)
 
   /** Read a specific committed version, or the latest when version < 0. */
   def read(s: SparkSession, root: String, version: Long = -1L): DataFrame = {
@@ -135,13 +152,19 @@ object VersionedStore {
   }
 
   /** Drop all but the newest `keep` versions. Marker deleted before data so
-    * a concurrent reader never resolves a visible version to missing files. */
-  def vacuum(root: String, keep: Int): Unit =
-    versions(root).dropRight(keep).foreach { v =>
+    * a concurrent reader never resolves a visible version to missing files.
+    * Data dirs are reference-counted across markers: a dir still named by
+    * any RETAINED version's manifest (e.g. after [[rollback]]) survives. */
+  def vacuum(root: String, keep: Int): Unit = {
+    val vs = versions(root)
+    val dropped = vs.dropRight(keep)
+    val retained = vs.takeRight(keep).map(dataDirOf(root, _).getName).toSet
+    dropped.foreach { v =>
       val data = dataDirOf(root, v)
       marker(root, v).delete(): Unit
-      rmTree(data)
+      if (!retained.contains(data.getName)) rmTree(data)
     }
+  }
 
   /** Recursive delete of a store root (test/sink reset helper). */
   def destroy(root: String): Unit = rmTree(new File(root))

@@ -104,6 +104,29 @@ class VersionedStoreSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
   }
 
+  test("rollback: restore is zero-copy and survives a refcounted vacuum") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val v1 = VersionedStore.commit(Seq((1, "backup")).toDF("k", "v"), root)
+    VersionedStore.commit(Seq((2, "divergent")).toDF("k", "v"), root)
+    val v3 = VersionedStore.rollback(s, root, v1)
+    assert(v3 === 3L)
+    // latest now answers as the restored backup
+    assert(VersionedStore.read(s, root).collect().map(_.getString(1)).toSeq
+      === Seq("backup"))
+    // zero-copy: v1 and v3 manifests point at the SAME data dir
+    val dirs = Option(new java.io.File(root).listFiles()).get
+      .count(_.getName.startsWith("data-"))
+    assert(dirs === 2, s"rollback must not copy data ($dirs data dirs)")
+    // vacuum to just the rollback version: the shared data dir must
+    // survive v1's marker deletion (reference counting), v3 stays readable
+    VersionedStore.vacuum(root, keep = 1)
+    assert(VersionedStore.versions(root) === Seq(3L))
+    assert(VersionedStore.read(s, root, 3L).collect()
+      .map(_.getString(1)).toSeq === Seq("backup"))
+  }
+
   test("merge: duplicate source keys are rejected, store stays unchanged") {
     val s = spark
     import s.implicits._
