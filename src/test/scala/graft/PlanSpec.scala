@@ -135,7 +135,7 @@ class PlanSpec extends SparkSpec {
     // (win1/strm4/mig7 windows run over pre-limited/pre-aggregated tiny
     // frames by design; these are the raw-scan paths that must scale)
     for (name <- Seq("win2_rank", "win4_running_sum", "win5_sliding_avg",
-      "strm6_upsert_latest")) {
+      "strm6_upsert_latest", "llm3f_ann_batch")) {
       val p = planOf(name)
       assert(!p.contains("Exchange SinglePartition"),
         s"$name must not move the raw table into one task:\n$p")

@@ -36,4 +36,18 @@ class VerifyJsonSpec extends AnyFunSuite {
     assert(m.nonEmpty)
     assert(roundTrip(m) === m)
   }
+
+  test("driver contract: every oracle names a declared query; no collisions") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+    // a module defining a name twice would silently shadow via toMap —
+    // catch it by comparing against the pre-merge multiset
+    val all = Seq(
+      operators.Relational, operators.Scans, operators.Funcs,
+      llm.LlmOps, streaming.StreamOps, migration.MigrationOps,
+      multimodal.MultimodalOps).flatMap(_.queries.keys)
+    val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate query names across modules: $dups")
+  }
 }
