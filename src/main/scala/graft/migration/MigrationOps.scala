@@ -300,6 +300,40 @@ object MigrationOps extends QueryModule {
     headerLines.unionByName(dataLines).orderBy("line_no")
   }
 
+  /** HTML document render of a (small, final) report — the Spark analogue
+    * of qa_report_to_html (pseudoace.py:152-158): h1 title + the report as
+    * an HTML table (the reference goes CSV → markdown table → markdown lib
+    * → HTML; emitting the table directly is the same document without the
+    * intermediate). Same dedupe + desc-sort-by-first-count ordering as
+    * [[markdownReport]]; like the reference, renders only the tiny final
+    * report, never raw data. */
+  def htmlReport(report: DataFrame, title: String): DataFrame = {
+    val sp = report.sparkSession
+    import sp.implicits._
+    val cols = report.columns.toIndexedSeq
+    val asStr = report.distinct()
+      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+    val dataLines = asStr.select(
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col(cols(1)).cast("long").desc, col(cols.head))) + 4L)
+        .as("line_no"),
+      concat(lit("<tr>"),
+        concat_ws("", cols.map(c =>
+          concat(lit("<td>"), col(c), lit("</td>"))): _*),
+        lit("</tr>")).as("line"))
+    val frame = Seq(
+      (1L, s"<html><body><h1>$title</h1>"),
+      (2L, "<table>"),
+      (3L, "<thead><tr>" + cols.map(c => s"<th>$c</th>").mkString +
+        "</tr></thead>"),
+      (4L, "<tbody>"),
+      // report is tiny (post-aggregation); a large sentinel sorts the
+      // closing tags after every data row
+      (1000000L, "</tbody></table></body></html>"))
+      .toDF("line_no", "line")
+    frame.unionByName(dataLines).orderBy("line_no")
+  }
+
   // ---- checkpoint/resume runner (runcommand.py:389-409) ------------------
 
   /** A named pipeline step; `run` must be idempotent (re-running a completed
@@ -499,6 +533,11 @@ object MigrationOps extends QueryModule {
     // MIG-7: markdown render of the QA report (util.py:74-99 semantics).
     // Rows-only for the driver; MigrationSpec pins the golden string.
     "mig7_markdown_report" -> ((s, _) => markdownReport(qaReport(s))),
+
+    // MIG-7b: HTML render of the QA report (qa_report_to_html,
+    // pseudoace.py:152-158). Rows-only; MigrationSpec pins the golden doc.
+    "mig7b_html_report" -> ((s, _) =>
+      htmlReport(qaReport(s), "QA report")),
 
     // MIG-8: checkpoint/resume runner — runs a 2-step toy pipeline TWICE in
     // a fresh checkpoint dir; first pass runs, second pass skips, proving

@@ -177,6 +177,21 @@ class MigrationSpec extends SparkSpec {
       "|        CDS |     2 |    2 |      0 |"))
   }
 
+  test("html report: golden render of the QA report document") {
+    val lines = MigrationOps.htmlReport(MigrationOps.qaReport(spark), "QA report")
+      .collect().map(_.getString(1))
+    assert(lines === Array(
+      "<html><body><h1>QA report</h1>",
+      "<table>",
+      "<thead><tr><th>class_name</th><th>n_ref</th><th>n_db</th><th>n_diff</th></tr></thead>",
+      "<tbody>",
+      "<tr><td>Variation</td><td>5</td><td>0</td><td>-5</td></tr>",
+      "<tr><td>Gene</td><td>3</td><td>2</td><td>-1</td></tr>",
+      "<tr><td>Protein</td><td>3</td><td>3</td><td>0</td></tr>",
+      "<tr><td>CDS</td><td>2</td><td>2</td><td>0</td></tr>",
+      "</tbody></table></body></html>"))
+  }
+
   // ---- checkpoint/resume runner (runcommand.py:389-409 semantics) ----
 
   test("pipeline runner: completed steps skip on resume; failed step retries") {
