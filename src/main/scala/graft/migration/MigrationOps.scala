@@ -363,6 +363,18 @@ object MigrationOps extends QueryModule {
     def reset(): Unit =
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".done")).foreach(_.delete())
+
+    /** reset-to-step (runcommand.py:349-387): forget completion of step `n`
+      * and everything after it, so a resume re-runs from `n`; earlier steps
+      * keep their markers and still skip. (The reference additionally warns
+      * the operator to clean step outputs by hand — here steps are
+      * idempotent overwrites, so re-running is safe by construction.) */
+    def resetToStep(n: Int): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter { f =>
+          f.getName.endsWith(".done") &&
+            f.getName.stripPrefix("step-").stripSuffix(".done").toInt >= n
+        }.foreach(_.delete())
   }
 
   // ---- declared queries ---------------------------------------------------
@@ -461,7 +473,10 @@ object MigrationOps extends QueryModule {
     // The declared result is the re-parsed datoms: round-trip equality with
     // the state IS the oracle (parse(write(state)) == state). Paragraphs
     // end with a trailing newline so the text writer's record separator
-    // yields the blank-line paragraph framing the reader expects.
+    // yields the blank-line paragraph framing the reader expects. The dump
+    // is written GZIPPED like the reference's (acedb_compress_dump,
+    // runcommand.py:118-131 gzips every dumped .ace file); the codec is
+    // transparent to the paragraph reader on the way back in.
     "mig12_ace_dump_roundtrip" -> ((s, _) => {
       val out = "/root/repo/target/tmp-sinks/mig12_ace_dump"
       importedState(s)
@@ -474,7 +489,8 @@ object MigrationOps extends QueryModule {
         .select(col("cls"), concat(
           col("cls"), lit(" : \""), substring_index(col("e"), ":", -1),
           lit("\"\n"), concat_ws("\n", col("lines")), lit("\n")).as("value"))
-        .write.mode("overwrite").partitionBy("cls").text(out)
+        .write.mode("overwrite").partitionBy("cls")
+        .option("compression", "gzip").text(out)
       aceDatoms(s, out)
         .orderBy("e", "path", "value", "op")
     }),

@@ -215,4 +215,14 @@ class MigrationSpec extends SparkSpec {
     // idempotent third run: everything skips
     assert(runner.run(spark, steps).forall(_._3 == "skipped"))
   }
+
+  test("pipeline runner: reset-to-step re-runs that step and later only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck2").toString
+    val runner = new MigrationOps.PipelineRunner(dir)
+    val steps = Seq(Step("s0", _ => ()), Step("s1", _ => ()), Step("s2", _ => ()))
+    assert(runner.run(spark, steps).forall(_._3 == "ran"))
+    runner.resetToStep(1)
+    assert(runner.run(spark, steps).map(_._3) ===
+      Seq("skipped", "ran", "ran"))
+  }
 }
