@@ -87,6 +87,13 @@ object Graft {
       // Write timestamps as INT64 micros (not INT96) so DuckDB/pandas read
       // verify outputs losslessly.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Push bare MIN/MAX/COUNT into the columnar readers: eligible
+      // aggregates answer from file footers/statistics instead of data
+      // pages (off by default in Spark 4). At 100 TB this turns row-count
+      // validation gates into pure metadata passes; ineligible shapes
+      // (filters, group-bys, unsupported types) fall back to normal scans.
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.orc.aggregatePushdown", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // getOrCreate() silently ignores .config() when a session pre-exists in
