@@ -217,13 +217,36 @@ object MigrationOps extends QueryModule {
     * (runcommand.py:389-409's step artifacts), here the in-JVM equivalent. */
   private val stageCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val evictionHooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
+  // The cache holds one entry per (session, stage) for the session's
+  // lifetime; entries (and the SparkSession they pin) are evicted when the
+  // underlying SparkContext ends, so short-lived sessions (test suites,
+  // notebook restarts) don't accumulate forever.
+  private def hookEviction(s: SparkSession): Unit =
+    if (evictionHooked.putIfAbsent(s, ()).isEmpty) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          stageCache.keys.filter(_._1 eq s).foreach(stageCache.remove)
+          evictionHooked.remove(s): Unit
+        }
+      })
+    }
   private def stage(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     stageCache.getOrElse((s, key), {
       // built outside the map update: stages nest (importedState builds on
       // patchedLog), so a computeIfAbsent-style lock would self-deadlock; a
       // duplicate build on a true race is harmless (same deterministic data)
+      hookEviction(s)
       val df = build.localCheckpoint()
-      stageCache.putIfAbsent((s, key), df).getOrElse(df)
+      stageCache.putIfAbsent((s, key), df) match {
+        case Some(winner) =>
+          // lost the race: free the duplicate's checkpoint blocks
+          df.unpersist()
+          winner
+        case None => df
+      }
     })
 
   /** Base dump ∪ patch dump as a changelog: base ts=0, patches ts=1 —
@@ -313,18 +336,24 @@ object MigrationOps extends QueryModule {
     val cols = report.columns.toIndexedSeq
     val asStr = report.distinct()
       .select(cols.map(c => col(c).cast("string").as(c)): _*)
+    // & before < and > — escaping in the other order double-escapes
+    def escStr(s0: String): String =
+      s0.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(
+        c, lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
     val dataLines = asStr.select(
       (row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col(cols(1)).cast("long").desc, col(cols.head))) + 4L)
         .as("line_no"),
       concat(lit("<tr>"),
         concat_ws("", cols.map(c =>
-          concat(lit("<td>"), col(c), lit("</td>"))): _*),
+          concat(lit("<td>"), esc(col(c)), lit("</td>"))): _*),
         lit("</tr>")).as("line"))
     val frame = Seq(
-      (1L, s"<html><body><h1>$title</h1>"),
+      (1L, s"<html><body><h1>${escStr(title)}</h1>"),
       (2L, "<table>"),
-      (3L, "<thead><tr>" + cols.map(c => s"<th>$c</th>").mkString +
+      (3L, "<thead><tr>" + cols.map(c => s"<th>${escStr(c)}</th>").mkString +
         "</tr></thead>"),
       (4L, "<tbody>"),
       // report is tiny (post-aggregation); a large sentinel sorts the
@@ -360,9 +389,13 @@ object MigrationOps extends QueryModule {
         }
       }
 
+    // only this runner's own markers — a foreign *.done file in the
+    // checkpoint dir must be ignored, not parsed (or deleted)
+    private val markerName = """step-(\d+)\.done""".r
+
     def reset(): Unit =
       Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".done")).foreach(_.delete())
+        .filter(f => markerName.matches(f.getName)).foreach(_.delete())
 
     /** reset-to-step (runcommand.py:349-387): forget completion of step `n`
       * and everything after it, so a resume re-runs from `n`; earlier steps
@@ -371,10 +404,10 @@ object MigrationOps extends QueryModule {
       * idempotent overwrites, so re-running is safe by construction.) */
     def resetToStep(n: Int): Unit =
       Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter { f =>
-          f.getName.endsWith(".done") &&
-            f.getName.stripPrefix("step-").stripSuffix(".done").toInt >= n
-        }.foreach(_.delete())
+        .filter(f => f.getName match {
+          case markerName(idx) => idx.toInt >= n
+          case _               => false
+        }).foreach(_.delete())
   }
 
   // ---- declared queries ---------------------------------------------------

@@ -92,7 +92,7 @@ object StreamOps extends QueryModule {
     * failure window of the old read-merge-OVERWRITE two-step), and prior
     * versions stay readable for audit/rollback. */
   def runUpsertStream(s: SparkSession, ev: DataFrame, stateDir: String,
-                      checkpointDir: String): Unit = {
+                      checkpointDir: String, retainVersions: Int = 24): Unit = {
     import graft.operators.VersionedStore
     val q = ev.writeStream
       .outputMode("update")
@@ -109,7 +109,12 @@ object StreamOps extends QueryModule {
               .withColumn("rn", row_number().over(w))
               .filter(col("rn") === 1).drop("rn")
           } else batchLatest
-        VersionedStore.commit(merged, stateDir): Unit
+        VersionedStore.commit(merged, stateDir)
+        // retention bound: a long-running stream commits one snapshot per
+        // micro-batch — without a vacuum the store grows without limit (and
+        // a crash-replayed batch adds an extra version, so version counts
+        // are only stable on clean runs; don't assert them elsewhere)
+        VersionedStore.vacuum(stateDir, keep = retainVersions)
       }
       .start()
     q.processAllAvailable()

@@ -192,6 +192,17 @@ class MigrationSpec extends SparkSpec {
       "</tbody></table></body></html>"))
   }
 
+  test("html report: &, <, > in title and cells are escaped") {
+    val s = spark
+    import s.implicits._
+    val report = Seq(("a<b>&c", 2L), ("plain", 1L)).toDF("class_name", "n")
+    val lines = MigrationOps.htmlReport(report, "R&D <report>")
+      .collect().map(_.getString(1))
+    assert(lines.head === "<html><body><h1>R&amp;D &lt;report&gt;</h1>")
+    assert(lines.contains("<tr><td>a&lt;b&gt;&amp;c</td><td>2</td></tr>"))
+    assert(lines.contains("<tr><td>plain</td><td>1</td></tr>"))
+  }
+
   // ---- checkpoint/resume runner (runcommand.py:389-409 semantics) ----
 
   test("pipeline runner: completed steps skip on resume; failed step retries") {
@@ -224,5 +235,22 @@ class MigrationSpec extends SparkSpec {
     runner.resetToStep(1)
     assert(runner.run(spark, steps).map(_._3) ===
       Seq("skipped", "ran", "ran"))
+  }
+
+  test("pipeline runner: foreign .done files are ignored, not parsed or deleted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck3").toString
+    val runner = new MigrationOps.PipelineRunner(dir)
+    val steps = Seq(Step("s0", _ => ()), Step("s1", _ => ()))
+    assert(runner.run(spark, steps).forall(_._3 == "ran"))
+    // a marker not written by this runner must not break reset-to-step
+    // (stripPrefix+toInt on "all.done" would throw NumberFormatException)
+    val foreign = new java.io.File(dir, "all.done")
+    assert(foreign.createNewFile())
+    runner.resetToStep(1)
+    assert(runner.run(spark, steps).map(_._3) === Seq("skipped", "ran"))
+    assert(foreign.exists(), "foreign file must survive resetToStep")
+    runner.reset()
+    assert(foreign.exists(), "foreign file must survive reset")
+    assert(runner.run(spark, steps).forall(_._3 == "ran"))
   }
 }

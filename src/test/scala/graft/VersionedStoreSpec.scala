@@ -71,6 +71,14 @@ class VersionedStoreSpec extends SparkSpec {
     import s.implicits._
     val root = freshRoot()
     (1 to 4).foreach(i => VersionedStore.commit(Seq(i).toDF("k"), root))
+    // resolve each version's actual data-dir name from its marker manifest
+    // BEFORE vacuum (markers are gone after) — data dirs are data-<uuid>,
+    // so a guessed path would make the physical-deletion assert vacuous
+    def dataDirName(v: Long): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        root, "_versions", f"$v%05d.commit"))).trim
+    val dropped = Seq(1L, 2L).map(dataDirName)
+    val retained = Seq(3L, 4L).map(dataDirName)
     VersionedStore.vacuum(root, keep = 2)
     assert(VersionedStore.versions(root) === Seq(3L, 4L))
     assert(VersionedStore.read(s, root, 3L).select("k")
@@ -78,8 +86,13 @@ class VersionedStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedStore.read(s, root, 1L)
     }
-    // vacuumed data dirs are physically gone, not just unlisted
-    assert(!new java.io.File(s"$root/data-00001").exists())
+    // vacuumed data dirs are physically gone, not just unlisted — and ONLY
+    // the retained versions' dirs remain
+    dropped.foreach(d =>
+      assert(!new java.io.File(root, d).exists(), s"$d should be deleted"))
+    val remaining = Option(new java.io.File(root).listFiles()).get
+      .map(_.getName).filter(_.startsWith("data-")).toSet
+    assert(remaining === retained.toSet)
   }
 
   test("merge: update/delete/insert clauses apply; pre-merge version intact") {
