@@ -94,6 +94,12 @@ object Graft {
       // (filters, group-bys, unsupported types) fall back to normal scans.
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.orc.aggregatePushdown", "true")
+      // Runtime row-level filtering: inject a bloom filter built from the
+      // selective side of a shuffle join into the other side's scan, so
+      // non-joining rows drop before the exchange (off by default in OSS
+      // Spark). join12_bloom_prune spells out the same pattern manually
+      // for when the optimizer's size estimates miss.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // getOrCreate() silently ignores .config() when a session pre-exists in

@@ -257,6 +257,36 @@ object Relational extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // JOIN-12: bloom-filter join pruning — when the dim side is too big to
+    // broadcast as DATA but its key set still fits a few-MB SKETCH, build a
+    // bloom filter over the dim keys (distributed agg, driver gets only the
+    // sketch), broadcast it, and drop non-joining fact rows BEFORE the
+    // shuffle. False positives just ride along and are eliminated by the
+    // real join, so the result is exact (the oracle is the plain join).
+    // At 100 TB this turns a full-fact shuffle into a shuffle of only the
+    // ~matching fraction. Spark's own runtime row-level filtering does the
+    // same rewrite automatically when stats allow (enabled in
+    // Graft.session); this spells the pattern out and keeps it available
+    // when the optimizer's size estimates miss. The mightContain probe is
+    // a UDF because Spark exposes no public expression for sketch probes —
+    // one primitive-typed call per row, off the shuffle's critical path.
+    "join12_bloom_prune" -> ((s, d) => {
+      val dim = Tables.part(s, d).filter(col("p_size") === 15)
+        .select("p_partkey", "p_brand")
+      val bf = dim.stat.bloomFilter("p_partkey",
+        expectedNumItems = 1000000L, fpp = 0.01)
+      val bc = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+      Tables.lineitem(s, d)
+        .filter(mightContain(col("l_partkey")))
+        .select("l_partkey", "l_extendedprice")
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("p_brand")
+    }),
+
     // ---- AGG ----
     "agg1_count" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -764,6 +794,13 @@ object Relational extends QueryModule {
          |  ${Det.dsumSql("l_quantity")} AS sum_qty
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bloom pruning is result-invisible: the oracle is the plain join
+    "join12_bloom_prune" ->
+      s"""SELECT p_brand, count(*) AS n,
+         |  ${Det.dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size = 15 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "win1_row_number" ->
       """SELECT c_custkey, c_acctbal,

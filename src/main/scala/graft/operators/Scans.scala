@@ -237,6 +237,51 @@ object Scans extends QueryModule {
         .orderBy("c_mktsegment")
     }),
 
+    // SINK-12: change-data-feed between two store versions (Delta CDF
+    // analogue). v1 drops keys %3==0; v2 drops keys %5==0 and doubles the
+    // price of keys %7==0 — so the diff must classify %3-only keys as
+    // inserts, %5-only as deletes, %7 survivors as updates, and emit
+    // nothing for unchanged rows. One full-outer join on the key, no sort.
+    "sink12_cdc" -> ((s, d) => {
+      val root = s"$SinkDir/sink12_cdc"
+      VersionedStore.destroy(root)
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      VersionedStore.commit(o.filter(col("o_orderkey") % 3 =!= 0), root)
+      VersionedStore.commit(
+        o.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice"))), root)
+      VersionedStore.changes(s, root, 1L, 2L, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // SINK-13: z-order-clustered layout (Delta OPTIMIZE ZORDER analogue) —
+    // interleave the bits of the two filter columns, range-partition +
+    // sort the files by that z-value, so each file covers a RECTANGLE of
+    // the (l_partkey, l_suppkey) space instead of a stripe. Parquet
+    // row-group min/max stats then skip files for filters on EITHER
+    // column (ZorderSpec proves the file-overlap drop vs a linear sort).
+    // The oracle checks the round-trip; at 100 TB the layout is what makes
+    // selective 2-d reads metadata-bounded instead of scan-bounded.
+    "sink13_zorder" -> ((s, d) => {
+      val out = s"$SinkDir/sink13_zorder"
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .withColumn("__z", Layout.zvalue(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(8, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 5)
+        // (l_orderkey, l_linenumber) is NOT unique in this generator —
+        // extend the sort to a total key for the row-order compare
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+    }),
+
     // SINK-7: JSON-lines round-trip with explicit read schema (schemaless
     // text interchange; no inferSchema pass).
     "sink7_jsonl" -> ((s, d) => {
@@ -323,6 +368,34 @@ object Scans extends QueryModule {
     "sink8_compacted" ->
       """SELECT doc_id, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the diff of the two committed projections: inserts (in v2 only),
+    // deletes (in v1 only), updates (price doubled), unchanged rows absent
+    "sink12_cdc" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT COALESCE(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+        |       CASE WHEN v2.o_orderkey IS NULL THEN v1.o_totalprice
+        |            ELSE v2.o_totalprice END AS o_totalprice,
+        |       CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+        |            WHEN v2.o_orderkey IS NULL THEN 'delete'
+        |            ELSE 'update' END AS _change_type
+        |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        |WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+        |   OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // layout changes file clustering, never content: the filtered
+    // read-back must equal the same filter on the source table
+    "sink13_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 5
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin,
 
     // the merged state: updated BUILDING rows, untouched other segments
     // minus deleted MACHINERY, plus supplier-derived inserts

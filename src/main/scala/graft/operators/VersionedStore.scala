@@ -146,6 +146,47 @@ object VersionedStore {
     commit(untouched.unionByName(upserts), root)
   }
 
+  /** Change-data-feed between two committed versions (Delta CDF read
+    * analogue): one row per key whose state changed from `fromV` to `toV`,
+    * tagged `_change_type` ∈ insert | update | delete. Inserts/updates
+    * carry the `toV` image, deletes the `fromV` image. Keys whose value
+    * columns are null-safe-equal across the versions emit nothing.
+    *
+    * Delta derives CDF from per-commit change files; a snapshot store has
+    * no row-level log, so the feed is a snapshot DIFF: ONE full-outer
+    * shuffle join on the key (AQE splits skew), null-safe column compare,
+    * no window, no sort. At 100 TB that is a single co-partitioned pass
+    * over the two snapshots — and with both versions written by this
+    * store's own commits the join can be made exchange-free by bucketing
+    * the store root (join11's layout). Downstream incremental consumers
+    * (the reference re-imports whole dumps per release; runcommand.py:221)
+    * apply just this feed instead. */
+  def changes(s: SparkSession, root: String, fromV: Long, toV: Long,
+              keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val before = read(s, root, fromV)
+    val after  = read(s, root, toV)
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"schema drift between v$fromV and v$toV is not diffable: " +
+        s"${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val valCols = after.columns.filterNot(keys.contains).toIndexedSeq
+    val b = before.select(keys.map(col) ++
+      valCols.map(c => col(c).as(s"__b_$c")) :+ lit(true).as("__in_b"): _*)
+    val a = after.select(keys.map(col) ++
+      valCols.map(c => col(c).as(s"__a_$c")) :+ lit(true).as("__in_a"): _*)
+    val changed = valCols.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, keys, "full_outer")
+      .withColumn("_change_type",
+        when(col("__in_b").isNull, "insert")
+          .when(col("__in_a").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("_change_type").isNotNull)
+      .select(keys.map(col) ++ valCols.map(c =>
+        when(col("_change_type") === "delete", col(s"__b_$c"))
+          .otherwise(col(s"__a_$c")).as(c)) :+ col("_change_type"): _*)
+  }
+
   private def rmTree(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(): Unit

@@ -140,6 +140,36 @@ class VersionedStoreSpec extends SparkSpec {
       .map(_.getString(1)).toSeq === Seq("backup"))
   }
 
+  test("changes: insert/update/delete classified; unchanged rows emit nothing") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val v1 = VersionedStore.commit(
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "x"), root)
+    val v2 = VersionedStore.commit(
+      Seq((1, "a", 10), (2, "B", 21), (4, "d", 40)).toDF("k", "v", "x"), root)
+    val got = VersionedStore.changes(s, root, v1, v2, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    // key 1 unchanged -> absent; 2 updated (post-image); 3 deleted
+    // (pre-image); 4 inserted
+    assert(got === Seq(
+      (2, "B", 21, "update"),
+      (3, "c", 30, "delete"),
+      (4, "d", 40, "insert")))
+  }
+
+  test("changes: a rollback produces an empty feed vs its source version") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val v1 = VersionedStore.commit(Seq((1, "a")).toDF("k", "v"), root)
+    VersionedStore.commit(Seq((2, "b")).toDF("k", "v"), root)
+    val v3 = VersionedStore.rollback(s, root, v1)
+    assert(VersionedStore.changes(s, root, v1, v3, Seq("k")).count() === 0L)
+  }
+
   test("merge: duplicate source keys are rejected, store stays unchanged") {
     val s = spark
     import s.implicits._
