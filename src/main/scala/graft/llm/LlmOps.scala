@@ -483,6 +483,47 @@ object LlmOps extends QueryModule {
         .orderBy("pred_lang")
     }),
 
+    // LLM-10: PII redaction — the corpus-scrub pass a training pipeline
+    // runs before tokenization. The synthetic corpus carries no PII, so
+    // the query plants a deterministic PII suffix per row (same expression
+    // in the oracle) and then strips emails / IPv4s / card-length digit
+    // runs with a codegen'd regexp_replace chain — no UDF, no shuffle;
+    // scan-bound and embarrassingly parallel at 100 TB. Order matters:
+    // emails first (their local part may contain digits), then dotted
+    // IPv4s, then bare digit runs.
+    "llm10_redact_pii" -> ((s, d) => {
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@example.com from 10.0."), pmod(col("doc_id"), lit(256)),
+        lit(".7 card 4111111111111111"))
+      val redacted =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(withPii,
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+          "\\b\\d{13,19}\\b", "<CARD>")
+      Tables.documents(s, d)
+        .select(col("doc_id"), redacted.as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM-11: sliding-window chunking — fixed 64-token chunks at stride 48
+    // (16-token overlap), the shape context-window packing consumes.
+    // sequence+explode is one generator with NO window function and NO
+    // shuffle: chunk rows are produced where the doc row lives, so output
+    // scales with total tokens, not with any per-key partition size.
+    "llm11_chunk" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), words.as("w"),
+          explode(sequence(lit(0), greatest(size(words) - 1, lit(0)),
+            lit(48))).as("st"))
+        .select(col("doc_id"), expr("st div 48").as("chunk_idx"),
+          concat_ws(" ", slice(col("w"), col("st") + 1, lit(64))).as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // language-ID by marker-token counting (deterministic heuristic; the
     // replace-count trick keeps it exactly SQL-expressible)
     "llm7_langid" -> ((s, d) => {
@@ -612,7 +653,32 @@ object LlmOps extends QueryModule {
         |  CAST((length(text) - length(replace(text, ' data ', ''))) // 6 AS INT) AS c_data,
         |  CASE WHEN (length(text) - length(replace(text, ' the ', ''))) // 5 > 0
         |       THEN 'en' ELSE 'unknown' END AS pred_lang
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same planted-PII expression, same replace order (both engines use
+    // leftmost-earliest, RE2/Java agree on these patterns)
+    "llm10_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || doc_id || '@example.com from 10.0.'
+        |             || (doc_id % 256) || '.7 card 4111111111111111',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{13,19}\b', '<CARD>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB list slice words[a:b] is 1-based inclusive == Spark
+    // slice(w, a, 64); generate_series endpoint-inclusive == sequence
+    "llm11_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |st AS (SELECT doc_id, words,
+        |         unnest(generate_series(0, greatest(len(words) - 1, 0), 48)) AS st
+        |       FROM w)
+        |SELECT doc_id, st // 48 AS chunk_idx,
+        |       array_to_string(words[st+1:st+64], ' ') AS chunk
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
   )
 
   private def exactJaccardSql(threshold: Double, where: String = ""): String =

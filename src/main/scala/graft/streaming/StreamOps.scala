@@ -57,6 +57,19 @@ object StreamOps extends QueryModule {
   def enrich(ev: DataFrame, dim: DataFrame): DataFrame =
     ev.join(broadcast(dim), Seq("event_type"), "left")
 
+  /** STRM-11: incremental corpus dedup — the streaming form of LLM-1 for
+    * a continuously-ingested corpus. Drop arriving documents whose content
+    * hash already exists in the historical corpus (stream-static LEFT ANTI
+    * join; the static side is a hash INDEX — 32 B/doc, never text — that
+    * broadcasts while it fits and bucket-joins beyond that), then dedup
+    * within the stream on the same hash (dropDuplicates state keyed on the
+    * hash; watermark-TTL it in production if re-sends are time-bounded).
+    * Valid on both batch and readStream frames. */
+  def dedupAgainstCorpus(docs: DataFrame, corpusHashes: DataFrame): DataFrame =
+    docs.withColumn("h", sha2(col("text").cast("binary"), 256))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .dropDuplicates("h")
+
   /** The event_type → category static dimension. */
   def typeDim(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -296,10 +309,33 @@ object StreamOps extends QueryModule {
       enrich(Tables.events(s, d), typeDim(s))
         .groupBy("category")
         .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
-        .orderBy("category"))
+        .orderBy("category")),
+
+    // STRM-11 batch replay: docs with doc_id%4==0 are the historical
+    // corpus, the rest arrive as the "stream". The count of surviving
+    // (new-content) documents is deterministic even though dropDuplicates
+    // picks an arbitrary representative per hash — the surviving HASH SET
+    // is unique. Oracle equates hash-distinct with text-distinct (sha256
+    // collision-free on any real corpus; same contract as llm1).
+    "strm11_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(col("doc_id") % 4 === 0)
+        .select(sha2(col("text").cast("binary"), 256).as("h")).distinct()
+      dedupAgainstCorpus(docs.filter(col("doc_id") % 4 =!= 0), history)
+        .agg(count(lit(1)).as("n_new_docs"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
+    // distinct new texts among arrivals not already in the history set
+    "strm11_incremental_dedup" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT text FROM documents WHERE doc_id % 4 = 0),
+        |inc AS (
+        |  SELECT DISTINCT text FROM documents WHERE doc_id % 4 <> 0)
+        |SELECT count(*) AS n_new_docs FROM inc
+        |WHERE text NOT IN (SELECT text FROM hist)""".stripMargin,
+
     "strm1_tumbling" ->
       s"""SELECT (epoch_us(ts) // 600000000) * 600000000 AS ws_us, event_type,
          |  count(*) AS n, ${Det.dsumSql("value")} AS sum_value

@@ -195,4 +195,35 @@ class StructuredStreamingSpec extends SparkSpec {
       (2L, "view", 2.0, nanosAt(640) / 1000),
       (3L, "signup", 0.0, nanosAt(700) / 1000)))
   }
+
+  test("incremental corpus dedup: history and in-stream dupes drop, new docs pass") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val history = Seq((100L, "old news"), (101L, "stale doc"))
+      .toDF("doc_id", "text")
+      .select(sha2(col("text").cast("binary"), 256).as("h")).distinct()
+    val input = MemoryStream[Doc]
+    val q = StreamOps.dedupAgainstCorpus(input.toDF(), history)
+      .writeStream.format("memory").queryName("incdedup_t")
+      .outputMode("append").start()
+    try {
+      // batch 1: one history dupe (dropped), one in-batch dupe pair
+      // (collapses to one), one fresh doc
+      input.addData(Doc(1, "old news"), Doc(2, "fresh a"),
+        Doc(3, "fresh a"), Doc(4, "fresh b"))
+      q.processAllAvailable()
+      // batch 2: a CROSS-batch dupe of "fresh a" (dedup state must
+      // remember it), another history dupe, and one new doc
+      input.addData(Doc(5, "fresh a"), Doc(6, "stale doc"),
+        Doc(7, "fresh c"))
+      q.processAllAvailable()
+      val survived = s.table("incdedup_t")
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(survived === Set("fresh a", "fresh b", "fresh c"))
+    } finally q.stop()
+  }
 }
+
+/** documents-shaped record for the corpus-dedup stream. */
+case class Doc(doc_id: Long, text: String)
