@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.10 + north-star training-data-pipeline operators over
@@ -158,6 +159,46 @@ object LlmOps extends QueryModule {
         (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Distributed connected components by iterative min-label propagation —
+    * the same algorithm GraphX's `ConnectedComponents` runs as a Pregel
+    * program, expressed relationally: each round every node lowers its
+    * label to the min of its own and its neighbors' labels (one shuffle
+    * join + one aggregate), until a fixpoint. Converges in O(graph
+    * diameter) rounds; near-dup clusters are dense (diameter 1–2 in
+    * practice), so 2–3 rounds end-to-end. For adversarially long path
+    * graphs at 100 TB, switch to the alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce"),
+    * which is O(log n) rounds with the same per-round plan shape.
+    *
+    * `edges` must be symmetric (both (a,b) and (b,a) present). Each round
+    * localCheckpoints the new labels: lineage stays one round deep, and the
+    * convergence `count()` (a scalar action — the standard iterative-
+    * algorithm driver loop, not a data collect) re-reads checkpointed
+    * blocks rather than recomputing the chain.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("comp").as("nbr_comp"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("next_comp"))
+        .localCheckpoint()
+      changed = stepped.filter(col("next_comp") =!= col("comp")).count()
+      labels = stepped.select(col("node"), col("next_comp").as("comp"))
+      iter += 1
+    }
+    labels
   }
 
   /** 64-bit SimHash over unigram tokens (sign of per-bit weighted sums).
@@ -524,6 +565,127 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // LLM-12: near-dup CLUSTER formation — the step between pair emission
+    // (llm2/llm2b) and an actual dedup decision. Jaccard>=0.8 pairs become
+    // a symmetric edge list (checkpointed once — iterations must not
+    // recompute the posting-list join), connected components label every
+    // doc with the min doc_id of its cluster, and is_canonical marks the
+    // one doc per cluster a dedup pass would keep. Singleton docs are their
+    // own cluster via the left join. Oracle: recursive-CTE transitive
+    // closure over the same pair set.
+    "llm12_dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ngramJaccardPairs(docs, threshold = 0.8)
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint()
+      val labels = connectedComponents(edges)
+      docs.select(col("doc_id"))
+        .join(labels.select(col("node").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM-13: sequence packing — assign llm11's chunks to fixed 512-token
+    // context windows ("bins"). Deterministic offset packing: a chunk goes
+    // to bin floor(tokens_before_it / 512) within its pack group. The
+    // running sum is windowed PER PACK GROUP (pmod(doc_id, P)), never
+    // globally — packing is a local decision in a real pipeline (each
+    // worker packs its own batch), so P scales with the cluster and no
+    // single task ever sees a global order. Output is per-bin occupancy.
+    "llm13_pack_sequences" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), words.as("w"),
+          explode(sequence(lit(0), greatest(size(words) - 1, lit(0)),
+            lit(48))).as("st"))
+        .select(col("doc_id"), expr("st div 48").as("chunk_idx"),
+          size(slice(col("w"), col("st") + 1, lit(64))).as("n_tok"))
+      val win = Window.partitionBy(pmod(col("doc_id"), lit(8)))
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      chunks
+        .select(pmod(col("doc_id"), lit(8)).as("pack_group"),
+          col("doc_id"), col("chunk_idx"), col("n_tok"),
+          coalesce(sum(col("n_tok")).over(win), lit(0L)).as("tok_before"))
+        .groupBy(col("pack_group"), expr("tok_before div 512").as("bin_idx"))
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("pack_group", "bin_idx")
+    }),
+
+    // LLM-14: stratified corpus sampling — per-language keep rates from a
+    // broadcast dimension, sampled DETERMINISTICALLY by key residue
+    // (doc_id % 97 < rate): reproducible across runs/engines, no RNG state,
+    // and pure map-side at any scale (broadcast join + filter, no shuffle).
+    "llm14_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      def cnt(marker: String): Column =
+        ((length(col("text")) - length(replace(col("text"), lit(marker))))
+          / marker.length).cast("int")
+      val rates = Seq(("en", 40L), ("unknown", 80L))
+        .toDF("pred_lang", "keep_mod")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(cnt(" the ") > 0, "en").otherwise("unknown").as("pred_lang"))
+        .join(broadcast(rates), "pred_lang")
+        .filter(pmod(col("doc_id"), lit(97)) < col("keep_mod"))
+        .select("doc_id", "pred_lang")
+        .orderBy("doc_id")
+    }),
+
+    // LLM-15: int8 embedding quantization — per-vector min/max affine
+    // quantization to [0,255], the storage/serving form of an embedding
+    // lake (4x smaller than float32). floor() not round(): floor is
+    // IEEE-exact and engine-portable, round ties differ across engines.
+    // Pure per-row transform: codegen'd, shuffle-free, scan-bound.
+    "llm15_quantize_int8" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .select(col("vec_id"), col("e"),
+          array_min(col("e")).as("mn"),
+          ((array_max(col("e")) - array_min(col("e"))) / lit(255.0))
+            .as("scale"))
+        .select(col("vec_id"), col("mn"), col("scale"),
+          transform(col("e"), x =>
+            when(col("scale") === 0, lit(0))
+              .otherwise(least(lit(255),
+                floor((x - col("mn")) / col("scale")).cast("int")))).as("q"))
+        .orderBy("vec_id")),
+
+    // LLM-16: benchmark decontamination — flag training docs sharing any
+    // word 8-gram with the held-out benchmark set (doc_id%50==0 stands in
+    // for the eval suite). The benchmark n-gram set is tiny relative to
+    // the corpus, so it BROADCASTS: the corpus side is scanned once,
+    // grams stream through a map-side hash probe, and no corpus-sized
+    // shuffle exists. At 100 TB join on xxhash64(gram) instead of the
+    // string (8-gram strings are ~60 B; the hash is 8) and re-verify the
+    // rare matches; here the string join keeps exact oracle parity.
+    "llm16_decontaminate" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), words.as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("w")) - 7)).as("i"), col("w"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("w"), col("i"), lit(8))).as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select("gram").distinct()
+      val hits = grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_hits"))
+      Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("contaminated", col("n_hits") > 0)
+        .orderBy("doc_id")
+    }),
+
     // language-ID by marker-token counting (deterministic heuristic; the
     // replace-count trick keeps it exactly SQL-expressible)
     "llm7_langid" -> ((s, d) => {
@@ -678,7 +840,97 @@ object LlmOps extends QueryModule {
         |       FROM w)
         |SELECT doc_id, st // 48 AS chunk_idx,
         |       array_to_string(words[st+1:st+64], ' ') AS chunk
-        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // transitive closure over the same jaccard>=0.8 pair set, then
+    // min-reachable-id per node == the min-label fixpoint Spark computes
+    "llm12_dup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w) - 1)]) AS ws
+        |       FROM d WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
+        |         FROM reach GROUP BY src)
+        |SELECT d2.doc_id, COALESCE(c.cluster_id, d2.doc_id) AS cluster_id,
+        |       (COALESCE(c.cluster_id, d2.doc_id) = d2.doc_id) AS is_canonical
+        |FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.node
+        |ORDER BY doc_id""".stripMargin,
+
+    // same chunking as llm11, same per-group running sum (1-PRECEDING
+    // frame == "tokens before this chunk")
+    "llm13_pack_sequences" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |st AS (SELECT doc_id, words,
+        |         unnest(generate_series(0, greatest(len(words) - 1, 0), 48)) AS st
+        |       FROM w),
+        |ch AS (SELECT doc_id, st // 48 AS chunk_idx,
+        |         len(words[st+1:st+64]) AS n_tok FROM st),
+        |cum AS (SELECT doc_id % 8 AS pack_group, doc_id, chunk_idx, n_tok,
+        |         COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id % 8
+        |           ORDER BY doc_id, chunk_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |       FROM ch)
+        |SELECT pack_group, CAST(tok_before // 512 AS BIGINT) AS bin_idx,
+        |       count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cum GROUP BY 1, 2
+        |ORDER BY pack_group, bin_idx""".stripMargin,
+
+    // deterministic residue sampling, same llm7 language heuristic
+    "llm14_stratified_sample" ->
+      """WITH lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (length(text) - length(replace(text, ' the ', ''))) // 5 > 0
+        |         THEN 'en' ELSE 'unknown' END AS pred_lang
+        |  FROM documents),
+        |rates(pred_lang, keep_mod) AS (VALUES ('en', 40), ('unknown', 80))
+        |SELECT l.doc_id, l.pred_lang
+        |FROM lang l JOIN rates r USING (pred_lang)
+        |WHERE l.doc_id % 97 < r.keep_mod
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical affine floor quantization in double precision — IEEE ops
+    // on identical inputs give bit-equal mn/scale/q in both engines
+    "llm15_quantize_int8" ->
+      """WITH v AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, e, list_min(e) AS mn,
+        |        (list_max(e) - list_min(e)) / 255.0 AS scale FROM v)
+        |SELECT vec_id, mn, scale,
+        |  list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+        |    ELSE LEAST(255, CAST(floor((x - mn) / scale) AS INT)) END) AS q
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    // same 8-gram extraction; zero-hit training docs kept via left join
+    "llm16_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |ng AS (SELECT doc_id,
+        |         unnest([array_to_string(wd[i:i+7], ' ')
+        |                 for i in range(1, len(wd) - 6)]) AS gram
+        |       FROM w WHERE len(wd) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 50 = 0),
+        |hits AS (SELECT t.doc_id, count(DISTINCT t.gram) AS n_hits
+        |         FROM ng t JOIN bench b ON t.gram = b.gram
+        |         WHERE t.doc_id % 50 <> 0 GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |       COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   private def exactJaccardSql(threshold: Double, where: String = ""): String =
