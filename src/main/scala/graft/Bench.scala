@@ -23,7 +23,10 @@ object Bench {
     "sort1_global_by_ts", "set1_union_distinct", "func_vector",
     "strm3_session", "llm1_exact_dedup", "llm2_minhash_lsh",
     "llm3_cosine_topk", "llm5_tfidf", "mig2_latest_wins", "mig4_qa_report",
-    "mm1_media_catalog")
+    "mm1_media_catalog",
+    // round-6 families (keys ADD to the line; earlier keys are unchanged
+    // so cross-round diffs stay valid)
+    "llm12_dup_clusters", "llm16_decontaminate", "strm12_neardup_ingest")
 
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -605,16 +605,19 @@ object LlmOps extends QueryModule {
     }),
 
     // LLM-12: near-dup CLUSTER formation — the step between pair emission
-    // (llm2/llm2b) and an actual dedup decision. Jaccard>=0.8 pairs become
-    // a symmetric edge list (checkpointed once — iterations must not
-    // recompute the posting-list join), connected components label every
-    // doc with the min doc_id of its cluster, and is_canonical marks the
-    // one doc per cluster a dedup pass would keep. Singleton docs are their
+    // (llm2/llm2b) and an actual dedup decision. Jaccard>=0.8 pairs come
+    // from the LSH+exact-verify path (the 100 TB pair source; equals the
+    // exact pair set — llm2's P(miss)~5e-8 argument, and DedupClusterSpec
+    // cross-checks cluster closure against the posting-list exact pairs),
+    // become a symmetric edge list (checkpointed once — iterations must
+    // not recompute the LSH join), connected components label every doc
+    // with the min doc_id of its cluster, and is_canonical marks the one
+    // doc per cluster a dedup pass would keep. Singleton docs are their
     // own cluster via the left join. Oracle: recursive-CTE transitive
     // closure over the same pair set.
     "llm12_dup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = ngramJaccardPairs(docs, threshold = 0.8)
+      val pairs = minhashNearDupPairs(docs, threshold = 0.8)
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
         .localCheckpoint()
@@ -742,6 +745,60 @@ object LlmOps extends QueryModule {
         .select(col("shard"),
           row_number().over(win).cast("long").as("pos"), col("doc_id"))
         .orderBy("shard", "pos")
+    }),
+
+    // LLM-18: repetition quality signals (the Gopher-rules family): top
+    // token frequency ratio and within-doc duplicate-trigram fraction,
+    // with the repetitive flag a corpus-prep pass filters on. Trigram
+    // distinct counts reuse the native shingles3 expression; the top-token
+    // count is a two-level aggregate keyed by (doc_id, token) then
+    // (doc_id) — map-side combinable, doc_id in every key so no skew,
+    // scales linearly in total tokens.
+    "llm18_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val top = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("max_c"))
+      val tri = docs.filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
+          size(shingles3(col("text"))).as("n_tri"))
+      tri.join(top, "doc_id")
+        .select(col("doc_id"),
+          (col("max_c").cast("double") / col("n_tok")).as("top_tok_ratio"),
+          (lit(1.0) - col("n_tri").cast("double") / (col("n_tok") - 2))
+            .as("dup_trigram_frac"))
+        .withColumn("is_repetitive",
+          col("top_tok_ratio") > 0.1 || col("dup_trigram_frac") > 0.3)
+        .orderBy("doc_id")
+    }),
+
+    // LLM-19: domain-mixture reweighting — per-language token shares vs a
+    // broadcast target mixture; weight = target_share / actual_share is
+    // the multiplier a sampler applies to hit the target mix. The global
+    // total crosses in via broadcast of a 1-row aggregate (never a global
+    // window).
+    "llm19_mix_weights" -> ((s, d) => {
+      import s.implicits._
+      def cnt(marker: String): Column =
+        ((length(col("text")) - length(replace(col("text"), lit(marker))))
+          / marker.length).cast("int")
+      val targets = Seq(("en", 0.7), ("unknown", 0.3))
+        .toDF("pred_lang", "target_share")
+      val perLang = Tables.documents(s, d)
+        .select(when(cnt(" the ") > 0, "en").otherwise("unknown")
+            .as("pred_lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("pred_lang").agg(sum("n_tok").as("lang_tokens"))
+      val total = perLang.agg(sum("lang_tokens").as("total_tokens"))
+      perLang.crossJoin(broadcast(total))
+        .join(broadcast(targets), "pred_lang")
+        .select(col("pred_lang"), col("lang_tokens"),
+          (col("lang_tokens").cast("double") / col("total_tokens"))
+            .as("actual_share"),
+          col("target_share"))
+        .withColumn("weight", col("target_share") / col("actual_share"))
+        .orderBy("pred_lang")
     }),
 
     // language-ID by marker-token counting (deterministic heuristic; the
@@ -998,7 +1055,46 @@ object LlmOps extends QueryModule {
         |SELECT shard,
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey) AS BIGINT) AS pos,
         |       doc_id
-        |FROM sh ORDER BY shard, pos""".stripMargin
+        |FROM sh ORDER BY shard, pos""".stripMargin,
+
+    // same trigram construction as the jaccard oracles; integer-exact
+    // counts feed IEEE-exact double ratios
+    "llm18_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |tok AS (SELECT doc_id, unnest(wd) AS t FROM w),
+        |top AS (SELECT doc_id, max(c) AS max_c FROM
+        |          (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+        |        GROUP BY doc_id),
+        |tri AS (SELECT doc_id, len(wd) AS n_tok,
+        |          len(list_distinct([wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2]
+        |                             for i in range(1, len(wd) - 1)])) AS n_tri
+        |        FROM w WHERE len(wd) >= 3)
+        |SELECT t2.doc_id,
+        |  CAST(top.max_c AS DOUBLE) / t2.n_tok AS top_tok_ratio,
+        |  1.0 - CAST(t2.n_tri AS DOUBLE) / (t2.n_tok - 2) AS dup_trigram_frac,
+        |  (CAST(top.max_c AS DOUBLE) / t2.n_tok > 0.1 OR
+        |   1.0 - CAST(t2.n_tri AS DOUBLE) / (t2.n_tok - 2) > 0.3) AS is_repetitive
+        |FROM tri t2 JOIN top ON t2.doc_id = top.doc_id
+        |ORDER BY t2.doc_id""".stripMargin,
+
+    // same llm7 language heuristic; shares and weights in double precision
+    "llm19_mix_weights" ->
+      """WITH lang AS (
+        |  SELECT CASE WHEN (length(text) - length(replace(text, ' the ', ''))) // 5 > 0
+        |              THEN 'en' ELSE 'unknown' END AS pred_lang,
+        |         len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |per AS (SELECT pred_lang, CAST(sum(n_tok) AS BIGINT) AS lang_tokens
+        |        FROM lang GROUP BY pred_lang),
+        |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM per),
+        |tgt(pred_lang, target_share) AS (VALUES ('en', 0.7), ('unknown', 0.3))
+        |SELECT p.pred_lang, p.lang_tokens,
+        |  CAST(p.lang_tokens AS DOUBLE) / t.total_tokens AS actual_share,
+        |  CAST(g.target_share AS DOUBLE) AS target_share,
+        |  CAST(g.target_share AS DOUBLE) /
+        |    (CAST(p.lang_tokens AS DOUBLE) / t.total_tokens) AS weight
+        |FROM per p CROSS JOIN tot t JOIN tgt g ON p.pred_lang = g.pred_lang
+        |ORDER BY p.pred_lang""".stripMargin
   )
 
   private def exactJaccardSql(threshold: Double, where: String = ""): String =
