@@ -683,7 +683,10 @@ object LlmOps extends QueryModule {
     // quantization to [0,255], the storage/serving form of an embedding
     // lake (4x smaller than float32). floor() not round(): floor is
     // IEEE-exact and engine-portable, round ties differ across engines.
-    // Pure per-row transform: codegen'd, shuffle-free, scan-bound.
+    // Pure per-row transform: codegen'd, shuffle-free, scan-bound. The
+    // declared output serializes the code vector as a CSV string (the
+    // oracle harness compares scalar columns); the real sink would keep
+    // the array<int>/binary form.
     "llm15_quantize_int8" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -692,10 +695,11 @@ object LlmOps extends QueryModule {
           ((array_max(col("e")) - array_min(col("e"))) / lit(255.0))
             .as("scale"))
         .select(col("vec_id"), col("mn"), col("scale"),
-          transform(col("e"), x =>
+          concat_ws(",", transform(col("e"), x =>
             when(col("scale") === 0, lit(0))
               .otherwise(least(lit(255),
-                floor((x - col("mn")) / col("scale")).cast("int")))).as("q"))
+                floor((x - col("mn")) / col("scale")).cast("int")))
+              .cast("string"))).as("q_csv"))
         .orderBy("vec_id")),
 
     // LLM-16: benchmark decontamination — flag training docs sharing any
@@ -1018,7 +1022,8 @@ object LlmOps extends QueryModule {
         |ORDER BY doc_id""".stripMargin,
 
     // identical affine floor quantization in double precision — IEEE ops
-    // on identical inputs give bit-equal mn/scale/q in both engines
+    // on identical inputs give bit-equal mn/scale/codes in both engines;
+    // codes serialized to a CSV string so the compare sees only scalars
     "llm15_quantize_int8" ->
       """WITH v AS (SELECT vec_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1026,8 +1031,10 @@ object LlmOps extends QueryModule {
         |s AS (SELECT vec_id, e, list_min(e) AS mn,
         |        (list_max(e) - list_min(e)) / 255.0 AS scale FROM v)
         |SELECT vec_id, mn, scale,
-        |  list_transform(e, x -> CASE WHEN scale = 0 THEN 0
-        |    ELSE LEAST(255, CAST(floor((x - mn) / scale) AS INT)) END) AS q
+        |  array_to_string(list_transform(e, x ->
+        |    CAST(CASE WHEN scale = 0 THEN 0
+        |      ELSE LEAST(255, CAST(floor((x - mn) / scale) AS INT)) END
+        |      AS VARCHAR)), ',') AS q_csv
         |FROM s ORDER BY vec_id""".stripMargin,
 
     // same 8-gram extraction; zero-hit training docs kept via left join
