@@ -817,6 +817,100 @@ object LlmOps extends QueryModule {
           cnt(" data ").as("c_data"),
           when(cnt(" the ") > 0, "en").otherwise("unknown").as("pred_lang"))
         .orderBy("doc_id")
+    }),
+
+    // LLM-20: cross-document boilerplate removal (CCNet-style paragraph
+    // dedup). The synthetic corpus has no paragraph breaks, so fixed
+    // 10-token segments stand in for paragraphs; the operator shape is the
+    // real one: segment → document-frequency per segment → drop segments
+    // seen in >= 3 distinct docs → reassemble each doc in segment order.
+    // Scale posture: the df shuffle and the seg⋈df join are keyed by
+    // xxhash64(segment) — 8 bytes cross the exchange where the raw segment
+    // text (~60 B avg, unbounded worst case) would otherwise; the
+    // reassembly groups by doc_id (high cardinality), and collect_list
+    // gathers only each doc's own kept segments.
+    "llm20_boilerplate" -> ((s, d) => {
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+            lit(10))).as("st"))
+        .select(col("doc_id"), (col("st") / 10).cast("long").as("seg_idx"),
+          array_join(slice(col("toks"), col("st") + 1, lit(10)), " ").as("seg"))
+        .withColumn("h", xxhash64(col("seg")))
+      val df = segs.groupBy("h").agg(countDistinct("doc_id").as("df"))
+      segs.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("df") < 3,
+              struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")), " ").as("text_clean"),
+          count(when(col("df") < 3, 1)).as("n_kept"),
+          count(when(col("df") >= 3, 1)).as("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM-21: embedding-cosine near-dup — the SemDeDup keep-lowest-id rule:
+    // a vector is dropped iff some LOWER-id vector sits within cosine >= τ
+    // (τ = 0.45, calibrated to this synthetic corpus's similarity range).
+    // This is the declared O(n²) oracle baseline (like llm3c); the scale
+    // path is llm21b. Cosines round to 6 dp on both sides before the
+    // threshold compare so the engines agree at the boundary.
+    "llm21_embed_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val dupIds = a.join(b, col("a_id") < col("b_id"))
+        .filter(round(cosine(col("a_emb"), col("b_emb")), 6) >= 0.45)
+        .select(col("b_id").as("vec_id")).distinct()
+      e.select(col("vec_id"))
+        .join(dupIds.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dup").isNull.as("is_kept"))
+        .orderBy("vec_id")
+    }),
+
+    // LLM-21b ⚠: the scale path for llm21 — candidate pairs form only
+    // inside a shared (table, bucket) of the multi-table sign-LSH index
+    // (ids-only cross the bucket self-join; embeddings re-attach by id for
+    // the exact cosine check). Approximate: a pair in no common bucket is
+    // missed, so rows-only + ApproxSpec drop-recall floor vs llm21.
+    "llm21b_embed_neardup_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val sig = lshIndex(e).localCheckpoint()
+      val pa = sig.select(col("table"), col("bucket"), col("vec_id").as("a_id"))
+      val pb = sig.select(col("table"), col("bucket"), col("vec_id").as("b_id"))
+      val cand = pa.join(pb, Seq("table", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val dupIds = cand.join(ea, "a_id").join(eb, "b_id")
+        .filter(round(cosine(col("a_emb"), col("b_emb")), 6) >= 0.45)
+        .select(col("b_id").as("vec_id")).distinct()
+      e.select(col("vec_id"))
+        .join(dupIds.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dup").isNull.as("is_kept"))
+        .orderBy("vec_id")
+    }),
+
+    // LLM-22: adjacent-token-pair counting — the corpus statistic behind
+    // the first BPE merge (count all adjacent pairs, take the most
+    // frequent). slice+zip_with builds per-doc bigram arrays with no
+    // self-join; the global count is one partial+final hash agg and the
+    // top-30 compiles to TakeOrderedAndProject. At 100 TB this is the
+    // canonical map-side-combine workload: pair cardinality ~vocab², far
+    // below row count, so partial aggregation collapses the shuffle.
+    "llm22_bpe_pairs" -> ((s, d) => {
+      val t = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("pair"))
+        .filter(col("pair") =!= " ")
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30)
     })
   )
 
@@ -1101,7 +1195,45 @@ object LlmOps extends QueryModule {
         |  CAST(g.target_share AS DOUBLE) /
         |    (CAST(p.lang_tokens AS DOUBLE) / t.total_tokens) AS weight
         |FROM per p CROSS JOIN tot t JOIN tgt g ON p.pred_lang = g.pred_lang
-        |ORDER BY p.pred_lang""".stripMargin
+        |ORDER BY p.pred_lang""".stripMargin,
+
+    // same 10-token segmentation (llm11's chunk pattern at step 10), df by
+    // distinct doc, conditional string_agg skips the dropped segments
+    "llm20_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |st AS (SELECT doc_id, words,
+        |         unnest(generate_series(0, greatest(len(words) - 1, 0), 10)) AS st
+        |       FROM w),
+        |seg AS (SELECT doc_id, st // 10 AS seg_idx,
+        |          array_to_string(words[st+1:st+10], ' ') AS seg FROM st),
+        |df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
+        |SELECT s.doc_id,
+        |  COALESCE(string_agg(CASE WHEN df.df < 3 THEN s.seg END,
+        |                      ' ' ORDER BY s.seg_idx), '') AS text_clean,
+        |  count(CASE WHEN df.df < 3 THEN 1 END) AS n_kept,
+        |  count(CASE WHEN df.df >= 3 THEN 1 END) AS n_dropped
+        |FROM seg s JOIN df USING (seg)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // exact all-pairs cosine in double, rounded to 6 dp before the
+    // threshold compare (same protocol the Spark side applies)
+    "llm21_embed_neardup" ->
+      """WITH t AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |dup AS (SELECT DISTINCT b.vec_id
+        |  FROM t a, t b WHERE a.vec_id < b.vec_id
+        |    AND round(list_dot_product(a.e, b.e) /
+        |          sqrt(list_dot_product(a.e, a.e)) /
+        |          sqrt(list_dot_product(b.e, b.e)), 6) >= 0.45)
+        |SELECT e2.vec_id, dup.vec_id IS NULL AS is_kept
+        |FROM embeddings e2 LEFT JOIN dup ON e2.vec_id = dup.vec_id
+        |ORDER BY e2.vec_id""".stripMargin,
+
+    "llm22_bpe_pairs" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT unnest([t[i] || ' ' || t[i+1]
+        |                     for i in range(1, len(t))]) AS pair FROM w)
+        |SELECT pair, count(*) AS n FROM p WHERE pair <> ' '
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
   )
 
   private def exactJaccardSql(threshold: Double, where: String = ""): String =

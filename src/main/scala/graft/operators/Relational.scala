@@ -605,6 +605,82 @@ object Relational extends QueryModule {
       o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
         .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
         .orderBy("o_custkey")
+    }),
+
+    // AGG-12: PIVOT with EXPLICIT value list. Supplying the values skips the
+    // extra distinct-scan job Spark otherwise runs to discover them — at
+    // 100 TB that job is a second full pass over the fact table. The plan is
+    // a single partial+final hash agg (one conditional sum per pivot value).
+    "agg12_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(Det.dsum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")),
+
+    // AGG-13: UNPIVOT (melt) — wide metrics to (key, metric, value) rows.
+    // The expand runs AFTER aggregation, so row multiplication happens on
+    // the 3-row aggregate, never on the raw table.
+    "agg13_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("n_rows")), "metric", "value")
+        .orderBy("l_returnflag", "metric")),
+
+    // AGG-14: GROUPING SETS — an asymmetric set list ((flag,status),
+    // (status), ()) that neither rollup nor cube expresses. One scan + one
+    // Expand (3 projections) + one hash agg, vs 3 scans for a UNION ALL of
+    // separate aggregates.
+    "agg14_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty[org.apache.spark.sql.Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .select(
+          when(col("g_flag") === 1, lit("ALL"))
+            .otherwise(col("l_returnflag")).as("flag"),
+          when(col("g_status") === 1, lit("ALL"))
+            .otherwise(col("l_linestatus")).as("status"),
+          col("n"))
+        .orderBy("flag", "status")),
+
+    // WIN-7: distribution window functions (percent_rank / cume_dist /
+    // ntile) partitioned by high-cardinality user_id — partitions stay
+    // small and sorts spill-local at 100×. (ts_us, event_id) is a total
+    // order per partition, so every rank is deterministic.
+    "win7_ntile" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      e.select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("tile", ntile(4).over(w))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // WIN-8: time-RANGE frame — trailing 1-hour sum per user. A range frame
+    // over the sorted partition is a sliding two-pointer pass (no
+    // re-aggregation per row); equal timestamps are frame peers in both
+    // engines, so ties don't affect the result. Decimal accumulation keeps
+    // the double bit-identical to the oracle.
+    "win8_range_frame" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      e.select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("hr_sum",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .drop("value")
+        .orderBy("user_id", "ts_us", "event_id")
     })
   )
 
@@ -894,6 +970,50 @@ object Relational extends QueryModule {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "agg12_pivot" ->
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+         |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+         |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg13_unpivot" ->
+      s"""WITH a AS (SELECT l_returnflag,
+         |  ${Det.dsumSql("l_quantity")} AS sum_qty,
+         |  CAST(COUNT(*) AS DOUBLE) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM a
+         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "agg14_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS flag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS status,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin,
+
+    "win7_ntile" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  ntile(4) OVER w AS tile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "win8_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hr_sum
+        |FROM events
+        |ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }

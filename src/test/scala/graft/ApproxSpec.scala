@@ -60,6 +60,23 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.6, s"pairwise recall $recall below floor")
   }
 
+  test("llm21b: LSH near-dup drops a high-recall SUBSET of exact drops") {
+    def drops(name: String) = SparkEntry.queries(name)(spark, Sf0001)
+      .filter(!col("is_kept")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val exact = drops("llm21_embed_neardup")
+    val lsh = drops("llm21b_embed_neardup_lsh")
+    // precision is exactly 1 by construction: every LSH candidate pair is
+    // re-verified with the same exact rounded cosine, so llm21b can only
+    // drop ids llm21 also drops — never a false drop
+    assert(lsh.subsetOf(exact), s"false drops: ${lsh -- exact}")
+    assert(exact.nonEmpty, "fixture corpus must contain near-dups at τ=0.45")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // measured 1.0 at sf0.001 (8 tables × 3 planes, p≈0.92/pair); floor
+    // leaves headroom for regenerated testdata
+    assert(recall >= 0.5, s"drop recall $recall below floor")
+  }
+
   test("llm3e: IVF ANN recall vs exact cosine top-20") {
     val exact = SparkEntry.queries("llm3_cosine_topk")(spark, Sf0001)
       .collect().map(_.getLong(0)).toSet
