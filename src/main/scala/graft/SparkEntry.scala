@@ -19,7 +19,8 @@ object SparkEntry {
     llm.LlmOps,
     streaming.StreamOps,
     migration.MigrationOps,
-    multimodal.MultimodalOps
+    multimodal.MultimodalOps,
+    sql.SqlOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -681,6 +681,43 @@ object Relational extends QueryModule {
           sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
         .drop("value")
         .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // AGG-15: approximate percentile (Greenwald-Khanna sketch). The exact
+    // agg10 buffers every value per group (ObjectHashAggregate, O(rows)
+    // state); this sketch holds O(1/accuracy) state per group and merges
+    // associatively, so partial aggregation works map-side — at 100 TB the
+    // shuffle carries fixed-size sketches, not value lists. Approximate →
+    // no DuckDB oracle; ApproxSpec bounds the rank error vs exact agg10.
+    "agg15_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(10000)).as("approx_pct"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // AGG-16: mergeable distinct-count sketches (Apache DataSketches HLL).
+    // Unlike agg6's one-shot approx_count_distinct, the sketch itself is a
+    // first-class column: build one per nation, then UNION the serialized
+    // sketches into a global estimate WITHOUT rescanning the input. That is
+    // the lakehouse rollup pattern — per-partition/per-day sketches
+    // persisted once, any ad-hoc slice answered by merging footprint-sized
+    // state. ApproxSpec checks both levels against exact distinct counts.
+    "agg16_hll_sketch_union" -> ((s, d) => {
+      val perNation = Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(hll_sketch_agg(col("c_custkey"), lit(12)).as("sk"))
+      perNation
+        .select(col("c_nationkey"),
+          hll_sketch_estimate(col("sk")).as("est_nation"))
+        .join(
+          perNation.agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+              .as("est_global")),
+          lit(true))
+        .orderBy("c_nationkey")
     })
   )
 

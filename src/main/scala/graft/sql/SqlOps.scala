@@ -1,0 +1,149 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{QueryModule, Tables}
+
+/** SQL-1..5 — the raw-SQL entry surface (SURVEY.md §2.17).
+  *
+  * The reference exposes its data only through CLI subcommands
+  * (`/root/reference/src/azanium/cli.py`); an engine a user could *switch
+  * to* also needs the declarative front door: register the lake tables as
+  * views and accept ANSI SQL. These queries run through `spark.sql(...)`
+  * verbatim — the SAME text is the DuckDB oracle, which is the point: the
+  * dialect subset used here (decimal-cast aggregation per [[graft.Det]],
+  * TIMESTAMP literals, EXISTS, correlated scalar subqueries) is engine-
+  * portable, so correctness of the whole SQL path (parser → analyzer →
+  * Catalyst → Tungsten) is checked end-to-end, not just one operator.
+  *
+  * Scale posture: these are the classic TPC-H access patterns —
+  *  - sql1: scan-bound partial+final hash agg (the canonical map-side
+  *    combine; shuffle carries 4 groups, not 600k rows);
+  *  - sql2: selective dim filter (BUILDING ≈ 1/5 of customers) joined
+  *    before the fact agg — Catalyst pushes both date predicates into the
+  *    parquet scans, AQE broadcasts the filtered customer side;
+  *  - sql3: EXISTS compiles to a left-semi join (no row multiplication);
+  *  - sql4: the 6-table snowflake — region/nation broadcast, the
+  *    customer⋈orders⋈lineitem⋈supplier chain shuffles on its keys once;
+  *  - sql5: correlated scalar subquery decorrelated by Catalyst into a
+  *    per-partkey aggregate re-joined to the fact — one extra shuffle,
+  *    never a per-row re-scan.
+  */
+object SqlOps extends QueryModule {
+
+  /** Register every lake table under its canonical name so raw SQL can see
+    * them. Idempotent per session; cheap (views are lazy plans). */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    Tables.region(s, d).createOrReplaceTempView("region")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+  }
+
+  private def runSql(name: String)(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(oracle(name))
+  }
+
+  // TPC-H Q1 shape: pricing summary. Decimal-cast sums per Det so Spark's
+  // partial/final order and DuckDB's sequential order give bit-equal
+  // doubles; the avg divides the exact decimal sum by the exact count.
+  private val Sql1 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // TPC-H Q3 shape: shipping priority. revenue DESC is a safe sort key
+  // because the decimal protocol makes both engines' doubles identical;
+  // l_orderkey breaks ties. Date surfaces as a STRING (no timestamp
+  // encoding ambiguity between writers).
+  private val Sql2 =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS orderdate,
+      |  o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // TPC-H Q4 shape: EXISTS → left-semi join (Catalyst RewritePredicateSubquery);
+  // the lineitem side is filtered by the correlated ship-after-order
+  // predicate inside the semi-join, so no order row ever duplicates.
+  private val Sql3 =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // TPC-H Q5 shape: the 6-table snowflake with the local-supplier
+  // constraint (c_nationkey = s_nationkey).
+  private val Sql4 =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // TPC-H Q17 shape: correlated scalar subquery. The 0.2*avg threshold is
+  // IEEE-deterministic on both engines (integer-valued quantities sum
+  // exactly; both perform the same double divide and multiply), so the
+  // `<` compare cannot flip between them.
+  private val Sql5 =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS below_avg_price,
+      |  COUNT(*) AS n_small
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql1_pricing_summary"  -> runSql("sql1_pricing_summary") _,
+    "sql2_shipping_priority" -> runSql("sql2_shipping_priority") _,
+    "sql3_order_priority"   -> runSql("sql3_order_priority") _,
+    "sql4_local_supplier"   -> runSql("sql4_local_supplier") _,
+    "sql5_small_quantity"   -> runSql("sql5_small_quantity") _
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "sql1_pricing_summary"  -> Sql1,
+    "sql2_shipping_priority" -> Sql2,
+    "sql3_order_priority"   -> Sql3,
+    "sql4_local_supplier"   -> Sql4,
+    "sql5_small_quantity"   -> Sql5
+  )
+}

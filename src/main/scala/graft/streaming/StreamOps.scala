@@ -202,6 +202,30 @@ object StreamOps extends QueryModule {
       .select("user_id", "click_id", "purchase_id")
   }
 
+  /** STRM-13: stream-stream LEFT OUTER interval join — every click emits,
+    * matched or not. The engine can only declare a click unmatched once no
+    * future purchase could still join it, so the null row is emitted when
+    * the purchase-side WATERMARK passes click_ts + 30 min; until then the
+    * click sits in join state. Same eviction bound as the inner join —
+    * state never outlives watermark + interval, so memory is bounded at
+    * 100 TB/day rates — outer rows just ride the eviction event.
+    * (Funnel analytics: the unmatched clicks ARE the abandonment signal.) */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("event_ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("event_ts").as("click_ts"))
+    val p = purchases.withWatermark("event_ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_id").isNotNull.as("converted"))
+  }
+
   /** Typed input/state/output for the custom-state operator below. */
   case class UserEvent(user_id: Long, event_id: Long, ts_us: Long)
   case class UserState(n: Long, last_us: Long)

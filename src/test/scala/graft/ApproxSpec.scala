@@ -21,6 +21,37 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("agg15: approx percentile within 1% relative error of exact") {
+    val exact = Tables.lineitem(spark, Sf0001)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = SparkEntry.queries("agg15_approx_percentile")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(exact.keySet === approx.keySet)
+    for ((k, ps) <- exact; (e, a) <- ps.zip(approx(k)))
+      assert(math.abs(a - e) / e <= 0.01, s"flag $k: approx $a vs exact $e")
+  }
+
+  test("agg16: HLL sketch estimates and their union track exact distincts") {
+    val exactPer = Tables.customer(spark, Sf0001)
+      .groupBy("c_nationkey").agg(countDistinct(col("c_custkey")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exactGlobal = Tables.customer(spark, Sf0001)
+      .select("c_custkey").distinct().count()
+    val rows = SparkEntry.queries("agg16_hll_sketch_union")(spark, Sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSet === exactPer.keySet)
+    for (r <- rows) {
+      val (k, est) = (r.getInt(0), r.getLong(1).toDouble)
+      val n = exactPer(k).toDouble
+      assert(math.abs(est - n) / n <= 0.05, s"nation $k: HLL $est vs exact $n")
+      // the union of per-nation sketches must estimate the GLOBAL distinct
+      // count without rescanning — the mergeability contract
+      assert(math.abs(r.getLong(2) - exactGlobal).toDouble / exactGlobal <= 0.05,
+        s"union estimate ${r.getLong(2)} vs exact $exactGlobal")
+    }
+  }
+
   test("llm2c: simhash hamming distance separates near-dups from background") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"

@@ -155,6 +155,42 @@ class StructuredStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched click emits null after watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamOps.clickToPurchaseOuter(
+      StreamOps.withEventTs(clicks.toDF()),
+      StreamOps.withEventTs(purchases.toDF()))
+    val q = joined.writeStream.format("memory").queryName("ssoj_t")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(10, 1, "click", 0, nanosAt(600)),
+        Ev(11, 2, "click", 0, nanosAt(600)))
+      purchases.addData(Ev(20, 1, "purchase", 5, nanosAt(620)))
+      q.processAllAvailable()
+      def rows() = s.table("ssoj_t")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3))).toSet
+      // user 1 matched; user 2's click CANNOT emit yet — a purchase at
+      // t∈[600, 630) could still arrive, so it waits in state
+      assert(rows() === Set((1L, 10L, Some(20L), true)),
+        s"premature outer emission: ${rows()}")
+      // advance both watermarks past 630 + 10min delay → click 11 provably
+      // unmatchable → null row flushes
+      clicks.addData(Ev(12, 9, "click", 0, nanosAt(700)))
+      purchases.addData(Ev(21, 9, "purchase", 5, nanosAt(700)))
+      q.processAllAvailable()
+      clicks.addData(Ev(13, 9, "click", 0, nanosAt(701)))
+      purchases.addData(Ev(22, 9, "purchase", 5, nanosAt(701)))
+      q.processAllAvailable()
+      assert(rows().contains((2L, 11L, None, false)),
+        s"unmatched click never emitted: ${rows()}")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert stream == batch latest-wins on the same events") {
     val s = spark
     import s.implicits._
