@@ -838,6 +838,9 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"), (col("st") / 10).cast("long").as("seg_idx"),
           array_join(slice(col("toks"), col("st") + 1, lit(10)), " ").as("seg"))
         .withColumn("h", xxhash64(col("seg")))
+        // feeds BOTH the df aggregate and the reassembly join — without
+        // this the tokenize+explode chain runs twice (self-join recompute)
+        .localCheckpoint()
       val df = segs.groupBy("h").agg(countDistinct("doc_id").as("df"))
       segs.join(df, "h")
         .groupBy("doc_id")

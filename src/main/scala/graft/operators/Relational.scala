@@ -718,7 +718,44 @@ object Relational extends QueryModule {
               .as("est_global")),
           lit(true))
         .orderBy("c_nationkey")
-    })
+    }),
+
+    // PROF-1: single-pass column profiler (ANALYZE TABLE analogue). All
+    // per-column stats come out of ONE aggregate over ONE scan — the
+    // multi-distinct compiles to an Expand (k projections of the same
+    // scan), not k separate jobs; at 100 TB that is one pass over the lake
+    // instead of four. stack() pivots the 1-row aggregate into the
+    // catalog-friendly long form; min/max surface as strings so one schema
+    // covers heterogeneous column types.
+    "prof1_table_stats" -> ((s, d) => {
+      val cols = Seq("l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max")))
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"stack(${cols.size}, " + cols.map(c =>
+            s"'$c', n_rows - ${c}__n, ${c}__n, ${c}__nd, ${c}__min, ${c}__max")
+            .mkString(", ") +
+          ") AS (column_name, n_null, n, n_distinct, min_s, max_s)"))
+        .orderBy("column_name")
+    }),
+
+    // SAMP-1: deterministic hash sampling — the reproducible-sample
+    // primitive a training pipeline needs (TABLESAMPLE/rand() differ per
+    // engine, per run, and per partitioning; a content-hash cut is stable
+    // across all three). First md5 byte < 0x0d keeps ≈ 13/256 ≈ 5.1%,
+    // embarrassingly parallel, no shuffle, and the SAME rows come back on
+    // every engine — which is exactly what the DuckDB oracle certifies.
+    "samp1_hash_sample" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")),
+          1, 2) < "0d")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -1051,6 +1088,19 @@ object Relational extends QueryModule {
         |    PARTITION BY user_id ORDER BY epoch_us(ts)
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hr_sum
         |FROM events
-        |ORDER BY user_id, ts_us, event_id""".stripMargin
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "prof1_table_stats" -> Seq(
+      "l_extendedprice", "l_quantity", "l_returnflag", "l_shipdate").map(c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT($c) AS n, COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS STRING) AS min_s, CAST(MAX($c) AS STRING) AS max_s
+         |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    "samp1_hash_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 2) < '0d'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

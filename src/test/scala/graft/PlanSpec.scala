@@ -131,6 +131,34 @@ class PlanSpec extends SparkSpec {
       s"expected a partial map-side max_by in:\n$p")
   }
 
+  test("sql3: EXISTS subquery compiles to a semi join, not row multiplication") {
+    val p = planOf("sql3_order_priority")
+    assert(p.contains("LeftSemi"), s"expected a left-semi join in:\n$p")
+  }
+
+  test("sql5: correlated scalar subquery is decorrelated to one aggregate") {
+    val p = planOf("sql5_small_quantity")
+    // Catalyst must rewrite the per-row subquery into a per-partkey
+    // aggregate joined back — visible as exactly one avg aggregate and NO
+    // nested subquery execution node
+    assert(!p.contains("Subquery subquery"),
+      s"subquery must be decorrelated, not re-executed per row:\n$p")
+    assert(p.contains("partial_avg"),
+      s"expected the decorrelated per-partkey avg aggregate:\n$p")
+  }
+
+  test("sql1/sql2: date predicates are pushed into the parquet scans") {
+    val p1 = planOf("sql1_pricing_summary")
+    assert(p1.contains("LessThanOrEqual(l_shipdate"),
+      s"sql1 shipdate filter must reach the scan:\n$p1")
+    val p2 = planOf("sql2_shipping_priority")
+    assert(p2.contains("LessThan(o_orderdate") &&
+      p2.contains("GreaterThan(l_shipdate"),
+      s"sql2 date filters must reach both scans:\n$p2")
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"sql2 LIMIT 10 must compile to top-k, not a full sort:\n$p2")
+  }
+
   test("window queries over raw tables: no single-partition exchange") {
     // (win1/strm4/mig7 windows run over pre-limited/pre-aggregated tiny
     // frames by design; these are the raw-scan paths that must scale)
