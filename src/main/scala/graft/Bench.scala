@@ -26,7 +26,10 @@ object Bench {
     "mm1_media_catalog",
     // round-6 families (keys ADD to the line; earlier keys are unchanged
     // so cross-round diffs stay valid)
-    "llm12_dup_clusters", "llm16_decontaminate", "strm12_neardup_ingest")
+    "llm12_dup_clusters", "llm16_decontaminate", "strm12_neardup_ingest",
+    // round-8 families
+    "sql1_pricing_summary", "sql4_local_supplier", "agg14_grouping_sets",
+    "llm20_boilerplate", "llm21b_embed_neardup_lsh", "prof1_table_stats")
 
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -20,7 +20,8 @@ object SparkEntry {
     streaming.StreamOps,
     migration.MigrationOps,
     multimodal.MultimodalOps,
-    sql.SqlOps
+    sql.SqlOps,
+    operators.Incremental
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -287,6 +287,32 @@ object Relational extends QueryModule {
         .orderBy("p_brand")
     }),
 
+    // JOIN-13: salted shuffle join — the hot-key fix when the SKEWED side
+    // must shuffle (dim too big to broadcast, skew too extreme for AQE's
+    // partition-splitting, which splits partitions but cannot split one
+    // giant KEY's hash bucket across reducers when the build side needs
+    // co-location). Fact rows take salt = hash(row-unique cols) % S; the
+    // dim side replicates ×S via explode, so every (key, salt) reducer
+    // holds the dim row it needs. Deterministic salting (xxhash64, not
+    // rand()) keeps the result reproducible and oracle-checkable — the
+    // result set provably equals the unsalted join, which IS the oracle.
+    "join13_salted_join" -> ((s, d) => {
+      val S = 8
+      val fact = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)))
+      val dim = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus")
+        .withColumn("salt", explode(sequence(lit(0L), lit(S - 1L))))
+      fact.join(dim,
+          fact("l_orderkey") === dim("o_orderkey") &&
+            fact("salt") === dim("salt"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- AGG ----
     "agg1_count" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -951,6 +977,13 @@ object Relational extends QueryModule {
          |  ${Det.dsumSql("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE p_size = 15 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the unsalted join: salting must not change the result
+    "join13_salted_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${Det.dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "win1_row_number" ->
       """SELECT c_custkey, c_acctbal,

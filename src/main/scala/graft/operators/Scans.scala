@@ -78,6 +78,28 @@ object Scans extends QueryModule {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")),
 
+    // SCAN-7: schema-evolution read. Generation-1 files predate the
+    // o_orderpriority column; generation-2 files carry it. mergeSchema
+    // unions the parquet footer schemas and old files surface the new
+    // column as null — the lake-ingest reality where producers upgrade
+    // at different times. Scale note: mergeSchema reads EVERY footer; at
+    // 100 TB production pins the unified schema from a catalog and
+    // passes it via .schema(...) — the null-fill semantics are the same,
+    // which is what this query certifies.
+    "scan7_schema_evolution" -> ((s, d) => {
+      val out = s"$SinkDir/scan7_evo"
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/g1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/g2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/g1", s"$out/g2")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // SINK-1: CSV sink (QUOTE_ALL dialect) → read back
     "sink1_csv" -> ((s, d) => {
       val out = s"$SinkDir/sink1_csv"
@@ -326,6 +348,11 @@ object Scans extends QueryModule {
     "scan6_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "scan7_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "sink1_csv" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem

@@ -187,6 +187,45 @@ object VersionedStore {
           .otherwise(col(s"__a_$c")).as(c)) :+ col("_change_type"): _*)
   }
 
+  /** Delta-CDF-style change feed between two versions: like [[changes]]
+    * but an update emits BOTH rows — `update_preimage` (old values) and
+    * `update_postimage` (new values) — which is what downstream
+    * incremental consumers need (subtract the pre, add the post; see
+    * [[Incremental]]). Built in ONE pass over the full-outer key join:
+    * each joined row expands to its 0–2 feed rows via an array+explode,
+    * no second diff scan. */
+  def changeFeed(s: SparkSession, root: String, fromV: Long, toV: Long,
+                 keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val before = read(s, root, fromV)
+    val after  = read(s, root, toV)
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"schema drift between v$fromV and v$toV is not diffable")
+    val valCols = after.columns.filterNot(keys.contains).toIndexedSeq
+    val b = before.select(keys.map(col) ++
+      valCols.map(c => col(c).as(s"__b_$c")) :+ lit(true).as("__in_b"): _*)
+    val a = after.select(keys.map(col) ++
+      valCols.map(c => col(c).as(s"__a_$c")) :+ lit(true).as("__in_a"): _*)
+    val changed = valCols.map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def ev(tpe: String, prefix: String) =
+      struct(valCols.map(c => col(s"$prefix$c").as(c)) :+
+        lit(tpe).as("_change_type"): _*)
+    val isIns = col("__in_b").isNull
+    val isDel = col("__in_a").isNull
+    val isUpd = !isIns && !isDel && changed
+    b.join(a, keys, "full_outer")
+      .select(keys.map(col) :+ array(
+        when(isIns, ev("insert", "__a_")),
+        when(isDel, ev("delete", "__b_")),
+        when(isUpd, ev("update_preimage", "__b_")),
+        when(isUpd, ev("update_postimage", "__a_"))).as("__evs"): _*)
+      .select(keys.map(col) :+
+        explode(filter(col("__evs"), _.isNotNull)).as("__ev"): _*)
+      .select(keys.map(col) ++ valCols.map(c =>
+        col(s"__ev.$c")) :+ col("__ev._change_type"): _*)
+  }
+
   private def rmTree(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(): Unit

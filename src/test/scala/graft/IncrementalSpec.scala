@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Incremental, VersionedStore}
+
+/** IVM-1: maintained aggregate == full recompute, exactly (decimal path). */
+class IncrementalSpec extends SparkSpec {
+
+  private val root = "/root/repo/target/tmp-sinks/ivm1_spec_store"
+
+  test("changeFeed emits pre+post images for updates, and only real changes") {
+    Incremental.buildStore(spark, Sf0001, root)
+    val feed = VersionedStore.changeFeed(spark, root, 1L, 2L, Seq("o_orderkey"))
+      .collect()
+    val byType = feed.groupBy(_.getAs[String]("_change_type")).map {
+      case (t, rows) => t -> rows.length
+    }
+    // v1 has %3!=0, v2 has %5!=0 → keys with %3==0 && %5!=0 insert;
+    // %3!=0 && %5==0 delete; %7==0 survivors update (price doubled)
+    assert(byType.keySet ===
+      Set("insert", "delete", "update_preimage", "update_postimage"))
+    assert(byType("update_preimage") === byType("update_postimage"),
+      s"unpaired update images: $byType")
+    // every update key must carry BOTH images, post = 2 × pre
+    val updates = feed.filter(_.getAs[String]("_change_type").startsWith("update"))
+      .groupBy(_.getAs[Long]("o_orderkey"))
+    updates.foreach { case (k, rows) =>
+      assert(rows.length === 2, s"key $k: expected pre+post, got ${rows.length}")
+      val pre = rows.find(_.getAs[String]("_change_type") == "update_preimage").get
+      val post = rows.find(_.getAs[String]("_change_type") == "update_postimage").get
+      assert(post.getAs[Double]("o_totalprice") ===
+        pre.getAs[Double]("o_totalprice") * 2, s"key $k images wrong")
+    }
+  }
+
+  test("maintained aggregate is bit-identical to a full recompute of v2") {
+    Incremental.buildStore(spark, Sf0001, root)
+    val feed = VersionedStore.changeFeed(spark, root, 1L, 2L, Seq("o_orderkey"))
+    val maintained = Incremental.maintainSumCount(
+      Incremental.aggOf(spark, root, 1L), feed,
+      Seq("o_orderpriority"), "o_totalprice")
+      .orderBy("o_orderpriority").collect()
+    val recomputed = Incremental.aggOf(spark, root, 2L)
+      .orderBy("o_orderpriority").collect()
+    assert(maintained.length === recomputed.length)
+    maintained.zip(recomputed).foreach { case (m, r) =>
+      assert(m === r, s"maintained $m != recomputed $r")
+    }
+  }
+
+  test("empty feed (no changes) leaves the aggregate untouched") {
+    Incremental.buildStore(spark, Sf0001, root)
+    // v2 → v2: feed is empty; maintenance must be the identity
+    val feed = VersionedStore.changeFeed(spark, root, 2L, 2L, Seq("o_orderkey"))
+    assert(feed.count() === 0)
+    val before = Incremental.aggOf(spark, root, 2L)
+      .orderBy("o_orderpriority").collect()
+    val after = Incremental.maintainSumCount(
+      Incremental.aggOf(spark, root, 2L), feed,
+      Seq("o_orderpriority"), "o_totalprice")
+      .orderBy("o_orderpriority").collect()
+    assert(after.toSeq === before.toSeq)
+  }
+}
