@@ -27,11 +27,17 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg (local dev only; the driver passes two): comma-list
+    // of query names — dump and compare just those
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(',').toSet)
     val spark = Graft.session("graft-verify")
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,7 +46,8 @@ object Verify {
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      toJsonObject(SparkEntry.oracleSql))
+      toJsonObject(SparkEntry.oracleSql.view
+        .filterKeys(k => only.forall(_.contains(k))).toMap))
     System.err.println(s"[verify] done: ${SparkEntry.queries.size - failed}/" +
       s"${SparkEntry.queries.size} queries wrote output")
     spark.stop()

@@ -914,8 +914,152 @@ object LlmOps extends QueryModule {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(30)
+    }),
+
+    // LLM-22b: iterative BPE merge TRAINING — llm22 computes the statistic
+    // behind the first merge; this runs the actual loop: R rounds of
+    // (count adjacent pairs → pick the arg-max pair with a deterministic
+    // tiebreak → apply that merge to every document). The merge rule per
+    // round is ONE scalar, so collecting it to the driver is the same
+    // justified driver-side step as IVF's centroids (llm3e); the
+    // corpus-wide merge apply is a codegen'd higher-order fold, linear in
+    // tokens, shuffle-free. At 100 TB each round costs one map pass plus
+    // one pair-count shuffle that map-side combine collapses to ~vocab²
+    // rows. Merged units are space-joined, so later rounds merge merged
+    // units exactly like classic BPE. No SQL-expressible oracle (iterative
+    // argmax); BpeSpec pins the golden merge sequence on a tiny corpus and
+    // the fixture corpus.
+    "llm22b_bpe_train" -> ((s, d) =>
+      bpeTrain(s, Tables.documents(s, d), rounds = 3)),
+
+    // LLM-23: URL canonicalization + registered-domain extraction +
+    // URL-level dedup — the crawl-pipeline front door (raw URLs differ by
+    // case, www., tracking params, and fragments; dedup must key on the
+    // canonical form). The corpus has no URL column, so a deterministic
+    // raw URL is synthesized per doc (messy on purpose: upper-cased
+    // scheme/host, www., utm_* params, fragment); the operator under test
+    // is the normalizer, which is a pure codegen'd regexp/string chain —
+    // embarrassingly parallel, and the dedup groups on the canonical
+    // string (short, bounded) rather than raw text. The oracle runs an
+    // independent DuckDB implementation of the same canonicalization.
+    "llm23_url_dedup" -> ((s, d) => {
+      val raw = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM/Docs/"),
+          (col("doc_id") % 7).cast("string"),
+          lit("/?utm_source=rss&ref=home&utm_id="),
+          col("doc_id").cast("string"), lit("#sec")).as("url"))
+      val scheme = lower(regexp_extract(col("url"),
+        "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+      val host = regexp_replace(
+        lower(regexp_extract(col("url"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+        "^www\\.", "")
+      val path0 = regexp_extract(col("url"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+      val path = when(path0 === "", lit("/"))
+        .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+      val q = regexp_extract(col("url"), "\\?([^#]*)", 1)
+      val keptQ = array_join(
+        filter(split(q, "&"),
+          x => !startswith(x, lit("utm_")) && x =!= lit("")), "&")
+      raw
+        .withColumn("registered_domain",
+          regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+        .withColumn("canonical_url", concat(scheme, lit("://"), host, path,
+          when(keptQ =!= "", concat(lit("?"), keptQ)).otherwise(lit(""))))
+        .groupBy("canonical_url", "registered_domain")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("canonical_url")
+    }),
+
+    // LLM-24: unigram language-model quality score — the honest in-container
+    // stand-in for CCNet's KenLM perplexity filter: build a unigram LM from
+    // the corpus itself (token → count, one map-side-combined agg), then
+    // score each doc by its mean token log-probability. Scale posture: the
+    // unigram table is O(vocab) — deliberately NOT force-broadcast (real
+    // vocabularies reach 10^8+; AQE broadcasts when it fits, shuffles
+    // otherwise), and the token⋈unigram join ships (doc_id, 8-byte hash)
+    // per token, never document text. localCheckpoint stops the
+    // tokenize+explode chain running twice (once per consumer).
+    "llm24_quality_lm" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .localCheckpoint()
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val total = uni.agg(sum("n").cast("double").as("total"))
+      toks.join(uni, "tok").crossJoin(total)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(log(col("n").cast("double") / col("total"))), 6)
+            .as("logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM-25: k-anonymity gate — before releasing a training corpus, every
+    // (quasi-identifier) combination must cover >= k individuals or the
+    // rows are flagged for suppression (the aggregate-side complement of
+    // llm10's in-row PII redaction). QIs here: (lang, source, length
+    // bucket), k=3. The group-size table has QI-combo cardinality (tiny
+    // vs corpus), so AQE broadcasts it back onto the docs — one agg + one
+    // broadcast join at any scale, text never shuffles.
+    "llm25_k_anonymity" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"),
+        (floor(col("n_chars") / 100) * 100).cast("long").as("len_bucket"))
+      val sizes = docs.groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("grp_n"))
+      docs.join(sizes, Seq("lang", "source", "len_bucket"))
+        .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"),
+          (col("grp_n") >= 3).as("is_k_anon"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Iterative BPE trainer (see llm22b). Returns the learned merge table
+    * (round, merge, n). The greedy left-to-right merge apply is a single
+    * `aggregate()` fold per document: a merge fires when the accumulator's
+    * last element is x and the current token is y; a unit merged THIS round
+    * can never re-match x in the same pass because merged units contain a
+    * space and raw tokens (split on space) cannot.
+    */
+  /** NUL separates the two sides of a BPE pair key: merged units contain
+    * spaces, so a space-joined key would be ambiguous from round 2 on; raw
+    * tokens (split on space) can never contain NUL. */
+  private val PairSep = "\u0000"
+
+  def bpeTrain(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    var toks = docs.select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = toks.select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (x, y) => concat(x, lit(PairSep), y))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val Array(xs, ys) = top(0).getString(0).split(PairSep.charAt(0))
+        val merged = xs + " " + ys
+        merges += ((r, merged, top(0).getLong(1)))
+        val (x, y, m) = (lit(xs), lit(ys), lit(merged))
+        toks = toks.select(col("doc_id"),
+          aggregate(col("toks"), array().cast("array<string>"),
+            (acc, t) => when(
+              size(acc) > 0 && element_at(acc, -1) === x && t === y,
+              concat(slice(acc, lit(1), size(acc) - 1), array(m)))
+              .otherwise(concat(acc, array(t)))).as("toks"))
+          .localCheckpoint()
+      }
+    }
+    merges.result().toDF("round", "merge", "n").orderBy("round")
+  }
 
   def oracle: Map[String, String] = Map(
     "llm1_exact_dedup" ->
@@ -1236,7 +1380,62 @@ object LlmOps extends QueryModule {
         |p AS (SELECT unnest([t[i] || ' ' || t[i+1]
         |                     for i in range(1, len(t))]) AS pair FROM w)
         |SELECT pair, count(*) AS n FROM p WHERE pair <> ' '
-        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    // independent DuckDB implementation of the same canonicalization rules
+    // (lowercase scheme+host, strip www., drop trailing slash, drop utm_*
+    // params and the fragment) — RE2 regexes, \1 backreference syntax
+    "llm23_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || source || '.Example.COM/Docs/' || (doc_id % 7)
+        |      || '/?utm_source=rss&ref=home&utm_id=' || doc_id || '#sec' AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM raw),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS registered_domain,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN path0 = '' THEN '/'
+        |          ELSE regexp_replace(path0, '(.)/$', '\1') END) ||
+        |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url
+        |  FROM (SELECT *, array_to_string(list_filter(string_split(q, '&'),
+        |          x -> NOT starts_with(x, 'utm_') AND x <> ''), '&') AS kept
+        |        FROM parts))
+        |SELECT canonical_url, registered_domain,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM canon GROUP BY 1, 2 ORDER BY canonical_url""".stripMargin,
+
+    "llm24_quality_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |uni AS (SELECT tok, count(*) AS n FROM t2 GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM uni)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  round(avg(ln(CAST(n AS DOUBLE) / total)), 6) AS logprob
+        |FROM t2 JOIN uni USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm25_k_anonymity" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source, (n_chars // 100) * 100 AS len_bucket
+        |  FROM documents),
+        |sizes AS (SELECT lang, source, len_bucket, count(*) AS grp_n
+        |          FROM docs GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, source, len_bucket, grp_n >= 3 AS is_k_anon
+        |FROM docs JOIN sizes USING (lang, source, len_bucket)
+        |ORDER BY doc_id""".stripMargin
   )
 
   private def exactJaccardSql(threshold: Double, where: String = ""): String =

@@ -781,7 +781,72 @@ object Relational extends QueryModule {
         .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")),
           1, 2) < "0d")
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // SAMP-2: stratified per-group cap — "at most N docs per source", the
+    // per-domain cap every crawl pipeline applies so one giant domain
+    // cannot dominate the corpus. Selection order is CONTENT-HASH order
+    // (md5 of the key), so the sample is reproducible across engines,
+    // runs, and partitionings — the same property samp1 certifies — and
+    // exactly N per group. Two-phase like win2: `source` has ~20 values,
+    // so a direct row_number() window would sort a twentieth of the corpus
+    // in ONE task at 100×; phase 1 row_numbers inside (source, salt-64)
+    // buckets — a row's salted-local rank is <= its global rank, so
+    // keeping local rank <= N is lossless — and phase 2 ranks the <= 64·N
+    // survivors per source.
+    "samp2_stratified" -> ((s, d) => {
+      val n = 5
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hkey"))
+        .withColumn("salt", pmod(hash(col("doc_id")), lit(64)))
+      val wLocal = Window.partitionBy("source", "salt")
+        .orderBy("hkey", "doc_id")
+      val pruned = base
+        .withColumn("lrn", row_number().over(wLocal))
+        .filter(col("lrn") <= n)
+        .drop("salt", "lrn")
+      val w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+      pruned
+        .withColumn("sample_rank", row_number().over(w))
+        .filter(col("sample_rank") <= n)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("source", "sample_rank")
+    }),
+
+    // AGG-17: exact heavy hitters — every key whose frequency clears a
+    // threshold. The plan is the one that survives 100 TB: partial
+    // (map-side) counts collapse the shuffle to ~|keys| rows, the HAVING
+    // filter runs post-final-agg, and nothing is ever sorted globally
+    // except the (tiny) result. agg17b is the sketch twin for when even
+    // |keys| state is too much.
+    "agg17_heavy_hitters" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 45)
+        .orderBy(col("n").desc, col("l_partkey"))),
+
+    // AGG-17b ⚠: Count-Min-Sketch heavy hitters — fixed-size state
+    // (eps=1e-3, conf=0.99 → ~2.7k counters × 5 rows) regardless of key
+    // cardinality; estimates are biased UP only, so every true heavy
+    // hitter clears the threshold (no false negatives — the property that
+    // matters for a filter stage). Built distributed (treeAggregate under
+    // df.stat), queried on the driver for the candidate keys agg17 found
+    // exactly. Approximate → rows-only + ApproxSpec bounds
+    // (exact <= estimate <= exact + eps·N).
+    "agg17b_heavy_hitters_cms" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val sketch = li.stat.countMinSketch(
+        col("l_partkey"), eps = 0.001, confidence = 0.99, seed = 42)
+      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 45)
+        .select("l_partkey").as[Long].collect().sorted
+      exact.toSeq
+        .map(k => (k, sketch.estimateCount(java.lang.Long.valueOf(k))))
+        .toDF("l_partkey", "est_n")
+        .orderBy("l_partkey")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -1134,6 +1199,21 @@ object Relational extends QueryModule {
     "samp1_hash_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 2) < '0d'
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle computes the cap with a single direct window — the
+    // two-phase salted plan must select the IDENTICAL rows
+    "samp2_stratified" ->
+      """SELECT doc_id, source, rn AS sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, sample_rank""".stripMargin,
+
+    "agg17_heavy_hitters" ->
+      """SELECT l_partkey, count(*) AS n FROM lineitem
+        |GROUP BY l_partkey HAVING count(*) >= 45
+        |ORDER BY n DESC, l_partkey""".stripMargin
   )
 }

@@ -141,6 +141,22 @@ class ApproxSpec extends SparkSpec {
     assert(plan.contains("df_docs"), s"df filter missing from plan:\n$plan")
   }
 
+  test("agg17b: CMS estimates bound the exact heavy-hitter counts") {
+    val exact = SparkEntry.queries("agg17_heavy_hitters")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("agg17b_heavy_hitters_cms")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "sf0.001 must contain >=45-frequency part keys")
+    assert(est.keySet === exact.keySet)
+    val n = Tables.lineitem(spark, Sf0001).count()
+    for ((k, e) <- exact) {
+      // CMS never underestimates; overestimate bounded by eps*N (w.h.p.)
+      assert(est(k) >= e, s"key $k: CMS ${est(k)} under exact $e")
+      assert(est(k) <= e + (0.001 * n).ceil.toLong,
+        s"key $k: CMS ${est(k)} above exact $e + eps*N")
+    }
+  }
+
   test("llm2: LSH near-dup output equals the exact all-pairs baseline") {
     // with b=32,r=4 and the corpus's bimodal jaccard the miss probability is
     // ~5e-8 — the LSH path must reproduce the exact result on sf0.001

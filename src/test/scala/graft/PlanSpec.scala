@@ -121,6 +121,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("salt"), s"phase 1 must partition by (status, salt):\n$p")
   }
 
+  test("samp2: stratified cap is two-phase salted — no raw window over ~20 sources") {
+    val p = planOf("samp2_stratified")
+    assert("Window ".r.findAllIn(p).size >= 2,
+      s"expected the salted phase-1 window AND the final window:\n$p")
+    assert(p.contains("salt"), s"phase 1 must partition by (source, salt):\n$p")
+  }
+
+  test("agg17: heavy hitters is a partial/final count, filter AFTER the agg") {
+    val p = planOf("agg17_heavy_hitters")
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.toLowerCase.contains("partial"),
+      s"heavy hitters must map-side combine:\n$p")
+    assert(!p.contains("Window"), s"no window needed for heavy hitters:\n$p")
+  }
+
   test("agg3: arg-max is a partial/final aggregate, not a window") {
     val p = planOf("agg3_argmax")
     assert(!p.contains("Window"),
