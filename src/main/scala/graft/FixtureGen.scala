@@ -186,6 +186,30 @@ object FixtureGen {
         Seq("120", "Gene:G4", "name", "eps", "assert"),
         Seq("600", "Gene:G4", "name", "eps", "retract"))))
 
+    // scan8: opaque binary payloads for the binaryFile source. Bytes are
+    // deterministic ALPHANUMERIC ASCII so the DuckDB oracle can md5 them
+    // via a lossless VARCHAR cast (DuckDB 1.0 has no md5(BLOB), and its
+    // blob→varchar cast escapes backslashes); the Spark side hashes the
+    // raw bytes — identical input either way.
+    new File(s"$Dir/blobs").mkdirs()
+    def blobBytes(i: Int): Array[Byte] = {
+      val alphabet =
+        "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+      val sb = new StringBuilder(s"BLOB$i|")
+      var x: Long = 1234567L + i
+      while (sb.length < 256 + 32 * i) {
+        x = (x * 48271L) % 2147483647L
+        sb.append(alphabet((x % 62).toInt))
+      }
+      sb.toString.getBytes(StandardCharsets.US_ASCII)
+    }
+    for (i <- 0 until 3) {
+      val fos = new FileOutputStream(s"$Dir/blobs/blob_$i.bin")
+      fos.write(blobBytes(i)); fos.close()
+    }
+    // the pathGlobFilter must skip this one
+    write(s"$Dir/blobs/ignore.txt", "must-not-be-read\n")
+
     println(s"fixtures written under $Dir")
   }
 }

@@ -100,6 +100,24 @@ object Scans extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // SCAN-8: binaryFile source — raw media/blob ingest (images, audio,
+    // model shards) as (path, modificationTime, length, content) rows; the
+    // multimodal MM-* operators consume exactly this shape. Payload bytes
+    // stay opaque; the glob filter prunes non-matching files at LISTING
+    // time (never opened), and column pruning means a metadata-only query
+    // never reads content at all. The declared projection keys each file
+    // by name, size, and an md5 content digest — the DuckDB oracle
+    // recomputes all three with read_blob() over the same fixture dir.
+    "scan8_binary_files" -> ((s, _) =>
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load("/root/repo/fixtures/blobs")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("file_name")),
+
     // SINK-1: CSV sink (QUOTE_ALL dialect) → read back
     "sink1_csv" -> ((s, d) => {
       val out = s"$SinkDir/sink1_csv"
@@ -353,6 +371,16 @@ object Scans extends QueryModule {
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // independent re-read of the same blob files; the fixture bytes are
+    // printable ASCII, so the VARCHAR cast is lossless and md5 agrees with
+    // Spark's digest of the raw bytes
+    "scan8_binary_files" ->
+      """SELECT parse_filename(filename) AS file_name,
+        |  octet_length(content) AS n_bytes,
+        |  md5(CAST(content AS VARCHAR)) AS content_md5
+        |FROM read_blob('/root/repo/fixtures/blobs/*.bin')
+        |ORDER BY file_name""".stripMargin,
 
     "sink1_csv" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem

@@ -116,6 +116,35 @@ object StreamOps extends QueryModule {
     q.stop()
   }
 
+  /** STRM-14: checkpointed incremental FILE ingest (auto-loader shape) —
+    * the front door of a continuously-landing lake: discover new files
+    * under `src`, process exactly once, append to `out`, remember progress
+    * in `ckpt`. Trigger.AvailableNow drains the current backlog in BOUNDED
+    * micro-batches (maxFilesPerTrigger caps listing+memory per batch —
+    * crucial when a backlog is 10^6 files) and then exits, so a scheduled
+    * batch job gets streaming's bookkeeping: a processed-file log, crash
+    * resume, and no double-processing. A later run with the same
+    * checkpoint picks up ONLY files that landed since
+    * (StructuredStreamingSpec proves the resume). */
+  def fileIngestAvailableNow(s: SparkSession, src: String, ckpt: String,
+                             out: String,
+                             schema: org.apache.spark.sql.types.StructType,
+                             globFilter: Option[String] = None): Unit = {
+    val reader = s.readStream
+      .schema(schema) // explicit: streaming sources must not infer
+      .option("maxFilesPerTrigger", 4)
+    // the file source wants a DIRECTORY; a glob filter narrows it to the
+    // matching files (pruned at listing time)
+    val q = globFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
+      .parquet(src)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The event_type → category static dimension. */
   def typeDim(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -406,6 +435,23 @@ object StreamOps extends QueryModule {
           docs.filter(col("doc_id") % 4 === 0),
           docs.filter(col("doc_id") % 4 =!= 0), threshold = 0.8)
         .orderBy("hist_id", "new_id")
+    }),
+
+    // STRM-14: a TRUE file-source stream in the declared query — the events
+    // parquet is drained through a checkpointed AvailableNow stream into a
+    // scratch dir, and the aggregate over the ingested copy must match the
+    // oracle's direct read. Fresh temp dirs per call: the query is about
+    // ingest correctness, not resume (the spec covers resume).
+    "strm14_file_ingest" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-strm14").toString
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      fileIngestAvailableNow(s, d, s"$tmp/ckpt", s"$tmp/out", schema,
+        globFilter = Some("events.parquet"))
+      s.read.schema(schema).parquet(s"$tmp/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
     })
   )
 
@@ -434,6 +480,10 @@ object StreamOps extends QueryModule {
         |  AND CAST(len(list_intersect(h.ws, n.ws)) AS DOUBLE) /
         |        len(list_distinct(list_concat(h.ws, n.ws))) >= 0.8
         |ORDER BY hist_id, new_id""".stripMargin,
+
+    "strm14_file_ingest" ->
+      s"""SELECT event_type, count(*) AS n, ${Det.dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "strm1_tumbling" ->
       s"""SELECT (epoch_us(ts) // 600000000) * 600000000 AS ws_us, event_type,

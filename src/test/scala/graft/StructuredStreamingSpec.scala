@@ -290,6 +290,32 @@ class StructuredStreamingSpec extends SparkSpec {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(idxDocs === Set(1L, 2L, 3L, 4L))
   }
+
+  test("strm14: AvailableNow file ingest resumes from the checkpoint — " +
+       "only files landed since are processed") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("file-ingest").toString
+    val (src, ckpt, out) = (s"$root/src", s"$root/ckpt", s"$root/out")
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+    // backlog batch: ids 1-3 land
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    StreamOps.fileIngestAvailableNow(s, src, ckpt, out, schema)
+    assert(s.read.schema(schema).parquet(out).count() === 3)
+    // second run with NO new files: a no-op, nothing reprocessed
+    StreamOps.fileIngestAvailableNow(s, src, ckpt, out, schema)
+    assert(s.read.schema(schema).parquet(out).count() === 3)
+    // two more files land; resume processes exactly those
+    Seq((4L, "d"), (5L, "e")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    StreamOps.fileIngestAvailableNow(s, src, ckpt, out, schema)
+    val ids = s.read.schema(schema).parquet(out)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids === Array(1L, 2L, 3L, 4L, 5L),
+      "each row ingested exactly once across resumed runs")
+  }
 }
 
 /** documents-shaped record for the corpus-dedup stream. */
