@@ -136,7 +136,25 @@ object MultimodalOps extends QueryModule {
         .select(col("doc_id"), featuresStub(col("payload")).as("features"))
         .select(col("doc_id"), size(col("features")).as("dim"),
           round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // MM-6: binary header parse — the metadata-from-magic-bytes pattern
+    // (image dims from a PNG IHDR, sample rate from a WAV header): fixed
+    // offsets of the payload decode to typed columns with codegen'd
+    // substring/decode exprs, no UDF and no full-body scan semantics. Runs
+    // on the scan8 blob fixtures whose header is "BLOB<id>|"; the oracle
+    // re-parses the same offsets via read_blob.
+    "mm6_header_parse" -> ((s, _) =>
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load("/root/repo/fixtures/blobs")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          decode(substring(col("content"), 1, 4), "UTF-8").as("magic"),
+          decode(substring(col("content"), 5, 1), "UTF-8").cast("int")
+            .as("blob_id"),
+          length(col("content")).as("n_bytes"))
+        .orderBy("file_name"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -176,6 +194,16 @@ object MultimodalOps extends QueryModule {
         |  unnest(range(1, CAST(ceil(length(text) * 10 / 10000.0) AS BIGINT) + 1))
         |    AS u(i)
         |WHERE doc_id % 3 = 2
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // fixture bytes are alphanumeric ASCII → the VARCHAR cast is lossless
+    // and substr offsets equal byte offsets
+    "mm6_header_parse" ->
+      """SELECT parse_filename(filename) AS file_name,
+        |  substr(CAST(content AS VARCHAR), 1, 4) AS magic,
+        |  CAST(substr(CAST(content AS VARCHAR), 5, 1) AS INT) AS blob_id,
+        |  octet_length(content) AS n_bytes
+        |FROM read_blob('/root/repo/fixtures/blobs/*.bin')
+        |ORDER BY file_name""".stripMargin
   )
 }

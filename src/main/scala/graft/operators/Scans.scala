@@ -208,6 +208,26 @@ object Scans extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // SINK-14: output file-SIZE governance — sink8 fixes too-many-small
+    // files after the fact; this prevents too-FEW-too-big files at write
+    // time. maxRecordsPerFile rolls each task's output to a new file every
+    // N records, bounding every file independently of partition count or
+    // skew — at 100 TB an unbounded task writes a 100 GB file that kills
+    // retries, prefetch, and row-group skipping. CompactionSpec asserts
+    // the per-file record cap via input_file_name(); the declared query
+    // certifies the data survives the rolling intact.
+    "sink14_sized_files" -> ((s, d) => {
+      val out = s"$SinkDir/sink14_sized"
+      Tables.orders(s, d).repartition(4)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2000)
+        .parquet(out)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
     // SINK-9: versioned snapshot store (Delta stand-in; VersionedStore) —
     // the reference KEEPS prior snapshots restorable (backup-db,
     // runcommand.py:221-255), so an overwrite must not destroy history.
@@ -423,6 +443,11 @@ object Scans extends QueryModule {
     "sink8_compacted" ->
       """SELECT doc_id, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sink14_sized_files" ->
+      s"""SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
+         |  ${graft.Det.dsumSql("o_totalprice")} AS sum_price
+         |FROM orders""".stripMargin,
 
     // the diff of the two committed projections: inserts (in v2 only),
     // deletes (in v1 only), updates (price doubled), unchanged rows absent

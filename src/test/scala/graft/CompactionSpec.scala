@@ -14,4 +14,21 @@ class CompactionSpec extends SparkSpec {
     assert(frag === 32, s"expected 32 fragment files, got $frag")
     assert(comp === 2, s"expected 2 compacted files, got $comp")
   }
+
+  test("sink14: maxRecordsPerFile bounds every output file") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("sink14_sized_files")(spark, Sf0001).count()
+    val perFile = spark.read
+      .parquet("/root/repo/target/tmp-sinks/sink14_sized")
+      .groupBy(input_file_name().as("f")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(perFile.nonEmpty)
+    assert(perFile.forall(_._2 <= 2000),
+      s"a file exceeds the 2000-record cap: ${perFile.maxBy(_._2)}")
+    // sf0.001 orders = 1500 rows over 4 partitions -> under the cap, so
+    // exactly the 4 partition files; the cap engages at larger sf (the
+    // declared query runs at sf0.01: 15000 rows -> rolling kicks in)
+    val n = perFile.map(_._2).sum
+    assert(n === 1500L, s"row count drifted: $n")
+  }
 }
