@@ -37,6 +37,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session("graft-bench")
+    // Per-query block hygiene (see BlockHygiene): drop each query's dead
+    // localCheckpoint blocks so late-alphabet queries don't time under the
+    // eviction+GC pressure of ~170 predecessors. Each query is an
+    // independent measurement; the mig stage memo is pinned and survives.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -45,6 +49,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
         }
+        finally BlockHygiene.dropUnpinned(spark)
       }
       // best-of-2: sub-second queries swing 4-5× on JIT/GC noise (VERDICT r4
       // #7) — run twice, report the min; the first run pays codegen/JIT.

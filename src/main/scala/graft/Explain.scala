@@ -16,8 +16,10 @@ object Explain {
     val spark = Graft.session("graft-explain")
     args.tail.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
+      val t0 = System.nanoTime()
       df.count()
-      println(s"===== $name =====")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"===== $name ($sec%.2f s) =====")
       println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()

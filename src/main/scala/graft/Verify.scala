@@ -44,6 +44,11 @@ object Verify {
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // drop per-query localCheckpoint blocks — dead after the write, and
+        // ~170 queries of them otherwise pile up into eviction pressure
+        // (the mig stage memo is pinned and survives)
+        BlockHygiene.dropUnpinned(spark)
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       toJsonObject(SparkEntry.oracleSql.view

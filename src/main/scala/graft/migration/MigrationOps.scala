@@ -239,7 +239,9 @@ object MigrationOps extends QueryModule {
       // patchedLog), so a computeIfAbsent-style lock would self-deadlock; a
       // duplicate build on a true race is harmless (same deterministic data)
       hookEviction(s)
-      val df = build.localCheckpoint()
+      // pinned: Bench/Verify drop per-query checkpoint blocks between
+      // queries; these stage outputs are the deliberate cross-query share
+      val df = graft.BlockHygiene.pin(build.localCheckpoint())
       stageCache.putIfAbsent((s, key), df) match {
         case Some(winner) =>
           // lost the race: free the duplicate's checkpoint blocks
