@@ -1018,6 +1018,11 @@ object LlmOps extends QueryModule {
     })
   )
 
+  /** NUL separates the two sides of a BPE pair key: merged units contain
+    * spaces, so a space-joined key would be ambiguous from round 2 on; raw
+    * tokens (split on space) can never contain NUL. */
+  private val PairSep = "\u0000"
+
   /** Iterative BPE trainer (see llm22b). Returns the learned merge table
     * (round, merge, n). The greedy left-to-right merge apply is a single
     * `aggregate()` fold per document: a merge fires when the accumulator's
@@ -1025,11 +1030,6 @@ object LlmOps extends QueryModule {
     * can never re-match x in the same pass because merged units contain a
     * space and raw tokens (split on space) cannot.
     */
-  /** NUL separates the two sides of a BPE pair key: merged units contain
-    * spaces, so a space-joined key would be ambiguous from round 2 on; raw
-    * tokens (split on space) can never contain NUL. */
-  private val PairSep = "\u0000"
-
   def bpeTrain(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
     import s.implicits._
     var toks = docs.select(col("doc_id"),
@@ -1048,14 +1048,18 @@ object LlmOps extends QueryModule {
         val Array(xs, ys) = top(0).getString(0).split(PairSep.charAt(0))
         val merged = xs + " " + ys
         merges += ((r, merged, top(0).getLong(1)))
-        val (x, y, m) = (lit(xs), lit(ys), lit(merged))
-        toks = toks.select(col("doc_id"),
-          aggregate(col("toks"), array().cast("array<string>"),
-            (acc, t) => when(
-              size(acc) > 0 && element_at(acc, -1) === x && t === y,
-              concat(slice(acc, lit(1), size(acc) - 1), array(m)))
-              .otherwise(concat(acc, array(t)))).as("toks"))
-          .localCheckpoint()
+        // the final round's winner needs no corpus rewrite — nothing
+        // downstream reads the merged tokens (saves a full map pass)
+        if (r < rounds) {
+          val (x, y, m) = (lit(xs), lit(ys), lit(merged))
+          toks = toks.select(col("doc_id"),
+            aggregate(col("toks"), array().cast("array<string>"),
+              (acc, t) => when(
+                size(acc) > 0 && element_at(acc, -1) === x && t === y,
+                concat(slice(acc, lit(1), size(acc) - 1), array(m)))
+                .otherwise(concat(acc, array(t)))).as("toks"))
+            .localCheckpoint()
+        }
       }
     }
     merges.result().toDF("round", "merge", "n").orderBy("round")

@@ -228,6 +228,29 @@ object Scans extends QueryModule {
           Det.dsum(col("o_totalprice")).as("sum_price"))
     }),
 
+    // SINK-15: CHECK-constraint commit — Delta's ADD CONSTRAINT semantics
+    // on the versioned store: a write that violates the constraint never
+    // becomes a version (its data dir is an unreferenced orphan, exactly
+    // the crash shape the store proves invisible), a clean write commits
+    // atomically. The violation counter rides the write via observe() —
+    // no second validation scan (at 100 TB the reference's write-then-
+    // re-read validation costs a second pass over the lake).
+    "sink15_checked_commit" -> ((s, d) => {
+      val root = s"$SinkDir/sink15_checked"
+      VersionedStore.destroy(root)
+      val orders = Tables.orders(s, d)
+      val poisoned = orders.withColumn("o_totalprice",
+        when(col("o_orderkey") % 100 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      val rejected = VersionedStore
+        .commitChecked(poisoned, root, col("o_totalprice") >= 0).isLeft
+      VersionedStore.commitChecked(orders, root, col("o_totalprice") >= 0)
+      VersionedStore.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("first_commit_rejected", lit(rejected))
+    }),
+
     // SINK-9: versioned snapshot store (Delta stand-in; VersionedStore) —
     // the reference KEEPS prior snapshots restorable (backup-db,
     // runcommand.py:221-255), so an overwrite must not destroy history.
@@ -447,6 +470,13 @@ object Scans extends QueryModule {
     "sink14_sized_files" ->
       s"""SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
          |  ${graft.Det.dsumSql("o_totalprice")} AS sum_price
+         |FROM orders""".stripMargin,
+
+    // the store must contain EXACTLY the clean snapshot (the poisoned
+    // write was rejected), and the rejection must have been observed
+    "sink15_checked_commit" ->
+      s"""SELECT count(*) AS n_rows, ${graft.Det.dsumSql("o_totalprice")} AS sum_price,
+         |  true AS first_commit_rejected
          |FROM orders""".stripMargin,
 
     // the diff of the two committed projections: inserts (in v2 only),

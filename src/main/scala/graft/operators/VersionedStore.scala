@@ -92,6 +92,32 @@ object VersionedStore {
     claimMarker(root, dataName, maxRetries)
   }
 
+  /** CHECK-constraint commit (Delta `ALTER TABLE ADD CONSTRAINT` parity):
+    * commit `df` only if every row satisfies `constraint`. The violation
+    * count rides the write itself via observe() — ZERO extra scans (the
+    * reference re-reads its output to validate; at 100 TB that second scan
+    * is hours). Ordering is safe because the marker is claimed strictly
+    * AFTER the write action finishes: on violation the freshly-written data
+    * dir is simply never referenced — the same crash-orphan shape the store
+    * already proves invisible (VersionedStoreSpec) and vacuum sweeps.
+    * Returns Right(version) on commit, Left(violations) on rejection. */
+  def commitChecked(df: DataFrame, root: String,
+                    constraint: org.apache.spark.sql.Column,
+                    maxRetries: Int = 64): Either[Long, Long] = {
+    val obs = org.apache.spark.sql.Observation()
+    val dataName = s"data-${java.util.UUID.randomUUID()}"
+    df.observe(obs,
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(constraint, 0L).otherwise(1L)),
+          org.apache.spark.sql.functions.lit(0L))
+          .as("violations"))
+      .write.mode("errorifexists").parquet(new File(root, dataName).toString)
+    val violations = obs.getAsJava.get("violations").asInstanceOf[Long]
+    if (violations > 0L) Left(violations)
+    else Right(claimMarker(root, dataName, maxRetries))
+  }
+
   /** Restore-db: make version `version`'s contents the NEW latest version
     * (the reference restores a backup as the live db, runcommand.py:221-255
     * — here history stays intact and the rollback is itself an auditable

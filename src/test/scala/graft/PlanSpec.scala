@@ -66,6 +66,18 @@ class PlanSpec extends SparkSpec {
       s"payload bytes must not be read for a metadata query:\n$readSchema")
   }
 
+  test("scan8: metadata-only binaryFile read prunes the content column") {
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load("/root/repo/fixtures/blobs")
+      .select(col("path"), col("length"))
+    val p = df.queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no scan in plan:\n$p"))
+    assert(!readSchema.contains("content"),
+      s"blob bytes must not be read for a listing query:\n$readSchema")
+  }
+
   test("partitioned sink: reading one partition prunes the rest") {
     // sink3 writes lineitem partitioned by l_returnflag; a filtered read
     // must show the partition filter at the scan (no full-table read)

@@ -184,6 +184,39 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.versions(root) === Seq(v1))
   }
 
+  test("checked commit: violations reject without a version, clean commits") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val ok = col("score") >= 0
+    // violating write on an EMPTY store: no version must appear
+    val bad = VersionedStore.commitChecked(
+      Seq((1, 5.0), (2, -1.0), (3, -2.0)).toDF("k", "score"), root, ok)
+    assert(bad === Left(2L), "exactly the two violating rows counted")
+    assert(VersionedStore.latestVersion(root).isEmpty,
+      "rejected write must not create a version")
+    // clean write commits and reads back exactly
+    val good = VersionedStore.commitChecked(
+      Seq((1, 5.0), (2, 1.0)).toDF("k", "score"), root, ok)
+    assert(good.isRight)
+    assert(VersionedStore.read(s, root).count() === 2L)
+    // a later violating write leaves the committed version live
+    val bad2 = VersionedStore.commitChecked(
+      Seq((9, -9.0)).toDF("k", "score"), root, ok)
+    assert(bad2.isLeft)
+    assert(VersionedStore.latestVersion(root) === Some(good.toOption.get))
+    assert(VersionedStore.read(s, root).count() === 2L)
+  }
+
+  test("checked commit: empty frame satisfies any constraint") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val r = VersionedStore.commitChecked(
+      Seq.empty[(Int, Double)].toDF("k", "score"), root, col("score") >= 0)
+    assert(r.isRight, "vacuously-true constraint must commit")
+  }
+
   test("sink9 query: v1 aggregate unchanged by the v2 overwrite") {
     val s = spark
     val df = SparkEntry.queries("sink9_versioned")(s, Sf0001)
