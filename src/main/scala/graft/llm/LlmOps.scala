@@ -932,6 +932,20 @@ object LlmOps extends QueryModule {
     "llm22b_bpe_train" -> ((s, d) =>
       bpeTrain(s, Tables.documents(s, d), rounds = 3)),
 
+    // LLM-22c: tokenizer APPLICATION — encode the corpus with the merges
+    // llm22b learned (train → encode is the full tokenizer loop). Encoding
+    // is merges.size map passes, zero shuffles; per-doc output is the
+    // raw-vs-encoded token count (the compression the merges bought).
+    // Rows-only (iterative, not SQL-expressible); BpeSpec pins the encoded
+    // counts against the by-hand merge sequence.
+    "llm22c_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = bpeTrain(s, docs, rounds = 3)
+        .select("x", "y").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      bpeEncode(docs, merges).orderBy("doc_id")
+    }),
+
     // LLM-23: URL canonicalization + registered-domain extraction +
     // URL-level dedup — the crawl-pipeline front door (raw URLs differ by
     // case, www., tracking params, and fragments; dedup must key on the
@@ -1015,6 +1029,35 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"),
           (col("grp_n") >= 3).as("is_k_anon"))
         .orderBy("doc_id")
+    }),
+
+    // LLM-26: model-based quality filter — the fastText-classifier shape
+    // of CCNet-style filtering without a model artifact: a logistic scorer
+    // over interpretable text features (stopword ratio, mean token length,
+    // digit ratio) with FIXED public weights. Entirely codegen'd per-row
+    // arithmetic — embarrassingly parallel, no shuffle before the final
+    // sort; swap the fixed weights for learned ones and the plan is
+    // unchanged. Scores round to 6 dp BEFORE the threshold so both engines
+    // agree at the boundary.
+    "llm26_quality_classifier" -> ((s, d) => {
+      val toks = filter(split(col("text"), " "), w => w =!= "")
+      val nTok = size(toks).cast("double")
+      val stopRatio = size(filter(toks, w =>
+        lower(w).isin("the", "a", "of", "and", "to", "in", "is"))) / nTok
+      val meanLen =
+        (length(col("text")).cast("double") - (nTok - 1)) / nTok
+      val digitRatio =
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+          length(col("text")).cast("double")
+      // weights fixed and public; bias centers z on this corpus's feature
+      // means so the gate separates rather than rubber-stamps
+      val z = lit(-19.3) + stopRatio * 20.0 + meanLen * 4.0 - digitRatio * 30.0
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+        .withColumn("is_quality", col("quality_score") >= 0.5)
+        .orderBy("doc_id")
     })
   )
 
@@ -1035,7 +1078,7 @@ object LlmOps extends QueryModule {
     var toks = docs.select(col("doc_id"),
         filter(split(col("text"), " "), t => t =!= "").as("toks"))
       .localCheckpoint()
-    val merges = Seq.newBuilder[(Int, String, Long)]
+    val merges = Seq.newBuilder[(Int, String, Long, String, String)]
     for (r <- 1 to rounds) {
       val top = toks.select(explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -1046,23 +1089,42 @@ object LlmOps extends QueryModule {
         .limit(1).collect()
       if (top.nonEmpty) {
         val Array(xs, ys) = top(0).getString(0).split(PairSep.charAt(0))
-        val merged = xs + " " + ys
-        merges += ((r, merged, top(0).getLong(1)))
+        merges += ((r, xs + " " + ys, top(0).getLong(1), xs, ys))
         // the final round's winner needs no corpus rewrite — nothing
         // downstream reads the merged tokens (saves a full map pass)
         if (r < rounds) {
-          val (x, y, m) = (lit(xs), lit(ys), lit(merged))
           toks = toks.select(col("doc_id"),
-            aggregate(col("toks"), array().cast("array<string>"),
-              (acc, t) => when(
-                size(acc) > 0 && element_at(acc, -1) === x && t === y,
-                concat(slice(acc, lit(1), size(acc) - 1), array(m)))
-                .otherwise(concat(acc, array(t)))).as("toks"))
+              applyMerge(col("toks"), xs, ys).as("toks"))
             .localCheckpoint()
         }
       }
     }
-    merges.result().toDF("round", "merge", "n").orderBy("round")
+    merges.result().toDF("round", "merge", "n", "x", "y").orderBy("round")
+  }
+
+  /** Greedy left-to-right application of ONE merge rule (x, y) to a token
+    * array: a codegen'd `aggregate()` fold, linear in tokens. */
+  private def applyMerge(toks: Column, xs: String, ys: String): Column = {
+    val (x, y, m) = (lit(xs), lit(ys), lit(xs + " " + ys))
+    aggregate(toks, array().cast("array<string>"),
+      (acc, t) => when(
+        size(acc) > 0 && element_at(acc, -1) === x && t === y,
+        concat(slice(acc, lit(1), size(acc) - 1), array(m)))
+        .otherwise(concat(acc, array(t))))
+  }
+
+  /** Tokenizer APPLICATION: encode documents with an ordered learned merge
+    * list (see llm22c). One map pass per merge rule, no shuffle at all —
+    * the per-doc outputs are (raw token count, encoded token count). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val raw = docs.select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .withColumn("n_tok_raw", size(col("toks")))
+    val enc = merges.foldLeft(raw) { case (df, (xs, ys)) =>
+      df.withColumn("toks", applyMerge(col("toks"), xs, ys))
+    }
+    enc.select(col("doc_id"), col("n_tok_raw"),
+      size(col("toks")).as("n_tok_bpe"))
   }
 
   def oracle: Map[String, String] = Map(
@@ -1439,7 +1501,29 @@ object LlmOps extends QueryModule {
         |          FROM docs GROUP BY 1, 2, 3)
         |SELECT doc_id, lang, source, len_bucket, grp_n >= 3 AS is_k_anon
         |FROM docs JOIN sizes USING (lang, source, len_bucket)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // independent DuckDB implementation of the same fixed-weight logistic
+    // scorer (list lambdas for the token features)
+    "llm26_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok,
+        |    len(list_filter(string_split(text, ' '), w -> lower(w) IN
+        |      ('the','a','of','and','to','in','is'))) AS n_stop,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS n_digit
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id,
+        |    -19.3 + 20.0 * (CAST(n_stop AS DOUBLE) / n_tok)
+        |          + 4.0 * ((CAST(n_chars AS DOUBLE) - (n_tok - 1)) / n_tok)
+        |          - 30.0 * (CAST(n_digit AS DOUBLE) / n_chars) AS z
+        |  FROM f)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+        |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS is_quality
+        |FROM z ORDER BY doc_id""".stripMargin
   )
 
   private def exactJaccardSql(threshold: Double, where: String = ""): String =

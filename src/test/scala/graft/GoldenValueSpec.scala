@@ -35,6 +35,20 @@ class GoldenValueSpec extends SparkSpec {
     assert(row.getLong(1) === 5289279398613631133L)
   }
 
+  test("scan8 blobs: pinned sizes and md5 digests of the committed fixtures") {
+    // FixtureGen must stay byte-stable: the DuckDB oracle compares Spark's
+    // digest of the SAME files, so a silent regeneration drift would pass
+    // the oracle while breaking the documented fixture contract (A.7)
+    val expected = Map(
+      "blob_0.bin" -> ((256L, "7a4c09f82f322c235a523ecd268b1803")),
+      "blob_1.bin" -> ((288L, "9f629494c6ab2deb77be9ae2809fcc79")),
+      "blob_2.bin" -> ((320L, "9686e43faae61303367f63d36a26b3b7")))
+    val got = SparkEntry.queries("scan8_binary_files")(spark, Sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === expected)
+  }
+
   test("mm5 featuresStub: golden vector — one byte per lane") {
     val s = spark
     import s.implicits._
