@@ -21,7 +21,8 @@ object SparkEntry {
     migration.MigrationOps,
     multimodal.MultimodalOps,
     sql.SqlOps,
-    operators.Incremental
+    operators.Incremental,
+    operators.Analytics
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

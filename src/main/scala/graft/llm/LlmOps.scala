@@ -1058,6 +1058,45 @@ object LlmOps extends QueryModule {
           round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
         .withColumn("is_quality", col("quality_score") >= 0.5)
         .orderBy("doc_id")
+    }),
+
+    // LLM-27: BM25 relevance ranking (Okapi, k1=1.2, b=0.75) — the lexical
+    // retrieval scorer a corpus pipeline needs next to llm5's tf-idf (BM25
+    // adds doc-length normalization + tf saturation; it is what "search
+    // the corpus for benchmark-like text" actually runs). Plan: filter
+    // tokens to the 4 query terms BEFORE any shuffle (a broadcast-able
+    // isin, so the big explode output collapses immediately); df and tf
+    // are map-side-combined counts; doc length + the 1-row (N, avgdl)
+    // stats cross back via broadcast. Per-term scores are pure-double
+    // codegen'd arithmetic (same expression shape as the oracle); the
+    // per-doc sum rides DECIMAL so Spark's partial-agg order can't flip a
+    // ULP vs DuckDB, then rounds to 6 dp. Top-20 = TakeOrderedAndProject,
+    // no global sort.
+    "llm27_bm25" -> ((s, d) => {
+      val qTerms = Seq("data", "model", "training", "pipeline")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tk"))
+        .filter(col("tk") =!= "")
+        .localCheckpoint() // dl and tf both consume the tokenize chain
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum("dlen").cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks.filter(col("tk").isin(qTerms: _*))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).cast("double").as("tfreq"))
+      val df = tf.groupBy("tk").agg(count(lit(1)).cast("double").as("dfreq"))
+      val term = tf.join(df, "tk").join(dl, "doc_id").crossJoin(stats)
+        .withColumn("term_score",
+          log((col("n_docs") - col("dfreq") + lit(0.5)) /
+              (col("dfreq") + lit(0.5)) + lit(1.0)) *
+          col("tfreq") * lit(2.2) /
+          (col("tfreq") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl"))))
+      term.groupBy("doc_id")
+        .agg(round(sum(col("term_score").cast("decimal(28,12)"))
+          .cast("double"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -1523,7 +1562,38 @@ object LlmOps extends QueryModule {
         |  FROM f)
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
         |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS is_quality
-        |FROM z ORDER BY doc_id""".stripMargin
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    // same tokenizer, same double expression shape, same decimal-summed
+    // per-doc accumulation as the Spark plan (see llm27 comment)
+    "llm27_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tk
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, tk FROM toks WHERE tk <> ''),
+        |dl AS (SELECT doc_id, COUNT(*) AS dlen FROM t2 GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+        |          FROM dl),
+        |tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS DOUBLE) AS tfreq
+        |       FROM t2 WHERE tk IN ('data','model','training','pipeline')
+        |       GROUP BY 1, 2),
+        |df AS (SELECT tk, CAST(COUNT(*) AS DOUBLE) AS dfreq
+        |       FROM tf GROUP BY 1),
+        |term AS (
+        |  SELECT t.doc_id,
+        |    LN((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+        |      * t.tfreq * 2.2
+        |      / (t.tfreq + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl))
+        |      AS term_score
+        |  FROM tf t JOIN df d ON t.tk = d.tk
+        |  JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN stats s)
+        |SELECT doc_id,
+        |  ROUND(CAST(SUM(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |    AS bm25
+        |FROM term GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   )
 
   private def exactJaccardSql(threshold: Double, where: String = ""): String =

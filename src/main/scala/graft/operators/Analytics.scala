@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Behavioral / time-series analytics operators (SURVEY.md §2.18).
+  *
+  * The reference's one end-user artifact is a batch QA report over a
+  * migrated event log (`/root/reference/src/azanium/pseudoace.py:113-124`);
+  * these operators are the standard analytics surface a user of such an
+  * event store expects next: sessionization, funnel conversion, SCD-2
+  * history, gap-filled resampling, and value histograms. All five are
+  * DuckDB-oracle-checked (hash match), window/aggregate compositions of
+  * codegen'd built-ins — no UDFs anywhere.
+  *
+  * Scale posture (100 TB): every window here partitions by `user_id` (or
+  * `user_id, event_type`) — high-cardinality keys, so no single task ever
+  * sees more than one user's slice; the 30-day × per-user grids in ts1 are
+  * generated WHERE THE USER'S ROW LIVES (explode after the per-user
+  * bounds agg), never materialized driver-side.
+  */
+object Analytics extends QueryModule {
+
+  /** 30 minutes in microseconds — the classic web-analytics session gap. */
+  private val SessionGapUs = 1800000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // WIN-9: batch sessionization — split each user's event stream into
+    // sessions at >30-min inactivity gaps (the batch complement of
+    // strm3_session's streaming session window). Two stacked windows over
+    // the SAME (user_id | ts, event_id) partitioning = ONE shuffle + one
+    // in-partition sort reused by both: lag() marks session starts,
+    // running sum() numbers them, then a hash agg rolls sessions up.
+    // user_id is high-cardinality at scale; no global sort anywhere.
+    "win9_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_no", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_no")
+        .agg(min("ts_us").as("session_start_us"),
+          max("ts_us").as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_no")
+    }),
+
+    // WIN-10: ordered funnel conversion — how many users did
+    // view → click (strictly after their first view) → purchase (strictly
+    // after that click)? Each stage is a per-user min-ts aggregate joined
+    // to the next stage's filtered scan; after the first groupBy all three
+    // stages are partitioned by user_id, so the stage joins co-locate
+    // (AQE broadcasts the shrinking per-user stage tables regardless —
+    // each is ≤ one row per funnel survivor). Counts are exact ints: no
+    // float protocol needed.
+    "win10_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vt"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("vt"))
+        .groupBy("user_id").agg(min("ts").as("ct"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("ct"))
+        .groupBy("user_id").agg(min("ts").as("pt"))
+      v.agg(count(lit(1)).as("users_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("users_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("users_purchased")))
+    }),
+
+    // AGG-18: equi-width histogram with data-derived bounds — the
+    // profiling primitive prof1 lacks. Pass 1 computes (min, max) — a
+    // footer-served aggregate under parquet aggregatePushdown; the 1-row
+    // bounds table broadcasts onto pass 2's scan, so the whole histogram
+    // is two metadata-cheap scans + one tiny final agg (20 groups), no
+    // wide shuffle. Bucket arithmetic is the identical double expression
+    // on both engines → bit-equal bucket ids; the max value lands in
+    // bucket 20 and is clamped into 19 by least() (right-closed top
+    // bucket), matching the oracle's LEAST.
+    "agg18_histogram" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+      val bounds = li.agg(min("x").as("mn"), max("x").as("mx"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bucket", least(
+          floor((col("x") - col("mn")) * lit(20.0) / (col("mx") - col("mn"))),
+          lit(19L)))
+        .groupBy("bucket").agg(count(lit(1)).as("n_items"))
+        .orderBy("bucket")
+    }),
+
+    // DIM-1: SCD Type-2 history build — the warehouse complement of
+    // mig2's latest-wins: KEEP every attribute version with its validity
+    // interval. Natural key (user_id, event_type); each event closes the
+    // previous version (valid_to = next valid_from, half-open) and the
+    // last one stays open (is_current). One window, one shuffle, keyed on
+    // the high-cardinality natural key — lead() is a 1-row lookahead
+    // within the sorted partition, no second scan. This is how a 100 TB
+    // dimension table gets its history rebuilt from a change log.
+    "dim1_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("valid_from_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value").as("attr_value"),
+          expr("ts div 1000").as("valid_from_us"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("is_current",
+          when(col("valid_to_us").isNull, 1L).otherwise(0L))
+        .orderBy("user_id", "event_type", "valid_from_us", "event_id")
+    }),
+
+    // TS-1: resample to an hourly grid + forward fill (gap fill with
+    // last-observation-carried-forward) — the time-series primitive
+    // behind dashboarding/feature-generation on irregular event streams.
+    // Plan: (a) per-user hour bounds (one agg); (b) the dense grid is
+    // sequence()+explode ON THE USER'S ROW — each user's grid rows are
+    // born in the partition that already holds the user, nothing crosses
+    // the driver; (c) last-event-per-hour via a (user, hour) row_number
+    // pick (no value arithmetic → doubles pass through bit-exact);
+    // (d) LOCF via last(ignoreNulls) over the user-partitioned hour
+    // order. Grid size is bounded by user activity span — a user active
+    // for a year adds 8.8k rows, independent of event count.
+    "ts1_resample_ffill" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val hourly = e
+        .withColumn("hr", date_trunc("hour", col("event_ts")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "hr")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("hr"), col("value").as("v"))
+      val grid = e.groupBy("user_id")
+        .agg(date_trunc("hour", min("event_ts")).as("h0"),
+          date_trunc("hour", max("event_ts")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("hr"))
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(
+          Window.partitionBy("user_id").orderBy(col("hr"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), unix_micros(col("hr")).as("hour_us"),
+          col("v_ffill"))
+        .orderBy("user_id", "hour_us")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "win9_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM e)
+        |SELECT user_id, session_no,
+        |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+
+    "win10_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) t FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) t FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) t FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM v) AS users_viewed,
+        |       (SELECT COUNT(*) FROM c) AS users_clicked,
+        |       (SELECT COUNT(*) FROM p) AS users_purchased""".stripMargin,
+
+    "agg18_histogram" ->
+      """WITH b AS (SELECT MIN(l_extendedprice) mn, MAX(l_extendedprice) mx
+        |           FROM lineitem)
+        |SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) * 20.0 / (mx - mn))
+        |                  AS BIGINT), 19) AS bucket,
+        |       COUNT(*) AS n_items
+        |FROM lineitem, b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dim1_scd2" ->
+      """SELECT user_id, event_type, event_id, value AS attr_value,
+        |  epoch_us(ts) AS valid_from_us,
+        |  LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+        |  CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type
+        |             ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, event_type, valid_from_us, event_id""".stripMargin,
+
+    "ts1_resample_ffill" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) h0,
+        |         date_trunc('hour', MAX(ts)) h1
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM b),
+        |hourly AS (
+        |  SELECT user_id, hr, value AS v FROM (
+        |    SELECT user_id, date_trunc('hour', ts) AS hr, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                         ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events) WHERE rn = 1),
+        |j AS (
+        |  SELECT g.user_id, epoch_us(g.hr) AS hour_us, h.v
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.user_id = h.user_id AND g.hr = h.hr)
+        |SELECT user_id, hour_us,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hour_us ROWS UNBOUNDED PRECEDING) AS v_ffill
+        |FROM j ORDER BY user_id, hour_us""".stripMargin
+  )
+}

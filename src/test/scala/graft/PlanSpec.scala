@@ -186,11 +186,36 @@ class PlanSpec extends SparkSpec {
       s"sql2 LIMIT 10 must compile to top-k, not a full sort:\n$p2")
   }
 
+  test("win9: session windows + rollup share one user_id exchange") {
+    val p = planOf("win9_sessionize")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1,
+      s"lag/sum windows and the session rollup must reuse ONE user_id " +
+        s"shuffle (found $nHash):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition stage in sessionization:\n$p")
+  }
+
+  test("ts1: per-user grid generated in-partition, no global collapse") {
+    val p = planOf("ts1_resample_ffill")
+    assert(p.contains("Generate explode(sequence"),
+      s"grid must be sequence+explode where the user row lives:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"resample must never single-partition the event table:\n$p")
+  }
+
+  test("agg18: 1-row bounds broadcast back onto the scan") {
+    val p = planOf("agg18_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"bounds must broadcast, not shuffle the fact table:\n$p")
+  }
+
   test("window queries over raw tables: no single-partition exchange") {
     // (win1/strm4/mig7 windows run over pre-limited/pre-aggregated tiny
     // frames by design; these are the raw-scan paths that must scale)
     for (name <- Seq("win2_rank", "win4_running_sum", "win5_sliding_avg",
-      "strm6_upsert_latest", "llm3f_ann_batch")) {
+      "strm6_upsert_latest", "llm3f_ann_batch", "dim1_scd2")) {
       val p = planOf(name)
       assert(!p.contains("Exchange SinglePartition"),
         s"$name must not move the raw table into one task:\n$p")
