@@ -86,6 +86,81 @@ object LlmOps extends QueryModule {
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
 
+  // ---- product quantization (LLM-28) ------------------------------------
+
+  /** PQ subvector rows (vec_id, sub, subvec): m per-row slice()s stacked by
+    * a constant-size explode — a row-local reshape, NO shuffle (the naive
+    * posexplode/collect_list reshape would shuffle dim rows per vector). */
+  private def pqSubvectors(e: DataFrame, m: Int, subDim: Int): DataFrame =
+    e.select(col("vec_id"), explode(array(
+      (0 until m).map(i => struct(lit(i).as("sub"),
+        slice(col("embedding"), i * subDim + 1, subDim).as("subvec"))): _*))
+      .as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.subvec").as("subvec"))
+
+  /** Squared L2 distance of two float arrays, accumulated in double. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ codebook training: per subspace, k centroids = deterministic
+    * hash-sampled seed subvectors refined by ONE Lloyd round (the llm3e IVF
+    * recipe, per subspace). Assignment argmin is `min(struct(dist, cent_id,
+    * payload))` under a (vec_id, sub) hash agg — map-side combine collapses
+    * the k candidates of each subvector BEFORE the exchange, so the shuffle
+    * carries n·m small rows, never n·m·k; no window function anywhere. Cell
+    * means ride DECIMAL so the codebook is bit-deterministic across
+    * partition orders. At 100 TB training runs on a hash-sample (the seeds
+    * already are one); encoding below is the only full-corpus pass.
+    * Returns (sub, cent_id, cent: array<float>). */
+  def pqTrain(e: DataFrame, m: Int = 4, k: Int = 16, dim: Int = 64,
+              rounds: Int = 1): DataFrame = {
+    val sd = dim / m
+    val seedW = Window.partitionBy("sub")
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val seeds = pqSubvectors(
+        e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k), m, sd)
+      .withColumn("cent_id", row_number().over(seedW) - 1)
+      .select(col("sub"), col("cent_id"), col("subvec").as("cent"))
+    if (rounds == 0) return seeds
+    pqSubvectors(e, m, sd).join(broadcast(seeds), "sub")
+      .withColumn("dist", l2sq(col("subvec"), col("cent")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cent_id"), col("subvec"))).as("best"))
+      .select(col("sub"), col("best.cent_id").as("cent_id"),
+        posexplode(col("best.subvec")).as(Seq("pos", "v")))
+      .groupBy("sub", "cent_id", "pos")
+      .agg(avg(col("v").cast("decimal(28,12)")).as("mval"))
+      .groupBy("sub", "cent_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+        x => x.getField("mval").cast("float")).as("cent"))
+  }
+
+  /** Encode every vector against a trained codebook: ONE shuffle of n rows
+    * total. The broadcast codebook join fans each subvector out to its k
+    * candidates; a single vec_id hash agg computes all m argmins at once
+    * via per-subspace conditional min(struct) columns (m is a plan-time
+    * constant), with map-side combine collapsing the fan-out in place.
+    * Output: (vec_id, codes "c0,c1,c2,c3", recon_err = 6-dp total squared
+    * reconstruction error). */
+  def pqEncode(e: DataFrame, codebook: DataFrame,
+               m: Int = 4, dim: Int = 64): DataFrame = {
+    val sd = dim / m
+    val scored = pqSubvectors(e, m, sd).join(broadcast(codebook), "sub")
+      .withColumn("dist", l2sq(col("subvec"), col("cent")))
+    val perSub = (0 until m).map(i =>
+      min(when(col("sub") === i, struct(col("dist"), col("cent_id"))))
+        .as(s"b$i"))
+    scored.groupBy("vec_id").agg(perSub.head, perSub.tail: _*)
+      .select(col("vec_id"),
+        concat_ws(",", (0 until m).map(i => col(s"b$i.cent_id")): _*)
+          .as("codes"),
+        round((0 until m).map(i => col(s"b$i.dist").cast("decimal(28,12)"))
+          .reduce(_ + _).cast("double"), 6).as("recon_err"))
+  }
+
   /** Per-doc distinct-shingle table — the shared first stage of every
     * MinHash path (self-join dedup, cross-set ingest, streaming index). */
   def shingled(docs: DataFrame): DataFrame =
@@ -1097,6 +1172,19 @@ object LlmOps extends QueryModule {
           .cast("double"), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // LLM-28 ⚠: product quantization — the memory-scale path past llm15's
+    // scalar int8: m=4 subspaces × k=16 centroids compress each 64-dim
+    // float vector (256 B) to 4 code bytes (64×), the standard layout under
+    // billion-vector ANN (IVF-PQ). Deterministic rows-only output
+    // (codes + 6-dp reconstruction error per vector); PqSpec certifies
+    // determinism, code range, Lloyd improvement over the seed codebook,
+    // and that PQ distortion beats the k=1 (global-mean) baseline.
+    "llm28_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val codebook = pqTrain(e).localCheckpoint()
+      pqEncode(e, codebook).orderBy("vec_id")
     })
   )
 
