@@ -27,6 +27,29 @@ object Analytics extends QueryModule {
   /** 30 minutes in microseconds — the classic web-analytics session gap. */
   private val SessionGapUs = 1800000000L
 
+  /** Shared first stage of TS-1/TS-2: the per-user dense hourly grid left-
+    * joined with each hour's last observed value (null on gap hours).
+    * Columns: (user_id, hour_us, v). See ts1 notes for the scale story —
+    * the grid explodes in-partition off the per-user bounds agg. */
+  private def hourlyGridJoined(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val hourly = e
+      .withColumn("hr", date_trunc("hour", col("event_ts")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "hr")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hr"), col("value").as("v"))
+    val grid = e.groupBy("user_id")
+      .agg(date_trunc("hour", min("event_ts")).as("h0"),
+        date_trunc("hour", max("event_ts")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hr"))
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), unix_micros(col("hr")).as("hour_us"), col("v"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // WIN-9: batch sessionization — split each user's event stream into
@@ -131,28 +154,78 @@ object Analytics extends QueryModule {
     // (d) LOCF via last(ignoreNulls) over the user-partitioned hour
     // order. Grid size is bounded by user activity span — a user active
     // for a year adds 8.8k rows, independent of event count.
-    "ts1_resample_ffill" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val hourly = e
-        .withColumn("hr", date_trunc("hour", col("event_ts")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("user_id", "hr")
-            .orderBy(col("ts").desc, col("event_id").desc)))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("hr"), col("value").as("v"))
-      val grid = e.groupBy("user_id")
-        .agg(date_trunc("hour", min("event_ts")).as("h0"),
-          date_trunc("hour", max("event_ts")).as("h1"))
-        .select(col("user_id"),
-          explode(sequence(col("h0"), col("h1"),
-            expr("interval 1 hour"))).as("hr"))
-      grid.join(hourly, Seq("user_id", "hr"), "left")
+    "ts1_resample_ffill" -> ((s, d) =>
+      hourlyGridJoined(s, d)
         .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(
-          Window.partitionBy("user_id").orderBy(col("hr"))
+          Window.partitionBy("user_id").orderBy(col("hour_us"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("user_id"), unix_micros(col("hr")).as("hour_us"),
-          col("v_ffill"))
+        .select(col("user_id"), col("hour_us"), col("v_ffill"))
+        .orderBy("user_id", "hour_us")),
+
+    // TS-2: linear interpolation over the same hourly grid — the gap-fill
+    // for continuous signals where LOCF (ts1) is wrong. Anchors (previous /
+    // next observed value + their hours) come from two mirror-image
+    // ignoreNulls windows over the SAME user partitioning — Spark plans
+    // both window groups over one exchange + two in-partition sorts; the
+    // interpolation itself is identical double arithmetic on both engines,
+    // rounded to 6 dp. Grid edges: null before the first anchor, LOCF
+    // after the last.
+    "ts2_interpolate" -> ((s, d) => {
+      val wp = Window.partitionBy("user_id").orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy("hour_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      hourlyGridJoined(s, d)
+        .withColumn("vp", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("hp", last(when(col("v").isNotNull, col("hour_us")),
+          ignoreNulls = true).over(wp))
+        .withColumn("vn", first(col("v"), ignoreNulls = true).over(wf))
+        .withColumn("hn", first(when(col("v").isNotNull, col("hour_us")),
+          ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("hour_us"),
+          // multiply-round protocol, NOT round(x, 6): whole-hour gaps make
+          // the interpolant a /2^k rational, i.e. an exact 7-dp decimal
+          // tie that a binary double sits one ulp BELOW. Spark's round(x,6)
+          // rounds the double's shortest decimal string (ties lost, rounds
+          // down); DuckDB rounds x*1e6 (the multiply re-snaps the tie to
+          // .5, rounds up). round(x*1e6)/1e6 makes both engines take the
+          // second path bit-identically.
+          (round(
+            when(col("vp").isNull, lit(null))
+              .when(col("vn").isNull, col("vp"))
+              .when(col("hn") === col("hp"), col("vp"))
+              .otherwise(col("vp") + (col("vn") - col("vp")) *
+                ((col("hour_us") - col("hp")).cast("double") /
+                  (col("hn") - col("hp")))) * lit(1e6)) / lit(1e6))
+            .as("v_interp"))
         .orderBy("user_id", "hour_us")
+    }),
+
+    // TS-3: z-score outlier detection per event_type — the screening gate
+    // a metrics pipeline runs before training on telemetry. Moments ride
+    // DECIMAL partial sums (order-proof, bit-identical to the oracle),
+    // μ/σ derive in double with the exact oracle expression shape, and the
+    // 5-row stats table broadcasts back onto the scan — one agg + one
+    // broadcast join at any scale, the filter runs codegen'd per row.
+    // |z| > 3 filters BEFORE rounding on both engines (same doubles → same
+    // boundary decisions).
+    "ts3_zscore_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dec = col("value").cast("decimal(18,6)")
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s1"),
+        sum(dec * dec).cast("double").as("s2"))
+        .select(col("event_type"), (col("s1") / col("n")).as("mu"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1)).as("sigma"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z"))
+        .orderBy("event_id")
     })
   )
 
@@ -231,6 +304,62 @@ object Analytics extends QueryModule {
         |SELECT user_id, hour_us,
         |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
         |    ORDER BY hour_us ROWS UNBOUNDED PRECEDING) AS v_ffill
-        |FROM j ORDER BY user_id, hour_us""".stripMargin
+        |FROM j ORDER BY user_id, hour_us""".stripMargin,
+
+    "ts2_interpolate" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) h0,
+        |         date_trunc('hour', MAX(ts)) h1
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM b),
+        |hourly AS (
+        |  SELECT user_id, hr, value AS v FROM (
+        |    SELECT user_id, date_trunc('hour', ts) AS hr, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                         ORDER BY ts DESC, event_id DESC) rn
+        |    FROM events) WHERE rn = 1),
+        |j AS (
+        |  SELECT g.user_id, epoch_us(g.hr) AS hour_us, h.v
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.user_id = h.user_id AND g.hr = h.hr),
+        |a AS (
+        |  SELECT user_id, hour_us, v,
+        |    LAST_VALUE(v IGNORE NULLS) OVER wp AS vp,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN hour_us END
+        |               IGNORE NULLS) OVER wp AS hp,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER wf AS vn,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hour_us END
+        |                IGNORE NULLS) OVER wf AS hn
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY hour_us
+        |                ROWS UNBOUNDED PRECEDING),
+        |         wf AS (PARTITION BY user_id ORDER BY hour_us
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, hour_us,
+        |  ROUND(CASE WHEN vp IS NULL THEN NULL WHEN vn IS NULL THEN vp
+        |        WHEN hn = hp THEN vp
+        |        ELSE vp + (vn - vp) *
+        |          (CAST(hour_us - hp AS DOUBLE) / (hn - hp)) END
+        |        * 1000000.0) / 1000000.0 AS v_interp
+        |FROM a ORDER BY user_id, hour_us""".stripMargin,
+
+    "ts3_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) *
+        |             CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT event_type, s1 / n AS mu,
+        |              SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+        |       FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  ROUND((e.value - st.mu) / st.sigma, 6) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE ABS((e.value - st.mu) / st.sigma) > 3.0
+        |ORDER BY e.event_id""".stripMargin
   )
 }
