@@ -138,6 +138,17 @@ object LlmOps extends QueryModule {
         x => x.getField("mval").cast("float")).as("cent"))
   }
 
+  /** Long-form PQ encoding (vec_id, sub, code) — the layout ADC scans
+    * join against. Same broadcast-join + map-side-combined min(struct)
+    * argmin as [[pqEncode]], grouped per (vec_id, sub). */
+  def pqEncodeLong(e: DataFrame, codebook: DataFrame,
+                   m: Int = 4, dim: Int = 64): DataFrame =
+    pqSubvectors(e, m, dim / m).join(broadcast(codebook), "sub")
+      .withColumn("dist", l2sq(col("subvec"), col("cent")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cent_id").as("code"))
+
   /** Encode every vector against a trained codebook: ONE shuffle of n rows
     * total. The broadcast codebook join fans each subvector out to its k
     * candidates; a single vec_id hash agg computes all m argmins at once
@@ -1185,6 +1196,42 @@ object LlmOps extends QueryModule {
       val e = Tables.embeddings(s, d)
       val codebook = pqTrain(e).localCheckpoint()
       pqEncode(e, codebook).orderBy("vec_id")
+    }),
+
+    // LLM-28b ⚠: ADC (asymmetric distance computation) retrieval — the
+    // scan-time payoff of PQ, in the production IVF-PQ shape: (1) the
+    // query precomputes an m×k-row lookup table (its subvectors' squared
+    // L2 to every centroid); (2) the CODES-ONLY scan joins 1-byte codes
+    // against the broadcast LUT and sums m partials per vector (map-side-
+    // combined — at 100 TB this pass reads m code bytes/vector instead of
+    // 256 float bytes, and never shuffles an embedding); (3) only the
+    // ADC top-100 shortlist re-attaches its real vectors (a 100-row
+    // broadcast semi-join) for exact L2 re-ranking to top-20. m=8
+    // subspaces (32× compression) keeps the shortlist honest; PqSpec pins
+    // recall vs the exact top-20.
+    "llm28b_pq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val codebook = pqTrain(e, m = 8).localCheckpoint()
+      val q = e.filter(col("vec_id") === 0)
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val qsub = pqSubvectors(q, 8, 8)
+        .select(col("sub"), col("subvec").as("qsub"))
+      val lut = codebook.join(qsub, "sub")
+        .select(col("sub"), col("cent_id").as("code"),
+          l2sq(col("qsub"), col("cent")).as("pdist"))
+      val shortlist = pqEncodeLong(corpus, codebook, m = 8)
+        .join(broadcast(lut), Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(sum(col("pdist").cast("decimal(28,12)")).as("adc"))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(100)
+        .select("vec_id")
+      corpus.join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(q.select(col("embedding").as("q_emb"))))
+        .select(col("vec_id"),
+          round(l2sq(col("embedding"), col("q_emb")), 6).as("l2_dist"))
+        .orderBy(col("l2_dist"), col("vec_id"))
+        .limit(20)
     })
   )
 

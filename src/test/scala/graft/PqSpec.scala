@@ -42,4 +42,24 @@ class PqSpec extends SparkSpec {
   test("k=16 codebook beats the k=1 global-mean baseline") {
     assert(distortion(k = 16) < distortion(k = 1))
   }
+
+  test("ADC top-20 recall vs exact L2 top-20") {
+    val adc = SparkEntry.queries("llm28b_pq_adc")(spark, Sf0001)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val e = emb
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val exact = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("q_emb"), (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(20)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = adc.intersect(exact).size / 20.0
+    info(s"ADC recall@20 = $recall")
+    // measured 0.85 on this corpus (m=8, shortlist 100); floor with margin
+    assert(recall >= 0.6, s"ADC shortlist+rerank recall too low: $recall")
+  }
 }
