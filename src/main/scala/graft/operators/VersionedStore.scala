@@ -49,14 +49,17 @@ object VersionedStore {
   def latestVersion(root: String): Option[Long] = versions(root).lastOption
 
   /** Data dir a committed version's manifest points at. */
-  private def dataDirOf(root: String, v: Long): File = {
+  private def markerBody(root: String, v: Long): String = {
     val m = marker(root, v)
     require(m.exists(),
       s"version $v not committed under $root (have ${versions(root)})")
-    val name = new String(
-      Files.readAllBytes(m.toPath), StandardCharsets.UTF_8).trim
-    new File(root, name)
+    new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)
   }
+
+  /** Marker line 1 names the data dir; later lines carry commit metadata
+    * (currently `txn=<appId>=<version>` from [[commitTxn]]). */
+  private def dataDirOf(root: String, v: Long): File =
+    new File(root, markerBody(root, v).linesIterator.next().trim)
 
   /** Claim the next version number for an existing data dir: create-new
     * marker semantics, retry at the next number if another writer won. */
@@ -117,6 +120,40 @@ object VersionedStore {
     if (violations > 0L) Left(violations)
     else Right(claimMarker(root, dataName, maxRetries))
   }
+
+  /** Highest writer-transaction version recorded for `appId` across the
+    * committed markers — the read side of [[commitTxn]]. O(retained
+    * versions) tiny-file reads; [[vacuum]] bounds that, with the same
+    * caveat as Delta's txn retention: keep more versions than the longest
+    * possible replay window, or a very late replay re-applies. */
+  def lastTxn(root: String, appId: String): Option[Long] = {
+    val pfx = s"txn=$appId="
+    val recorded = versions(root).flatMap(v =>
+      markerBody(root, v).linesIterator
+        .filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).trim.toLong))
+    if (recorded.isEmpty) None else Some(recorded.max)
+  }
+
+  /** Idempotent commit (Delta `txnAppId`/`txnVersion` parity): commit `df`
+    * as the next version UNLESS a commit tagged (appId, >= txnVersion)
+    * already exists — then skip, returning Left(lastRecorded). The tag
+    * rides INSIDE the marker body, so recording is part of the same
+    * one-file-create commit atom: a crash can never apply the data without
+    * the tag or vice versa. This is what makes an at-least-once replayer
+    * (foreachBatch re-running a batchId after a crash) exactly-once: the
+    * guard covers sequential retries of one writer app — the Delta
+    * guarantee scope — not two live racers on one appId. */
+  def commitTxn(df: DataFrame, root: String, appId: String, txnVersion: Long,
+                maxRetries: Int = 64): Either[Long, Long] =
+    lastTxn(root, appId) match {
+      case Some(last) if last >= txnVersion => Left(last)
+      case _ =>
+        val dataName = s"data-${java.util.UUID.randomUUID()}"
+        df.write.mode("errorifexists")
+          .parquet(new File(root, dataName).toString)
+        Right(claimMarker(root, s"$dataName\ntxn=$appId=$txnVersion",
+          maxRetries))
+    }
 
   /** Restore-db: make version `version`'s contents the NEW latest version
     * (the reference restores a backup as the live db, runcommand.py:221-255

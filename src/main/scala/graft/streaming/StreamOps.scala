@@ -213,6 +213,46 @@ object StreamOps extends QueryModule {
   def upsertState(s: SparkSession, stateDir: String): DataFrame =
     graft.operators.VersionedStore.read(s, stateDir)
 
+  /** STRM-15 per-batch body (exposed so the declared query and the spec can
+    * simulate a crash-replay): merge this batch's per-user event counts
+    * into the running totals and commit under (appId, batchId). Because the
+    * merge ADDS to previous state, a replayed batch applied twice would
+    * double-count — exactly what [[graft.operators.VersionedStore
+    * .commitTxn]]'s in-marker transaction tag prevents: the replay returns
+    * Left and the store is untouched. */
+  def commitBatchCounts(batch: DataFrame, stateDir: String, appId: String,
+                        batchId: Long): Either[Long, Long] = {
+    import graft.operators.VersionedStore
+    val spark = batch.sparkSession
+    val bc = batch.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val merged = VersionedStore.latestVersion(stateDir) match {
+      case Some(_) =>
+        VersionedStore.read(spark, stateDir).unionByName(bc)
+          .groupBy("user_id").agg(sum("n_events").as("n_events"))
+      case None => bc
+    }
+    VersionedStore.commitTxn(merged, stateDir, appId, batchId)
+  }
+
+  /** STRM-15: exactly-once idempotent stream ingest. foreachBatch is
+    * at-least-once — after a crash the last micro-batch REPLAYS with the
+    * same batchId. Tagging each versioned-store commit with (appId,
+    * batchId) inside the marker atom turns the replay into a no-op, which
+    * is Structured Streaming's documented recipe for exactly-once
+    * idempotent sinks (and Delta's txnAppId/txnVersion contract). */
+  def runIdempotentIngest(ev: DataFrame, stateDir: String,
+                          checkpointDir: String, appId: String): Unit = {
+    val q = ev.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchCounts(batch, stateDir, appId, batchId); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** JOIN-9 streaming: stream-stream interval join — click events joined to
     * purchase events of the same user within [0, 30 min) after the click.
     * Both sides watermarked so the join state is evicted once the range
@@ -452,6 +492,31 @@ object StreamOps extends QueryModule {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // STRM-15: exactly-once idempotent ingest — the events table split into
+    // 4 files streams in as 4 micro-batches (maxFilesPerTrigger=1), each
+    // batch ADDING its per-user counts to the versioned running totals
+    // under an (appId, batchId) transaction tag. Then a crash-replay of the
+    // last batch is SIMULATED by re-applying batchId 3 over the full
+    // source: a non-idempotent sink would double-count and hash-mismatch
+    // the oracle (plain per-user COUNT(*)); the txn tag makes it a no-op.
+    "strm15_idempotent_ingest" -> ((s, d) => {
+      import graft.operators.VersionedStore
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-strm15").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d).select("user_id", "event_id")
+        .repartition(4).write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      runIdempotentIngest(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(src),
+        s"$tmp/store", s"$tmp/ckpt", appId = "strm15")
+      val replay = commitBatchCounts(
+        s.read.parquet(src), s"$tmp/store", "strm15", batchId = 3L)
+      require(replay.isLeft, s"replayed batch must be skipped, got $replay")
+      VersionedStore.read(s, s"$tmp/store").orderBy("user_id")
     })
   )
 
@@ -484,6 +549,12 @@ object StreamOps extends QueryModule {
     "strm14_file_ingest" ->
       s"""SELECT event_type, count(*) AS n, ${Det.dsumSql("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exactly-once proof: totals must equal a plain batch count — a
+    // double-applied replay batch would inflate them
+    "strm15_idempotent_ingest" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "strm1_tumbling" ->
       s"""SELECT (epoch_us(ts) // 600000000) * 600000000 AS ws_us, event_type,

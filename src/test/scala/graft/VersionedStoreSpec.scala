@@ -217,6 +217,36 @@ class VersionedStoreSpec extends SparkSpec {
     assert(r.isRight, "vacuously-true constraint must commit")
   }
 
+  test("commitTxn: replayed txnVersions skip, higher commit, appIds isolate") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    // a plain (untagged) commit records no txn
+    VersionedStore.commit(Seq((0, "base")).toDF("k", "v"), root)
+    assert(VersionedStore.lastTxn(root, "app") === None)
+    // first tagged commit
+    assert(VersionedStore.commitTxn(
+      Seq((1, "a")).toDF("k", "v"), root, "app", 0L) === Right(2L))
+    // crash-replay of the same batchId: skipped, store untouched
+    assert(VersionedStore.commitTxn(
+      Seq((9, "dup")).toDF("k", "v"), root, "app", 0L) === Left(0L))
+    assert(VersionedStore.versions(root) === Seq(1L, 2L))
+    // stale (lower) txnVersion also skipped after progress
+    assert(VersionedStore.commitTxn(
+      Seq((2, "b")).toDF("k", "v"), root, "app", 1L) === Right(3L))
+    assert(VersionedStore.commitTxn(
+      Seq((9, "dup")).toDF("k", "v"), root, "app", 0L) === Left(1L))
+    // a different appId has its own sequence
+    assert(VersionedStore.commitTxn(
+      Seq((3, "c")).toDF("k", "v"), root, "other", 0L) === Right(4L))
+    // tagged markers still time-travel and roll back like plain ones
+    assert(VersionedStore.read(s, root, 2L).orderBy("k")
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+    VersionedStore.rollback(s, root, 2L)
+    assert(VersionedStore.read(s, root)
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
   test("sink9 query: v1 aggregate unchanged by the v2 overwrite") {
     val s = spark
     val df = SparkEntry.queries("sink9_versioned")(s, Sf0001)
