@@ -22,7 +22,8 @@ object SparkEntry {
     multimodal.MultimodalOps,
     sql.SqlOps,
     operators.Incremental,
-    operators.Analytics
+    operators.Analytics,
+    operators.GraphOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

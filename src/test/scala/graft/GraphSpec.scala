@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** GRAPH-1 PageRank: golden-graph values, rank-mass conservation, and
+  * run-to-run determinism (the no-oracle checks behind graph1_pagerank). */
+class GraphSpec extends SparkSpec {
+
+  test("symmetric 3-cycle stays uniform at 1/3 per vertex") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val pr = GraphOps.pagerank(edges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12, pr))
+  }
+
+  test("asymmetric golden graph matches the scalar reference iteration") {
+    val s = spark
+    import s.implicits._
+    // a → b, a → c, b → c, c → a (unit weights)
+    val edgeList = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+    val edges = edgeList.map { case (x, y) => (x, y, 1L) }.toDF("src", "dst", "w")
+    val got = GraphOps.pagerank(edges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // same formula, plain Scala
+    val d = 0.85; val n = 3
+    var ref = Map("a" -> 1.0 / n, "b" -> 1.0 / n, "c" -> 1.0 / n)
+    val out = Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0)
+    for (_ <- 1 to 5) {
+      val contrib = edgeList.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => ref(u) / out(u) }.sum }
+      ref = ref.keys.map(v =>
+        v -> ((1 - d) / n + d * contrib.getOrElse(v, 0.0))).toMap
+    }
+    ref.foreach { case (v, exp) =>
+      assert(math.abs(got(v) - exp) < 1e-9, s"$v: got ${got(v)} exp $exp") }
+  }
+
+  test("rank mass is conserved on the bidirected purchase graph") {
+    val df = SparkEntry.queries("graph1_pagerank")(spark, Sf0001)
+    // top-20 slice can't certify mass; recompute on the full rank vector
+    val s = spark
+    val ol = Tables.orders(s, Sf0001)
+      .join(Tables.lineitem(s, Sf0001), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey")).agg(count(lit(1)).as("w"))
+    val edges = ol.select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"), col("w"))
+      .unionByName(ol.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"), col("w")))
+    val mass = GraphOps.pagerank(edges)
+      .agg(sum("pr")).collect()(0).getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass drifted: $mass")
+    assert(df.collect().length == 20)
+  }
+
+  test("ranking is deterministic across runs") {
+    def run() = SparkEntry.queries("graph1_pagerank")(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    assert(run() == run())
+  }
+}
