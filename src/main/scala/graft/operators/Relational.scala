@@ -746,6 +746,32 @@ object Relational extends QueryModule {
         .orderBy("c_nationkey")
     }),
 
+    // AGG-19 ⚠: sketch-based set-intersection cardinality — "how many
+    // customers ordered in BOTH eras" WITHOUT joining the eras: era
+    // sketches merge by inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|), so
+    // the overlap of two 100 TB slices costs two filtered scans (or zero,
+    // if per-era sketches are already persisted — the agg16 rollup
+    // pattern) and a few KB of sketch state crossing the driver. The
+    // exact-join formulation shuffles both custkey sets; this shuffles
+    // nothing. Error compounds through the subtraction (documented), so
+    // ApproxSpec bounds it vs the exact semi-join overlap.
+    "agg19_hll_intersection" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cut = to_timestamp(lit("1998-01-01"))
+      val ska = o.filter(col("o_orderdate") < cut)
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("ska"))
+      val skb = o.filter(col("o_orderdate") >= cut)
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("skb"))
+      ska.crossJoin(skb)
+        .select(
+          hll_sketch_estimate(col("ska")).as("est_early"),
+          hll_sketch_estimate(col("skb")).as("est_late"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+            .as("est_union"))
+        .withColumn("est_overlap",
+          col("est_early") + col("est_late") - col("est_union"))
+    }),
+
     // PROF-1: single-pass column profiler (ANALYZE TABLE analogue). All
     // per-column stats come out of ONE aggregate over ONE scan — the
     // multi-distinct compiles to an Expand (k projections of the same

@@ -141,6 +141,20 @@ class ApproxSpec extends SparkSpec {
     assert(plan.contains("df_docs"), s"df filter missing from plan:\n$plan")
   }
 
+  test("agg19: HLL inclusion–exclusion tracks the exact era overlap") {
+    val o = Tables.orders(spark, Sf0001)
+    val cut = to_timestamp(lit("1998-01-01"))
+    val early = o.filter(col("o_orderdate") < cut).select("o_custkey").distinct()
+    val late = o.filter(col("o_orderdate") >= cut).select("o_custkey").distinct()
+    val exactOverlap = early.join(late, "o_custkey").count().toDouble
+    val r = SparkEntry.queries("agg19_hll_intersection")(spark, Sf0001)
+      .collect()(0)
+    val est = r.getAs[Long]("est_overlap").toDouble
+    // error compounds through |A|+|B|−|A∪B|: allow 3× the 5% base bound
+    assert(math.abs(est - exactOverlap) / exactOverlap <= 0.15,
+      s"overlap estimate $est vs exact $exactOverlap")
+  }
+
   test("agg17b: CMS estimates bound the exact heavy-hitter counts") {
     val exact = SparkEntry.queries("agg17_heavy_hitters")(spark, Sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
