@@ -27,6 +27,26 @@ object Analytics extends QueryModule {
   /** 30 minutes in microseconds — the classic web-analytics session gap. */
   private val SessionGapUs = 1800000000L
 
+  /** Shared by WIN-9 / TS-4: one session row per >30-min-gap-delimited run
+    * of a user's events — see the win9 notes for the single-shuffle plan. */
+  private def sessionSpans(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(min("ts_us").as("session_start_us"),
+        max("ts_us").as("session_end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Shared first stage of TS-1/TS-2: the per-user dense hourly grid left-
     * joined with each hour's last observed value (null on gap hours).
     * Columns: (user_id, hour_us, v). See ts1 notes for the scale story —
@@ -59,24 +79,8 @@ object Analytics extends QueryModule {
     // in-partition sort reused by both: lag() marks session starts,
     // running sum() numbers them, then a hash agg rolls sessions up.
     // user_id is high-cardinality at scale; no global sort anywhere.
-    "win9_sessionize" -> ((s, d) => {
-      val byUser = Window.partitionBy("user_id")
-        .orderBy(col("ts_us"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"))
-        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
-        .withColumn("is_new",
-          when(col("prev_us").isNull ||
-            col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
-        .withColumn("session_no", sum(col("is_new")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_no")
-        .agg(min("ts_us").as("session_start_us"),
-          max("ts_us").as("session_end_us"),
-          count(lit(1)).as("n_events"))
-        .orderBy("user_id", "session_no")
-    }),
+    "win9_sessionize" -> ((s, d) =>
+      sessionSpans(s, d).orderBy("user_id", "session_no")),
 
     // WIN-10: ordered funnel conversion — how many users did
     // view → click (strictly after their first view) → purchase (strictly
@@ -209,6 +213,68 @@ object Analytics extends QueryModule {
     // broadcast join at any scale, the filter runs codegen'd per row.
     // |z| > 3 filters BEFORE rounding on both engines (same doubles → same
     // boundary decisions).
+    // DIM-2: point-in-time (as-of) feature join — for every purchase, the
+    // click value that was valid AT that moment (feature-store training-
+    // data correctness: joining the CURRENT value leaks the future). NOT a
+    // range join: anchors and probes union into one stream, ONE shuffle on
+    // user_id, and last(ignoreNulls) carries the newest anchor value
+    // forward within the sorted partition — the sorted-merge as-of join,
+    // O(n log n) in-partition with zero fan-out, hot users safe. At equal
+    // timestamps anchors sort before probes (src 0 < 1), so "at or
+    // before" includes ties, matching the oracle's <=.
+    "dim2_pit_join" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val anchors = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), lit(0).as("src"),
+          col("event_id"), col("value").as("anchor_value"))
+      val probes = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("src"),
+          col("event_id"), lit(null).cast("double").as("anchor_value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("src"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      anchors.unionByName(probes)
+        .withColumn("feature_value",
+          last(col("anchor_value"), ignoreNulls = true).over(w))
+        .filter(col("src") === 1)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("feature_value"))
+        .orderBy("event_id")
+    }),
+
+    // TS-4: peak concurrent sessions per day — the interval-overlap
+    // maximum, computed WITHOUT a global-sort window: session spans emit
+    // ±1 deltas; a per-hour-bucket window computes local running sums
+    // (high-cardinality partitioning), then per-bucket totals prefix-sum
+    // into carry-in offsets — that second window runs over O(buckets)
+    // rows (one per hour), not O(events), so the only single-partition
+    // stage is metadata-sized at any scale. local + offset == the naive
+    // global running sum exactly (ties can't straddle buckets); the
+    // oracle computes the naive version and the hashes must agree.
+    "ts4_peak_concurrency" -> ((s, d) => {
+      val sess = sessionSpans(s, d)
+      val deltas = sess
+        .select(col("session_start_us").as("ts_us"), lit(1L).as("delta"))
+        .unionByName(sess
+          .select(col("session_end_us").as("ts_us"), lit(-1L).as("delta")))
+        .withColumn("bucket", expr("ts_us div 3600000000"))
+      val wLocal = Window.partitionBy("bucket")
+        .orderBy(col("ts_us"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = deltas.groupBy("bucket").agg(sum("delta").as("btot"))
+        .withColumn("offset", coalesce(
+          sum("btot").over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "offset")
+      deltas.withColumn("local_sum", sum("delta").over(wLocal))
+        .join(broadcast(offsets), "bucket")
+        .withColumn("conc", col("local_sum") + col("offset"))
+        .groupBy(date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd")
+          .as("day"))
+        .agg(max("conc").as("peak_concurrency"))
+        .orderBy("day")
+    }),
+
     "ts3_zscore_outliers" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
@@ -345,6 +411,48 @@ object Analytics extends QueryModule {
         |          (CAST(hour_us - hp AS DOUBLE) / (hn - hp)) END
         |        * 1000000.0) / 1000000.0 AS v_interp
         |FROM a ORDER BY user_id, hour_us""".stripMargin,
+
+    "dim2_pit_join" ->
+      """WITH a AS (SELECT user_id, epoch_us(ts) ts_us, event_id, value
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  (SELECT a.value FROM a
+        |   WHERE a.user_id = p.user_id AND a.ts_us <= p.ts_us
+        |   ORDER BY a.ts_us DESC, a.event_id DESC LIMIT 1) AS feature_value
+        |FROM p ORDER BY p.event_id""".stripMargin,
+
+    // the NAIVE global running sum — proves the two-phase bucket plan
+    // computes the identical concurrency sequence
+    "ts4_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM e),
+        |sess AS (SELECT user_id, session_no, MIN(ts_us) st, MAX(ts_us) en
+        |         FROM s GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT st AS ts_us, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT en AS ts_us, -1 AS delta FROM sess),
+        |run AS (
+        |  SELECT ts_us, delta,
+        |    CAST(SUM(delta) OVER (ORDER BY ts_us, delta DESC
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS conc
+        |  FROM deltas)
+        |SELECT strftime(epoch_ms(ts_us // 1000), '%Y-%m-%d') AS day,
+        |       MAX(conc) AS peak_concurrency
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ts3_zscore_outliers" ->
       """WITH s AS (

@@ -211,6 +211,22 @@ class PlanSpec extends SparkSpec {
       s"bounds must broadcast, not shuffle the fact table:\n$p")
   }
 
+  test("dim2: as-of merge runs in user partitions, never one task") {
+    val p = planOf("dim2_pit_join")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the as-of union/window must stay user-partitioned:\n$p")
+  }
+
+  test("ts4: only the O(buckets) offset window is single-partition") {
+    val p = planOf("ts4_peak_concurrency")
+    val n = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(n == 1,
+      s"expected exactly ONE single-partition stage (the per-hour offsets, " +
+        s"metadata-sized), found $n:\n$p")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"delta running sums must partition by time bucket:\n$p")
+  }
+
   test("window queries over raw tables: no single-partition exchange") {
     // (win1/strm4/mig7 windows run over pre-limited/pre-aggregated tiny
     // frames by design; these are the raw-scan paths that must scale)
