@@ -275,6 +275,53 @@ object Analytics extends QueryModule {
         .orderBy("day")
     }),
 
+    // AGG-20: market-basket co-purchase pairs — which parts ship together?
+    // The self-join is keyed on l_orderkey, so fan-out per order is
+    // basket² (baskets are small and bounded in practice — max 13 here);
+    // the distinct() first collapses repeated (order, part) lines so a
+    // part ordered twice in one order can't double-count. pair counts are
+    // map-side-combined; top-20 = TakeOrderedAndProject. A pathological
+    // mega-basket at 100 TB is AQE-skew-split; a df-cap like llm2b's would
+    // drop it outright if policy allows.
+    "agg20_copurchase_pairs" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = op.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
+    // TS-5: MAD robust outliers — median absolute deviation replaces ts3's
+    // μ/σ so the gate itself can't be dragged by the outliers it hunts
+    // (breakdown point 50% vs 0%). Exact interpolated medians via
+    // percentile() (== DuckDB quantile_cont, the agg10 parity); the 5-row
+    // median/MAD tables broadcast back; deviations computed once and
+    // checkpointed (two consumers). 1.4826 scales MAD to σ under
+    // normality; |z|>3.5 filters pre-rounding, multiply-round protocol on
+    // the output (ts2 lesson).
+    "ts5_mad_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select("event_id", "event_type", "value")
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+        .localCheckpoint()
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .withColumn("rz", (col("value") - col("med")) /
+          (lit(1.4826) * col("mad")))
+        .filter(abs(col("rz")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          (round(col("rz") * lit(1e6)) / lit(1e6)).as("robust_z"))
+        .orderBy("event_id")
+    }),
+
     "ts3_zscore_outliers" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
@@ -453,6 +500,30 @@ object Analytics extends QueryModule {
         |SELECT strftime(epoch_ms(ts_us // 1000), '%Y-%m-%d') AS day,
         |       MAX(conc) AS peak_concurrency
         |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg20_copurchase_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       COUNT(*) AS n_orders
+        |FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    "ts5_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |          ABS(e.value - m.med) AS adev
+        |        FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  ROUND((d.value - d.med) / (1.4826 * m.mad) * 1000000.0)
+        |    / 1000000.0 AS robust_z
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE ABS((d.value - d.med) / (1.4826 * m.mad)) > 3.5
+        |ORDER BY d.event_id""".stripMargin,
 
     "ts3_zscore_outliers" ->
       """WITH s AS (
