@@ -275,6 +275,42 @@ object Analytics extends QueryModule {
         .orderBy("day")
     }),
 
+    // WIN-11: cumulative distinct users by day — the "total uniques over
+    // time" dashboard line. COUNT(DISTINCT) OVER a growing frame is not
+    // directly plannable (and would be quadratic anyway); the standard
+    // reformulation: a user contributes exactly once, on their FIRST day —
+    // so cumulative uniques = running sum of first-day counts. Two
+    // map-side-combined aggs; the running-sum window spans O(days) rows
+    // (metadata-sized — the ts4 justification for its single partition).
+    "win11_cumulative_uniques" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(date_format(col("event_ts"), "yyyy-MM-dd")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+        .withColumn("cumulative_users", sum("new_users").over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
+    }),
+
+    // WIN-12: weekly cohort retention — the activation/churn triangle:
+    // users grouped by first-active week, counted in each later week they
+    // return. (user, week) distinct pairs are the only shuffle payload
+    // (8+8 bytes); the cohort table joins back on user_id co-partitioned
+    // with the pairs. Epoch-week ints keep the bucketing engine-agnostic.
+    "win12_cohort_retention" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 604800000000").as("week"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+      wk.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // AGG-20: market-basket co-purchase pairs — which parts ship together?
     // The self-join is keyed on l_orderkey, so fan-out per order is
     // basket² (baskets are small and bounded in practice — max 13 here);
@@ -500,6 +536,27 @@ object Analytics extends QueryModule {
         |SELECT strftime(epoch_ms(ts_us // 1000), '%Y-%m-%d') AS day,
         |       MAX(conc) AS peak_concurrency
         |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "win11_cumulative_uniques" ->
+      """WITH fd AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+        |            FROM events GROUP BY 1),
+        |nu AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS cumulative_users
+        |FROM nu ORDER BY day""".stripMargin,
+
+    "win12_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id,
+        |    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+        |  FROM events GROUP BY 1, 2),
+        |cohort AS (SELECT user_id, MIN(week) AS cohort_week
+        |           FROM wk GROUP BY 1)
+        |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |       COUNT(*) AS n_users
+        |FROM wk w JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "agg20_copurchase_pairs" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

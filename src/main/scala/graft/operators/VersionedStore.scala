@@ -155,6 +155,18 @@ object VersionedStore {
           maxRetries))
     }
 
+  /** DESCRIBE HISTORY analogue: one row per committed version — its data
+    * dir and any writer-txn tag. Metadata-only: reads the O(retained
+    * versions) marker files, never data; rollbacks are visible as two
+    * versions sharing a data_dir. */
+  def history(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    versions(root).map { v =>
+      val lines = markerBody(root, v).linesIterator.toSeq
+      (v, lines.head.trim, lines.find(_.startsWith("txn=")).orNull)
+    }.toDF("version", "data_dir", "txn")
+  }
+
   /** Restore-db: make version `version`'s contents the NEW latest version
     * (the reference restores a backup as the live db, runcommand.py:221-255
     * — here history stays intact and the rollback is itself an auditable

@@ -245,6 +245,15 @@ class VersionedStoreSpec extends SparkSpec {
     VersionedStore.rollback(s, root, 2L)
     assert(VersionedStore.read(s, root)
       .collect().map(_.getInt(0)).toSeq === Seq(1))
+    // DESCRIBE HISTORY: every version listed, txn tags only where written,
+    // the rollback row shares its source version's data dir
+    val h = VersionedStore.history(s, root).orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(h.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(h(0)._3 == null && h(1)._3 == "txn=app=0" &&
+      h(2)._3 == "txn=app=1" && h(3)._3 == "txn=other=0")
+    assert(h(4)._2 === h(1)._2 && h(4)._3 == null,
+      "rollback must reference the source data dir, untagged")
   }
 
   test("sink9 query: v1 aggregate unchanged by the v2 overwrite") {
