@@ -1185,6 +1185,38 @@ object LlmOps extends QueryModule {
         .limit(20)
     }),
 
+    // LLM-29: bigram language-model quality score — one order up from
+    // llm24's unigram LM (the better perplexity proxy: word-order-aware).
+    // Add-1-smoothed conditional log-probs ln((c(w1,w2)+1)/(c(w1)+V)).
+    // Bigrams come from zip_with over two slices of the token array — a
+    // row-local pairing, no position self-join; count tables join back on
+    // (w1, w2) hashes of bounded strings, text never shuffles. Per-doc
+    // mean rides the decimal-sum + multiply-round protocol.
+    "llm29_bigram_lm" -> ((s, d) => {
+      val arr = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), arr.as("arr")).localCheckpoint()
+      val bi = docs.filter(size(col("arr")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("arr"), lit(1), size(col("arr")) - 1),
+          slice(col("arr"), lit(2), size(col("arr")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint()
+      val uni = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val vocab = docs.select(explode(col("arr")).as("tok"))
+        .agg(countDistinct("tok").cast("double").as("vsize"))
+      bi.join(bc, Seq("w1", "w2")).join(uni, "w1").crossJoin(vocab)
+        .withColumn("lp",
+          log((col("cb") + lit(1.0)) / (col("cu") + col("vsize"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (round(sum(col("lp").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)) * lit(1e6)) / lit(1e6)).as("bigram_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // LLM-28 ⚠: product quantization — the memory-scale path past llm15's
     // scalar int8: m=4 subspaces × k=16 centroids compress each 64-dim
     // float vector (256 B) to 4 code bytes (64×), the standard layout under
@@ -1698,6 +1730,35 @@ object LlmOps extends QueryModule {
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
         |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS is_quality
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // positions renumbered AFTER the empty-token filter so DuckDB pairs the
+    // same consecutive non-empty tokens as Spark's filtered-array zip_with
+    "llm29_bigram_lm" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok,
+        |    generate_subscripts(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+        |  FROM documents),
+        |t2 AS (
+        |  SELECT doc_id, tok,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+        |  FROM raw WHERE tok <> ''),
+        |big AS (
+        |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        |  FROM t2 a JOIN t2 b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+        |uni AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY 1),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vsize FROM t2),
+        |sc AS (
+        |  SELECT g.doc_id,
+        |    LN((c.cb + 1.0) / (u.cu + v.vsize)) AS lp
+        |  FROM big g JOIN bc c ON g.w1 = c.w1 AND g.w2 = c.w2
+        |  JOIN uni u ON g.w1 = u.w1 CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+        |        * 1000000.0) / 1000000.0 AS bigram_logprob
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same tokenizer, same double expression shape, same decimal-summed
     // per-doc accumulation as the Spark plan (see llm27 comment)

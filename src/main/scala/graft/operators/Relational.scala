@@ -287,6 +287,37 @@ object Relational extends QueryModule {
         .orderBy("p_brand")
     }),
 
+    // JOIN-14: dynamic partition pruning — the fact table is LAID OUT
+    // partitioned on the join key; the dim-side filter is only known at
+    // run time (it lives in a table, not the query text), so no static
+    // pushdown can prune. DPP injects the dim's surviving join keys into
+    // the fact scan as a runtime partition filter: at 100 TB the scan
+    // reads 2 of 5 partitions instead of the lake. PlanSpec asserts the
+    // dynamicpruning subquery is in the scan; the oracle is the plain
+    // join.
+    "join14_dpp" -> ((s, d) => {
+      import s.implicits._
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val store = s"/root/repo/target/tmp-sinks/join14_events_$tag"
+      if (!new java.io.File(store).exists())
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(store)
+      val dimPath = s"/root/repo/target/tmp-sinks/join14_dim_$tag"
+      if (!new java.io.File(dimPath).exists())
+        Seq(("click", "engagement"), ("purchase", "conversion"),
+          ("view", "engagement"), ("signup", "conversion"),
+          ("error", "ops")).toDF("event_type", "category")
+          .write.mode("overwrite").parquet(dimPath)
+      s.read.parquet(store)
+        .join(s.read.parquet(dimPath)
+          .filter(col("category") === "conversion"), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // JOIN-13: salted shuffle join — the hot-key fix when the SKEWED side
     // must shuffle (dim too big to broadcast, skew too extreme for AQE's
     // partition-splitting, which splits partitions but cannot split one
@@ -1095,6 +1126,17 @@ object Relational extends QueryModule {
       s"""SELECT o_orderstatus, count(*) AS n,
          |  ${Det.dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join14_dpp" ->
+      s"""WITH dim(event_type, category) AS (
+         |  VALUES ('click','engagement'), ('purchase','conversion'),
+         |         ('view','engagement'), ('signup','conversion'),
+         |         ('error','ops'))
+         |SELECT e.event_type, COUNT(*) AS n,
+         |  ${Det.dsumSql("e.value")} AS sum_value
+         |FROM events e JOIN dim d ON e.event_type = d.event_type
+         |WHERE d.category = 'conversion'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "win1_row_number" ->

@@ -211,6 +211,14 @@ class PlanSpec extends SparkSpec {
       s"bounds must broadcast, not shuffle the fact table:\n$p")
   }
 
+  test("join14: dim filter prunes fact partitions at runtime (DPP)") {
+    val df = SparkEntry.queries("join14_dpp")(spark, Sf0001)
+    df.count() // settle AQE so the executed plan is final
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-partition-pruning subquery in the fact scan:\n$p")
+  }
+
   test("dim2: as-of merge runs in user partitions, never one task") {
     val p = planOf("dim2_pit_join")
     assert(!p.contains("Exchange SinglePartition"),
