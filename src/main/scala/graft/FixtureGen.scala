@@ -143,6 +143,24 @@ object FixtureGen {
         Seq("Protein", "3"),
         Seq("Variation", "5"))))
 
+    // scan9: CSV with deliberately corrupt rows — three type errors (int,
+    // double, double). No quotes/tabs anywhere so a single-column tab
+    // read counts raw lines on both engines; no arity errors because
+    // Spark (pad/flag) and DuckDB (reject) disagree on those rows'
+    // visibility, while type errors converge under a field-null filter.
+    write(s"$Dir/messy.csv",
+      Seq("id,qty,price,name",
+        "1,10,9.99,alpha",
+        "2,5,1.50,bravo",
+        "3,8,12.00,charlie",
+        "4,twelve,3.25,delta",
+        "5,2,0.75,echo",
+        "6,1,5.00,foxtrot",
+        "7,3,4.4.4,golf",
+        "8,9,oops,hotel",
+        "9,6,8.10,india",
+        "10,4,7.77,juliet").mkString("", "\n", "\n"))
+
     // scan5: multi-file dir + a file the glob must skip
     write(s"$Dir/multi/part-0.txt", "m0-a\nm0-b\nm0-c\n")
     write(s"$Dir/multi/part-1.txt", "m1-a\nm1-b\n")

@@ -311,6 +311,24 @@ object Analytics extends QueryModule {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // TS-6: winsorization — clamp each value into its type's [p05, p95]
+    // band, the training-data normalization that keeps outliers in the set
+    // (unlike ts3/ts5 which flag/drop them). Exact interpolated band
+    // edges (percentile == quantile_cont, agg10 parity) broadcast back;
+    // the clamp is least/greatest — output doubles are either the
+    // original bits or the band edge, so no rounding protocol is needed.
+    "ts6_winsorize" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select("event_id", "event_type", "value")
+      val band = e.groupBy("event_type").agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      e.join(broadcast(band), "event_type")
+        .select(col("event_id"), col("event_type"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("value_w"))
+        .orderBy("event_id")
+    }),
+
     // AGG-20: market-basket co-purchase pairs — which parts ship together?
     // The self-join is keyed on l_orderkey, so fan-out per order is
     // basket² (baskets are small and bounded in practice — max 13 here);
@@ -557,6 +575,15 @@ object Analytics extends QueryModule {
         |       COUNT(*) AS n_users
         |FROM wk w JOIN cohort c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ts6_winsorize" ->
+      """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |                  quantile_cont(value, 0.95) AS hi
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "agg20_copurchase_pairs" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

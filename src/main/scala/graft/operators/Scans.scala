@@ -78,6 +78,32 @@ object Scans extends QueryModule {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")),
 
+    // SCAN-9: malformed-row quarantine — lake CSV ingest where some rows
+    // are garbage (unparseable ints/doubles). PERMISSIVE mode keeps the
+    // job alive (vs FAILFAST) and keeps the bad rows visible (vs
+    // DROPMALFORMED's silent drop), with _corrupt carrying raw text for
+    // audit. "Clean" is defined structurally — every typed field parsed
+    // non-null — because that is the definition both engines converge on
+    // (Spark null-fills failed casts; DuckDB ignore_errors does too);
+    // corrupt-FLAG semantics are parser-specific and not portable. The
+    // result proves dirty rows are counted but excluded from aggregates.
+    "scan9_corrupt_csv" -> ((s, _) => {
+      val schema = StructType(Seq(
+        StructField("id", IntegerType), StructField("qty", IntegerType),
+        StructField("price", DoubleType), StructField("name", StringType),
+        StructField("_corrupt", StringType)))
+      val clean = col("id").isNotNull && col("qty").isNotNull &&
+        col("price").isNotNull && col("name").isNotNull
+      s.read.schema(schema)
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(s"$FixturesDir/messy.csv")
+        .agg(
+          count(when(clean, 1)).as("n_clean"),
+          count(when(!clean, 1)).as("n_dirty"),
+          Det.dsum(when(clean, col("price"))).as("sum_price"))
+    }),
+
     // SCAN-7: schema-evolution read. Generation-1 files predate the
     // o_orderpriority column; generation-2 files carry it. mergeSchema
     // unions the parquet footer schemas and old files surface the new
@@ -379,6 +405,23 @@ object Scans extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // independent parser, converging "clean" definition (see scan9 note)
+    "scan9_corrupt_csv" ->
+      s"""WITH good AS (
+         |  SELECT * FROM read_csv('$FixturesDir/messy.csv', header=true,
+         |    columns={'id':'INTEGER','qty':'INTEGER','price':'DOUBLE',
+         |             'name':'VARCHAR'},
+         |    ignore_errors=true)
+         |  WHERE id IS NOT NULL AND qty IS NOT NULL
+         |    AND price IS NOT NULL AND name IS NOT NULL),
+         |tot AS (
+         |  SELECT COUNT(*) AS n
+         |  FROM read_csv('$FixturesDir/messy.csv', header=true,
+         |                delim='\\t', columns={'line':'VARCHAR'}))
+         |SELECT (SELECT COUNT(*) FROM good) AS n_clean,
+         |  (SELECT n FROM tot) - (SELECT COUNT(*) FROM good) AS n_dirty,
+         |  (SELECT ${Det.dsumSql("price")} FROM good) AS sum_price""".stripMargin,
+
     "scan1_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
