@@ -86,6 +86,30 @@ object LlmOps extends QueryModule {
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
 
+  /** IVF coarse-quantizer training (shared by llm3e and llm28c): k
+    * deterministically hash-sampled seed vectors refined by ONE Lloyd
+    * round. Assignment is cosine; cell means ride DECIMAL so the centroid
+    * table is bit-deterministic across partition orders. At 100 TB this
+    * trains on a hash-sample of the corpus, not all of it — the per-query
+    * assignment pass is the only full-corpus pass. Returns (cent_id,
+    * cent: array<float>). */
+  def ivfCentroids(e: DataFrame, k: Int = 16): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
+    val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    e.crossJoin(broadcast(seeds))
+      .withColumn("sim", cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cent_id", "pos")
+      .agg(avg(col("v").cast("decimal(28,12)")).as("m"))
+      .groupBy("cent_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m").cast("float")).as("cent"))
+  }
+
   // ---- product quantization (LLM-28) ------------------------------------
 
   /** PQ subvector rows (vec_id, sub, subvec): m per-row slice()s stacked by
@@ -452,28 +476,7 @@ object LlmOps extends QueryModule {
       val e = Tables.embeddings(s, d)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
-      // seed: 16 deterministically hash-sampled vectors
-      val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-      // one Lloyd refinement: assign to the nearest seed, replace each seed
-      // with its cell's elementwise mean — moves centroids from arbitrary
-      // sample points toward actual cluster centers (standard IVF training).
-      // The mean runs in decimal so the result is bit-deterministic across
-      // partition orders; cosine normalizes, so no re-normalization needed.
-      // At 100 TB this trains on a hash-sample of the corpus, not all of it
-      // (the assignment pass below is the only full-corpus pass).
-      val assigned0 = e.crossJoin(broadcast(seeds))
-        .withColumn("sim", cosine(col("embedding"), col("cent")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      val cents = assigned0
-        .groupBy("cent_id", "pos")
-        .agg(avg(col("v").cast("decimal(28,12)")).as("m"))
-        .groupBy("cent_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m").cast("float")).as("cent"))
+      val cents = ivfCentroids(e)
       val ranked = e.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("embedding"), col("cent")))
         .withColumn("rn", row_number().over(w))
@@ -1252,6 +1255,54 @@ object LlmOps extends QueryModule {
         .select(col("sub"), col("cent_id").as("code"),
           l2sq(col("qsub"), col("cent")).as("pdist"))
       val shortlist = pqEncodeLong(corpus, codebook, m = 8)
+        .join(broadcast(lut), Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(sum(col("pdist").cast("decimal(28,12)")).as("adc"))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(100)
+        .select("vec_id")
+      corpus.join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(q.select(col("embedding").as("q_emb"))))
+        .select(col("vec_id"),
+          round(l2sq(col("embedding"), col("q_emb")), 6).as("l2_dist"))
+        .orderBy(col("l2_dist"), col("vec_id"))
+        .limit(20)
+    }),
+
+    // LLM-28c ⚠: IVF-PQ — the billion-vector architecture (FAISS IVFPQ
+    // shape, minus residual encoding): an IVF coarse quantizer narrows
+    // the search to nprobe=4 of 16 cells, then ADC runs over the PQ CODES
+    // of just those cells, then exact re-rank of the top-100 shortlist.
+    // At 100 TB the codes table is stored partitioned BY CELL, so the
+    // probe reads nprobe/C of an already-64×-compressed table — compute
+    // AND IO shrink multiplicatively (llm3e prunes IO only, llm28b
+    // compresses only). Cells here are assigned by L2 to stay
+    // metric-consistent with the ADC/re-rank stages (training reuses the
+    // shared cosine-Lloyd centroids — any fixed partition of the space
+    // works as an inverted file).
+    "llm28c_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val wCell = Window.partitionBy("vec_id")
+        .orderBy(col("cdist"), col("cent_id"))
+      val ranked = e.crossJoin(broadcast(ivfCentroids(e)))
+        .withColumn("cdist", l2sq(col("embedding"), col("cent")))
+        .withColumn("rn", row_number().over(wCell))
+        .localCheckpoint() // corpus cells AND query probe cells reuse it
+      val cells = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cent_id").as("cell"))
+      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 4)
+        .select(col("cent_id").as("cell"))
+      val codebook = pqTrain(e, m = 8).localCheckpoint()
+      val qsub = pqSubvectors(q, 8, 8)
+        .select(col("sub"), col("subvec").as("qsub"))
+      val lut = codebook.join(qsub, "sub")
+        .select(col("sub"), col("cent_id").as("code"),
+          l2sq(col("qsub"), col("cent")).as("pdist"))
+      val candidates = cells.join(broadcast(qCells), "cell").select("vec_id")
+      val shortlist = pqEncodeLong(corpus, codebook, m = 8)
+        .join(candidates, "vec_id")
         .join(broadcast(lut), Seq("sub", "code"))
         .groupBy("vec_id")
         .agg(sum(col("pdist").cast("decimal(28,12)")).as("adc"))

@@ -317,6 +317,9 @@ object Analytics extends QueryModule {
     // edges (percentile == quantile_cont, agg10 parity) broadcast back;
     // the clamp is least/greatest — output doubles are either the
     // original bits or the band edge, so no rounding protocol is needed.
+    // Scale note: exact percentile() buffers O(group rows) — at 100 TB
+    // swap the band-edge agg for agg15's GK sketch (same plan shape,
+    // bounded state); the clamp pass is unchanged.
     "ts6_winsorize" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select("event_id", "event_type", "value")
@@ -356,7 +359,9 @@ object Analytics extends QueryModule {
     // median/MAD tables broadcast back; deviations computed once and
     // checkpointed (two consumers). 1.4826 scales MAD to σ under
     // normality; |z|>3.5 filters pre-rounding, multiply-round protocol on
-    // the output (ts2 lesson).
+    // the output (ts2 lesson). Scale note: exact medians buffer O(group
+    // rows) — at 100 TB both median aggs swap for agg15's GK sketch
+    // (bounded state, same two-pass shape).
     "ts5_mad_outliers" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select("event_id", "event_type", "value")

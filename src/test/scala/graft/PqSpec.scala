@@ -62,4 +62,26 @@ class PqSpec extends SparkSpec {
     // measured 0.85 on this corpus (m=8, shortlist 100); floor with margin
     assert(recall >= 0.6, s"ADC shortlist+rerank recall too low: $recall")
   }
+
+  test("IVF-PQ top-20 recall vs exact L2 top-20") {
+    val got = SparkEntry.queries("llm28c_ivfpq")(spark, Sf0001)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val e = emb
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val exact = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("q_emb"), (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(20)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = got.intersect(exact).size / 20.0
+    info(s"IVF-PQ recall@20 = $recall")
+    // measured 0.55 here — below llm28b's 0.85 because the nprobe=4/16
+    // cell restriction prunes candidates (the IVF speed/recall dial);
+    // floor with margin
+    assert(recall >= 0.35, s"IVF-PQ recall too low: $recall")
+  }
 }
