@@ -29,7 +29,10 @@ object Bench {
     "llm12_dup_clusters", "llm16_decontaminate", "strm12_neardup_ingest",
     // round-8 families
     "sql1_pricing_summary", "sql4_local_supplier", "agg14_grouping_sets",
-    "llm20_boilerplate", "llm21b_embed_neardup_lsh", "prof1_table_stats")
+    "llm20_boilerplate", "llm21b_embed_neardup_lsh", "prof1_table_stats",
+    // round-8 analytics/retrieval/graph families
+    "win9_sessionize", "dim2_pit_join", "llm27_bm25", "llm28b_pq_adc",
+    "graph1_pagerank", "join14_dpp")
 
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
