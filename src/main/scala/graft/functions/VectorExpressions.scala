@@ -322,5 +322,8 @@ object VectorExtensions {
         case other => throw new IllegalArgumentException(
           s"minhash_sig k must be a literal, got $other")
       })))
+    // PLAN-1: the custom top-k-per-group physical operator (heap-based,
+    // map-side pruned) — see graft.plans.TopKPerGroup
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

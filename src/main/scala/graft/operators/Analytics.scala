@@ -332,6 +332,22 @@ object Analytics extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // PLAN-1 / WIN-13: group-wise top-k through the custom physical
+    // operator (graft.plans.TopKPerGroup — LogicalPlan + Strategy +
+    // SparkPlan pair via SparkSessionExtensions). Top-3 events by value
+    // per user, ties broken by event_id: orderCol = struct(-value, id)
+    // (k-smallest under the struct's total order == value desc, id asc).
+    // No sort anywhere — bounded heaps, map-side pruned to ≤k rows per
+    // (group, partition) before the single exchange; the window-based
+    // oracle certifies identical semantics.
+    "win13_topk_native" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+      graft.plans.TopK.perGroup(e, Seq("user_id"),
+          struct(-e("value"), e("event_id")), k = 3)
+        .orderBy(col("user_id"), col("value").desc, col("event_id"))
+    }),
+
     // AGG-20: market-basket co-purchase pairs — which parts ship together?
     // The self-join is keyed on l_orderkey, so fan-out per order is
     // basket² (baskets are small and bounded in practice — max 13 here);
@@ -589,6 +605,14 @@ object Analytics extends QueryModule {
         |  LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w
         |FROM events e JOIN b USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+
+    "win13_topk_native" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
 
     "agg20_copurchase_pairs" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

@@ -1,0 +1,131 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** PLAN-1 — a whole custom operator through the sanctioned deep extension
+  * point: LogicalPlan node → planner Strategy → physical SparkPlan pair,
+  * registered via SparkSessionExtensions (the (c) tier of the build plan,
+  * one level below the §2.15 custom Expressions).
+  *
+  * Semantics: the rows of each group holding the k SMALLEST values of
+  * `orderExpr` under its type's total order (pass `struct(value, id)` for
+  * a deterministic tie-break, `struct(-value, id)` for descending).
+  *
+  * Why a physical operator: the built-in formulations of group-wise top-k
+  * either sort whole partitions (`row_number().over(partitionBy(...))` —
+  * a full sort of every group, the VERDICT r4 win2 anti-pattern) or
+  * two-phase salted windows (win2's fix — lossless but still two local
+  * sorts). This operator keeps a bounded k-row heap per group: O(n log k)
+  * comparisons, ZERO sorts, and the partial pass prunes each map
+  * partition to ≤k rows per group BEFORE the exchange — the shuffle
+  * carries at most (k × groups × partitions) rows regardless of data
+  * size, the aggregation-style map-side-combine story applied to top-k.
+  * EnsureRequirements inserts the group-key exchange between the two
+  * phases from `requiredChildDistribution` — AQE/codegen neighbors are
+  * untouched, and the DuckDB oracle (a window formulation) certifies the
+  * semantics end-to-end.
+  */
+case class TopKPerGroupPlan(groupExprs: Seq[Expression], orderExpr: Expression,
+                            k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+  : TopKPerGroupPlan = copy(child = newChild)
+}
+
+/** Plans the logical node as partial (map-side prune) + final exec. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k,
+        TopKPerGroupExec(g, o, k, planLater(child), partial = true),
+        partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(groupExprs: Seq[Expression], orderExpr: Expression,
+                            k: Int, child: SparkPlan, partial: Boolean)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** The final phase demands group co-location; EnsureRequirements turns
+    * this into the (single) hash exchange between the phases. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (grpExprs, ordExpr, kk, childOut) = (groupExprs, orderExpr, k, child.output)
+    child.execute().mapPartitions({ iter =>
+      val groupProj = UnsafeProjection.create(grpExprs, childOut)
+      val ordProj = UnsafeProjection.create(Seq(ordExpr), childOut)
+      val dt = ordExpr.dataType
+      val valueOrd = TypeUtils.getInterpretedOrdering(dt)
+      // PriorityQueue dequeues the MAX first = the worst of the kept
+      // k-smallest set, which is exactly the eviction candidate
+      implicit val heapOrd: Ordering[(Any, InternalRow)] =
+        Ordering.by[(Any, InternalRow), Any](_._1)(valueOrd)
+      val heaps =
+        mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
+      iter.foreach { row =>
+        val keyRef = groupProj(row)
+        // projections reuse their output buffers → copy on retention only
+        val ov = InternalRow.copyValue(ordProj(row).get(0, dt))
+        heaps.get(keyRef) match {
+          case None =>
+            val h = mutable.PriorityQueue.empty[(Any, InternalRow)]
+            h.enqueue((ov, row.copy()))
+            heaps.put(keyRef.copy(), h)
+          case Some(h) if h.size < kk =>
+            h.enqueue((ov, row.copy()))
+          case Some(h) if valueOrd.lt(ov, h.head._1) =>
+            h.dequeue()
+            h.enqueue((ov, row.copy()))
+          case _ => // worse than the current k-th: drop
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._2))
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+  : TopKPerGroupExec = copy(child = newChild)
+}
+
+/** Public surface for the custom operator. */
+object TopK {
+  /** Rows of each group with the k smallest `orderCol` values. Pass a
+    * struct whose ordering is TOTAL (e.g. `struct(col, id)`) — ties at
+    * the k boundary are otherwise nondeterministic. */
+  def perGroup(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    // Spark 4 Columns are lazy ColumnNodes; route them through a throwaway
+    // analyzed Project to obtain fully-RESOLVED catalyst expressions (and
+    // the attribute-consistent child plan) before building the custom node.
+    val proj = df.select(groupCols.map(df(_)) :+ orderCol.as("__ord"): _*)
+      .queryExecution.analyzed.asInstanceOf[Project]
+    def strip(e: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+      case a: Alias => a.child
+      case other => other
+    }
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(df.sparkSession,
+      TopKPerGroupPlan(proj.projectList.init.map(strip),
+        strip(proj.projectList.last), k, proj.child))
+  }
+}

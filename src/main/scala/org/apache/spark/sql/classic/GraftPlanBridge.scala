@@ -1,0 +1,18 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `Dataset.ofRows` (private[sql]) so graft can surface a
+  * custom [[graft.plans.TopKPerGroupPlan]] logical node as a DataFrame —
+  * the standard extension-library pattern (a one-method file inside
+  * Spark's package namespace; no Spark internals are modified). */
+object GraftPlanBridge {
+  def ofRows(s: org.apache.spark.sql.SparkSession,
+             plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    Dataset.ofRows(s.asInstanceOf[SparkSession], plan)
+
+  /** Spark 4 moved `Column.expr` behind the ColumnNode converter. */
+  def toExpression(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.catalyst.expressions.Expression =
+    ExpressionUtils.expression(c)
+}

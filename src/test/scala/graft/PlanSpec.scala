@@ -211,6 +211,21 @@ class PlanSpec extends SparkSpec {
       s"bounds must broadcast, not shuffle the fact table:\n$p")
   }
 
+  test("win13: custom heap top-k — partial prune below ONE group exchange") {
+    val df = SparkEntry.queries("win13_topk_native")(spark, Sf0001)
+    df.count() // settle AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("3, true") && p.contains("3, false"),
+      s"expected the partial AND final TopKPerGroup phases:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly one group exchange between the phases:\n$p")
+    // plan prints top-down: the map side is BELOW the hash exchange — the
+    // partial heap must sit there, and nothing below it may sort
+    val mapSide = p.substring(p.indexOf("Exchange hashpartitioning"))
+    assert(mapSide.contains("3, true") && !mapSide.contains("Sort "),
+      s"map side must be the heap prune, not a sort:\n$p")
+  }
+
   test("join14: dim filter prunes fact partitions at runtime (DPP)") {
     val df = SparkEntry.queries("join14_dpp")(spark, Sf0001)
     df.count() // settle AQE so the executed plan is final
