@@ -42,13 +42,17 @@ object GraphOps extends QueryModule {
       .union(norm.select(col("dst"))).distinct().localCheckpoint()
     val n = verts.count()
     var pr = verts.withColumn("pr", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       pr = norm.join(pr, norm("src") === pr("v"))
         .select(col("dst").as("v"), (col("pr") * col("p")).as("contrib"))
         .groupBy("v")
         .agg((lit((1 - damping) / n) + lit(damping) *
           sum(col("contrib").cast("decimal(28,12)")).cast("double")).as("pr"))
-        .localCheckpoint()
+      // Unlike llm12's convergence loop there is NO per-round driver
+      // decision, so rounds stay LAZY — one job executes the whole
+      // iteration tree instead of one eager materialization per round.
+      // Checkpoint only often enough to bound plan depth on long runs.
+      if (i % 8 == 0) pr = pr.localCheckpoint()
     }
     pr
   }
