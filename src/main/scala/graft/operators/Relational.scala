@@ -803,6 +803,26 @@ object Relational extends QueryModule {
           col("est_early") + col("est_late") - col("est_union"))
     }),
 
+    // AGG-21 ⚠: rolling distinct users from DAILY HLL SKETCHES — sketch
+    // algebra over a window frame: persist one sketch per day (the agg16
+    // rollup pattern), answer "7-day distinct users" for every day by
+    // UNIONing 7 footprint-sized sketches — the raw events are scanned
+    // ONCE ever; every rolling window after that is O(days) sketch
+    // merges. An exact formulation re-scans the raw table per window (or
+    // keeps per-day user SETS — unbounded state). The window runs over
+    // O(days) rows — metadata-sized, the ts4 single-partition
+    // justification. ApproxSpec bounds each day vs the exact 7-day
+    // distinct count.
+    "agg21_rolling_hll" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_format(col("event_ts"), "yyyy-MM-dd").as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      daily.withColumn("users_7d",
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))
+            .over(Window.orderBy("day").rowsBetween(-6, 0))))
+        .select("day", "users_7d").orderBy("day")
+    }),
+
     // PROF-1: single-pass column profiler (ANALYZE TABLE analogue). All
     // per-column stats come out of ONE aggregate over ONE scan — the
     // multi-distinct compiles to an Expand (k projections of the same

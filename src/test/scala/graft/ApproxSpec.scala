@@ -141,6 +141,24 @@ class ApproxSpec extends SparkSpec {
     assert(plan.contains("df_docs"), s"df filter missing from plan:\n$plan")
   }
 
+  test("agg21: daily-sketch rolling union tracks exact 7-day distincts") {
+    val rows = Tables.events(spark, Sf0001)
+      .select(date_format(col("event_ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val days = rows.map(_._1).distinct.sorted
+    val exact = days.map { d =>
+      val win = days.filter(x => x <= d).takeRight(7).toSet
+      d -> rows.filter(r => win.contains(r._1)).map(_._2).distinct.length
+    }.toMap
+    val est = SparkEntry.queries("agg21_rolling_hll")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    for ((d, n) <- exact)
+      assert(math.abs(est(d) - n).toDouble / n <= 0.05,
+        s"day $d: sketch ${est(d)} vs exact $n")
+  }
+
   test("agg19: HLL inclusion–exclusion tracks the exact era overlap") {
     val o = Tables.orders(spark, Sf0001)
     val cut = to_timestamp(lit("1998-01-01"))
