@@ -1220,6 +1220,34 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // LLM-30: distribution-drift detection (PSI) — the corpus monitoring
+    // gate: has the length distribution of source src1 drifted from
+    // src0's? Population Stability Index over fixed-width buckets with
+    // add-half smoothing (empty buckets can't divide by zero, and the
+    // smoothing is part of the cross-engine protocol). One scan → 10-row
+    // bucket table → 1-row totals broadcast back → decimal-summed PSI:
+    // nothing bigger than the bucket histogram ever moves. PSI > 0.25 is
+    // the conventional "investigate" threshold; reported, not enforced.
+    "llm30_drift_psi" -> ((s, d) => {
+      val dd = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          least(floor(col("n_chars") / lit(100.0)), lit(9L)).as("bucket"))
+      val c = dd.groupBy("bucket").agg(
+        count(when(col("source") === "src0", 1)).cast("double").as("na"),
+        count(when(col("source") === "src1", 1)).cast("double").as("nb"))
+      val t = c.agg(sum("na").as("ta"), sum("nb").as("tb"))
+      c.crossJoin(broadcast(t))
+        .select(
+          ((col("na") + lit(0.5)) / (col("ta") + lit(5.0))).as("pa"),
+          ((col("nb") + lit(0.5)) / (col("tb") + lit(5.0))).as("pb"))
+        .agg(
+          (round(sum(((col("pa") - col("pb")) * log(col("pa") / col("pb")))
+            .cast("decimal(28,12)")).cast("double") * lit(1e6)) / lit(1e6))
+            .as("psi"),
+          count(lit(1)).as("n_buckets"))
+    }),
+
     // LLM-28 ⚠: product quantization — the memory-scale path past llm15's
     // scalar int8: m=4 subspaces × k=16 centroids compress each 64-dim
     // float vector (256 B) to 4 code bytes (64×), the standard layout under
@@ -1781,6 +1809,26 @@ object LlmOps extends QueryModule {
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
         |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS is_quality
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // same buckets, same add-half smoothing, same decimal-summed PSI
+    "llm30_drift_psi" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    LEAST(CAST(FLOOR(n_chars / 100.0) AS BIGINT), 9) AS bucket
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT bucket,
+        |        CAST(COUNT(*) FILTER (WHERE source = 'src0') AS DOUBLE) AS na,
+        |        CAST(COUNT(*) FILTER (WHERE source = 'src1') AS DOUBLE) AS nb
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM c),
+        |p AS (SELECT (na + 0.5) / (ta + 5.0) AS pa,
+        |             (nb + 0.5) / (tb + 5.0) AS pb
+        |      FROM c, t)
+        |SELECT ROUND(CAST(SUM(CAST((pa - pb) * LN(pa / pb)
+        |                           AS DECIMAL(28,12))) AS DOUBLE)
+        |             * 1000000.0) / 1000000.0 AS psi,
+        |       CAST(COUNT(*) AS BIGINT) AS n_buckets
+        |FROM p""".stripMargin,
 
     // positions renumbered AFTER the empty-token filter so DuckDB pairs the
     // same consecutive non-empty tokens as Spark's filtered-array zip_with

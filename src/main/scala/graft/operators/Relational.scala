@@ -634,6 +634,34 @@ object Relational extends QueryModule {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(50)),
 
+    // SORT-6: deterministic GLOBAL row numbering — stable ids every engine
+    // reproduces (content-hash order), without the classic trap:
+    // row_number() with no partition moves the whole table into ONE task.
+    // Two-phase instead: range-partition by the hash (distributed sort),
+    // number rows LOCALLY per partition, then add per-partition offsets
+    // computed from an O(partitions) count table — the same
+    // local-rank+offset decomposition as ts4's prefix sum. The only
+    // single-partition stage is the offsets window over ≤32 rows.
+    // (monotonically_increasing_id is partition-layout-dependent and NOT
+    // reproducible — this is.)
+    "sort6_global_rownum" -> ((s, d) => {
+      val parted = Tables.events(s, d).select(col("event_id"))
+        .withColumn("h", md5(col("event_id").cast("string").cast("binary")))
+        .repartitionByRange(32, col("h"), col("event_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint() // offsets AND numbering read the same layout
+      val offsets = parted.groupBy("pid").agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum("n").over(
+          Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "off")
+      parted.withColumn("lrn", row_number().over(
+          Window.partitionBy("pid").orderBy("h", "event_id")))
+        .join(broadcast(offsets), "pid")
+        .select(col("event_id"), (col("lrn") + col("off")).as("rid"))
+        .orderBy("rid")
+    }),
+
     // ---- SET ----
     "set1_union_distinct" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -1227,6 +1255,13 @@ object Relational extends QueryModule {
     "sort5_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    // the naive single-pass global numbering — two-phase must equal it
+    "sort6_global_rownum" ->
+      """SELECT event_id,
+        |  ROW_NUMBER() OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |                     event_id) AS rid
+        |FROM events ORDER BY rid""".stripMargin,
 
     "set1_union_distinct" ->
       """SELECT DISTINCT nationkey FROM (

@@ -211,6 +211,19 @@ class PlanSpec extends SparkSpec {
       s"bounds must broadcast, not shuffle the fact table:\n$p")
   }
 
+  test("sort6: global numbering is two-phase — no whole-table collapse") {
+    val p = planOf("sort6_global_rownum")
+    assert(p.contains("rangepartitioning"),
+      s"phase 1 must be a distributed range sort:\n$p")
+    // the offsets window is the only single-partition stage (≤32 rows);
+    // the raw table itself must never collapse into one task: the
+    // single-partition exchange may only feed the tiny count aggregate
+    val idx = p.indexOf("Exchange SinglePartition")
+    assert(idx >= 0 && p.substring(idx).contains("HashAggregate"),
+      s"the only single-partition stage must be the O(partitions) " +
+        s"offsets table:\n$p")
+  }
+
   test("win13: custom heap top-k — partial prune below ONE group exchange") {
     val df = SparkEntry.queries("win13_topk_native")(spark, Sf0001)
     df.count() // settle AQE
