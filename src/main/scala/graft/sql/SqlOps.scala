@@ -131,12 +131,55 @@ object SqlOps extends QueryModule {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  // TPC-H Q18 shape: large-volume customers — aggregate IN-subquery with
+  // HAVING. Catalyst rewrites the IN into a left-semi join against the
+  // pre-aggregated subquery (one extra agg + semi join, no row
+  // multiplication); the decimal threshold compare is exact on both
+  // engines so the qualifying-order set cannot differ.
+  private val Sql6 =
+    """SELECT c_custkey, o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS orderdate,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >
+      |         CAST(200 AS DECIMAL(18,2)))
+      |GROUP BY c_custkey, o_orderkey, o_orderdate
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+  // multi-supplier order (late := shipped after the cutoff; this lineitem
+  // carries no receipt/commit dates). The EXISTS + NOT EXISTS pair
+  // compiles to a left-semi AND a left-anti join against the same
+  // self-correlated table — the hardest decorrelation pattern in the
+  // TPC-H suite, checked verbatim against DuckDB.
+  private val Sql7 =
+    """SELECT s_suppkey, COUNT(*) AS n_waiting
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate >
+      |                        TIMESTAMP '1998-06-01 00:00:00')
+      |GROUP BY s_suppkey ORDER BY n_waiting DESC, s_suppkey
+      |LIMIT 20""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql1_pricing_summary"  -> runSql("sql1_pricing_summary") _,
     "sql2_shipping_priority" -> runSql("sql2_shipping_priority") _,
     "sql3_order_priority"   -> runSql("sql3_order_priority") _,
     "sql4_local_supplier"   -> runSql("sql4_local_supplier") _,
-    "sql5_small_quantity"   -> runSql("sql5_small_quantity") _
+    "sql5_small_quantity"   -> runSql("sql5_small_quantity") _,
+    "sql6_large_volume"     -> runSql("sql6_large_volume") _,
+    "sql7_waiting_supplier" -> runSql("sql7_waiting_supplier") _
   )
 
   override def oracle: Map[String, String] = Map(
@@ -144,6 +187,8 @@ object SqlOps extends QueryModule {
     "sql2_shipping_priority" -> Sql2,
     "sql3_order_priority"   -> Sql3,
     "sql4_local_supplier"   -> Sql4,
-    "sql5_small_quantity"   -> Sql5
+    "sql5_small_quantity"   -> Sql5,
+    "sql6_large_volume"     -> Sql6,
+    "sql7_waiting_supplier" -> Sql7
   )
 }

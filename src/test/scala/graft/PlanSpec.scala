@@ -211,6 +211,15 @@ class PlanSpec extends SparkSpec {
       s"bounds must broadcast, not shuffle the fact table:\n$p")
   }
 
+  test("sql6/sql7: subqueries decorrelate to semi/anti joins") {
+    val p6 = planOf("sql6_large_volume")
+    assert(p6.contains("LeftSemi"),
+      s"sql6 IN-subquery must compile to a semi join:\n$p6")
+    val p7 = planOf("sql7_waiting_supplier")
+    assert(p7.contains("LeftSemi") && p7.contains("LeftAnti"),
+      s"sql7 EXISTS/NOT EXISTS must compile to semi + anti joins:\n$p7")
+  }
+
   test("sort6: global numbering is two-phase — no whole-table collapse") {
     val p = planOf("sort6_global_rownum")
     assert(p.contains("rangepartitioning"),
