@@ -1220,6 +1220,39 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // LLM-31 ⚠: source-overlap matrix via MERGEABLE MinHash — which corpus
+    // sources share content? MinHash signatures merge like agg16's HLL
+    // sketches: sig(A ∪ B) = lane-wise min(sig(A), sig(B)), so a source's
+    // signature aggregates from its docs' signatures WITHOUT re-shingling
+    // (one decimal-free lane-min agg), and all C² pairwise overlap
+    // estimates come from C tiny signatures — at 100 TB the matrix costs
+    // one corpus scan + a 20-row self-join, vs C² shingle-set
+    // intersections. Estimate = matching-lane fraction; MinHashSpec
+    // bounds it against the exact source-level shingle Jaccard.
+    "llm31_source_overlap" -> ((s, d) => {
+      val k = 128
+      val perDoc = Tables.documents(s, d)
+        .select(col("source"),
+          minhashSig(shingles3(col("text")), k).as("sig"))
+        .filter(size(col("sig")) === k)
+      val bySource = perDoc
+        .select(col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
+        .groupBy("source", "pos").agg(min("v").as("m"))
+        .groupBy("source")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("sig"))
+      val a = bySource.select(col("source").as("src_a"), col("sig").as("sig_a"))
+      val b = bySource.select(col("source").as("src_b"), col("sig").as("sig_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+            lit(0.0), (acc, v) => acc + v) / lit(k.toDouble), 6)
+            .as("est_jaccard"))
+        .orderBy(col("est_jaccard").desc, col("src_a"), col("src_b"))
+        .limit(20)
+    }),
+
     // LLM-30: distribution-drift detection (PSI) — the corpus monitoring
     // gate: has the length distribution of source src1 drifted from
     // src0's? Population Stability Index over fixed-width buckets with

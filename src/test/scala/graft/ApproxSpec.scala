@@ -141,6 +141,25 @@ class ApproxSpec extends SparkSpec {
     assert(plan.contains("df_docs"), s"df filter missing from plan:\n$plan")
   }
 
+  test("llm31: merged source signatures track exact source-level Jaccard") {
+    import graft.llm.LlmOps
+    val sh = Tables.documents(spark, Sf0001)
+      .select(col("source"), explode(LlmOps.shingles3(col("text"))).as("g"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = sh.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2).toSet }
+    val est = SparkEntry.queries("llm31_source_overlap")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (a, b, e) =>
+      val (sa, sb) = (bySrc(a), bySrc(b))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      // k=128 lanes: σ = sqrt(J(1-J)/k) ≤ 0.045, allow ~3σ
+      assert(math.abs(e - exact) <= 0.14,
+        s"($a,$b): merged-sig estimate $e vs exact $exact")
+    }
+  }
+
   test("agg21: daily-sketch rolling union tracks exact 7-day distincts") {
     val rows = Tables.events(spark, Sf0001)
       .select(date_format(col("event_ts"), "yyyy-MM-dd").as("day"),
