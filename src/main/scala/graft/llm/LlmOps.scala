@@ -130,8 +130,8 @@ object LlmOps extends QueryModule {
       lit(0.0), (acc, v) => acc + v)
 
   /** PQ codebook training: per subspace, k centroids = deterministic
-    * hash-sampled seed subvectors refined by ONE Lloyd round (the llm3e IVF
-    * recipe, per subspace). Assignment argmin is `min(struct(dist, cent_id,
+    * hash-sampled seed subvectors refined by `rounds` Lloyd rounds (the
+    * llm3e IVF recipe, per subspace; rounds = 0 returns the raw seeds). Assignment argmin is `min(struct(dist, cent_id,
     * payload))` under a (vec_id, sub) hash agg — map-side combine collapses
     * the k candidates of each subvector BEFORE the exchange, so the shuffle
     * carries n·m small rows, never n·m·k; no window function anywhere. Cell
@@ -148,18 +148,27 @@ object LlmOps extends QueryModule {
         e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k), m, sd)
       .withColumn("cent_id", row_number().over(seedW) - 1)
       .select(col("sub"), col("cent_id"), col("subvec").as("cent"))
-    if (rounds == 0) return seeds
-    pqSubvectors(e, m, sd).join(broadcast(seeds), "sub")
-      .withColumn("dist", l2sq(col("subvec"), col("cent")))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("dist"), col("cent_id"), col("subvec"))).as("best"))
-      .select(col("sub"), col("best.cent_id").as("cent_id"),
-        posexplode(col("best.subvec")).as(Seq("pos", "v")))
-      .groupBy("sub", "cent_id", "pos")
-      .agg(avg(col("v").cast("decimal(28,12)")).as("mval"))
-      .groupBy("sub", "cent_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
-        x => x.getField("mval").cast("float")).as("cent"))
+    val subs = pqSubvectors(e, m, sd)
+    var cb = seeds
+    // each Lloyd round: assign every subvector to its nearest current
+    // centroid, recompute the means. The codebook is m·k tiny rows, so a
+    // localCheckpoint per round keeps the next round's broadcast a leaf
+    // instead of re-deriving the whole lineage.
+    for (_ <- 1 to rounds) {
+      cb = subs.join(broadcast(cb), "sub")
+        .withColumn("dist", l2sq(col("subvec"), col("cent")))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("cent_id"), col("subvec"))).as("best"))
+        .select(col("sub"), col("best.cent_id").as("cent_id"),
+          posexplode(col("best.subvec")).as(Seq("pos", "v")))
+        .groupBy("sub", "cent_id", "pos")
+        .agg(avg(col("v").cast("decimal(28,12)")).as("mval"))
+        .groupBy("sub", "cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+          x => x.getField("mval").cast("float")).as("cent"))
+      if (rounds > 1) cb = cb.localCheckpoint()
+    }
+    cb
   }
 
   /** Long-form PQ encoding (vec_id, sub, code) — the layout ADC scans

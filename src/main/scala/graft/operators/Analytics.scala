@@ -57,7 +57,10 @@ object Analytics extends QueryModule {
       .withColumn("hr", date_trunc("hour", col("event_ts")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("user_id", "hr")
-          .orderBy(col("ts").desc, col("event_id").desc)))
+          // order by µs (ts div 1000) + event_id, NOT raw nanos: the DuckDB
+          // oracle sorts µs-precision timestamps, so two same-µs events
+          // differing only in nanos must tie-break identically on both sides
+          .orderBy(expr("ts div 1000").desc, col("event_id").desc)))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("hr"), col("value").as("v"))
     val grid = e.groupBy("user_id")

@@ -25,36 +25,76 @@ import graft.{QueryModule, Tables}
   */
 object GraphOps extends QueryModule {
 
-  /** Weighted PageRank over a directed edge list (src, dst, w). Every
-    * vertex must have at least one out-edge (feed a bidirected graph, as
-    * the declared query does, or pre-drop danglings); teleport handles the
-    * rest of the ergodicity story. Returns (v, pr) after `iters` rounds of
-    *   pr(v) = (1-d)/N + d · Σ_{u→v} pr(u) · w(u,v)/outw(u).
+  /** Weighted PageRank over a directed edge list (src, dst, w) for
+    * arbitrary directed graphs — vertices with zero in-edges keep their
+    * (1-d)/N teleport mass (the rank vector is rebuilt against the FULL
+    * vertex table every round, not just the contribution receivers), and
+    * dangling vertices (no out-edge) redistribute their mass uniformly so
+    * Σpr stays 1. Returns (v, pr) after at most `iters` rounds of
+    *   pr(v) = (1-d)/N + d · (Σ_{u→v} pr(u)·w(u,v)/outw(u) + D/N)
+    * where D is the total dangling mass of the previous round.
+    *
+    * Rounds stay LAZY (one job executes the whole iteration tree, no
+    * per-round driver action): the dangling mass D is a 1-row aggregate
+    * broadcast back into the plan, not a collected scalar. With tol > 0
+    * the loop goes eager every `checkEvery` rounds — one localCheckpoint
+    * plus a Σ|Δpr| L1-delta scalar (the llm12 convergence pattern) — and
+    * stops early once the delta drops below tol.
     */
-  def pagerank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85)
-  : DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+               tol: Double = 0.0, checkEvery: Int = 4): DataFrame =
+    pagerankRounds(edges, iters, damping, tol, checkEvery)._1
+
+  /** Same as [[pagerank]] but also reports how many rounds actually ran —
+    * lets GraphSpec prove convergence-based early termination fired. */
+  def pagerankRounds(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+                     tol: Double = 0.0, checkEvery: Int = 4)
+  : (DataFrame, Int) = {
     val norm = edges
       .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("outw")).as("p"))
       .localCheckpoint()
-    val verts = norm.select(col("src").as("v"))
-      .union(norm.select(col("dst"))).distinct().localCheckpoint()
+    val verts = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v"))).distinct().localCheckpoint()
     val n = verts.count()
+    val dangling = verts
+      .join(norm.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
+      .localCheckpoint()
     var pr = verts.withColumn("pr", lit(1.0 / n))
-    for (i <- 1 to iters) {
-      pr = norm.join(pr, norm("src") === pr("v"))
+    var prev = pr
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      i += 1
+      val contribs = norm.join(pr, norm("src") === pr("v"))
         .select(col("dst").as("v"), (col("pr") * col("p")).as("contrib"))
         .groupBy("v")
-        .agg((lit((1 - damping) / n) + lit(damping) *
-          sum(col("contrib").cast("decimal(28,12)")).cast("double")).as("pr"))
-      // Unlike llm12's convergence loop there is NO per-round driver
-      // decision, so rounds stay LAZY — one job executes the whole
-      // iteration tree instead of one eager materialization per round.
-      // Checkpoint only often enough to bound plan depth on long runs.
+        .agg(sum(col("contrib").cast("decimal(28,12)"))
+          .cast("double").as("contrib_sum"))
+      // dangling mass as a broadcast 1-row table: D = Σ pr(dangling)
+      val dmass = dangling.join(pr, Seq("v"))
+        .agg(coalesce(sum(col("pr").cast("decimal(28,12)")).cast("double"),
+          lit(0.0)).as("dm"))
+      pr = verts.join(contribs, Seq("v"), "left")
+        .crossJoin(broadcast(dmass))
+        .select(col("v"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib_sum"), lit(0.0)) +
+              col("dm") / lit(n.toDouble))).as("pr"))
       if (i % 8 == 0) pr = pr.localCheckpoint()
+      if (tol > 0 && i % checkEvery == 0 && i < iters) {
+        pr = pr.localCheckpoint()
+        val delta = pr
+          .join(prev.withColumnRenamed("pr", "pr_prev"), "v")
+          .agg(sum(abs(col("pr") - col("pr_prev")).cast("decimal(28,12)"))
+            .cast("double"))
+          .collect()(0).getDouble(0)
+        if (delta < tol) converged = true
+        prev = pr
+      }
     }
-    pr
+    (pr, i)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

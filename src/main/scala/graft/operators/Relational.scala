@@ -297,19 +297,21 @@ object Relational extends QueryModule {
     // join.
     "join14_dpp" -> ((s, d) => {
       import s.implicits._
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      // fresh dir per run (the strm15 pattern): a cache keyed only by the
+      // dataset path would silently reuse stale parquet after the fixture
+      // at that path is regenerated, and check-then-write races under
+      // concurrent suites
+      val tag = java.util.UUID.randomUUID.toString.take(8)
       val store = s"/root/repo/target/tmp-sinks/join14_events_$tag"
-      if (!new java.io.File(store).exists())
-        Tables.events(s, d)
-          .select(col("event_id"), col("user_id"), col("value"),
-            col("event_type"))
-          .write.mode("overwrite").partitionBy("event_type").parquet(store)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(store)
       val dimPath = s"/root/repo/target/tmp-sinks/join14_dim_$tag"
-      if (!new java.io.File(dimPath).exists())
-        Seq(("click", "engagement"), ("purchase", "conversion"),
-          ("view", "engagement"), ("signup", "conversion"),
-          ("error", "ops")).toDF("event_type", "category")
-          .write.mode("overwrite").parquet(dimPath)
+      Seq(("click", "engagement"), ("purchase", "conversion"),
+        ("view", "engagement"), ("signup", "conversion"),
+        ("error", "ops")).toDF("event_type", "category")
+        .write.mode("overwrite").parquet(dimPath)
       s.read.parquet(store)
         .join(s.read.parquet(dimPath)
           .filter(col("category") === "conversion"), "event_type")
@@ -774,6 +776,9 @@ object Relational extends QueryModule {
     // associatively, so partial aggregation works map-side — at 100 TB the
     // shuffle carries fixed-size sketches, not value lists. Approximate →
     // no DuckDB oracle; ApproxSpec bounds the rank error vs exact agg10.
+    // Scalar p50/p95 projections (not one array<double> column): the
+    // driver's rows-only compare sorts the frame in pandas, and an array
+    // column is unhashable there — same estimates, sortable shape.
     "agg15_approx_percentile" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -781,6 +786,11 @@ object Relational extends QueryModule {
           percentile_approx(col("l_extendedprice"),
             array(lit(0.5), lit(0.95)), lit(10000)).as("approx_pct"),
           count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          element_at(col("approx_pct"), 1).as("p50"),
+          element_at(col("approx_pct"), 2).as("p95"),
+          col("n"))
         .orderBy("l_returnflag")),
 
     // AGG-16: mergeable distinct-count sketches (Apache DataSketches HLL).

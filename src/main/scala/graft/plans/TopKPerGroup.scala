@@ -67,8 +67,20 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], orderExpr: Expression,
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  /** Memory bound (documented, not managed by Spark's memory manager): each
+    * phase holds ≤ k rows per DISTINCT GROUP seen in its partition, in a
+    * plain JVM hash map with no spill path — unlike HashAggregateExec. The
+    * partial phase caps tracked groups at [[TopKPerGroup.MaxPartialGroups]]
+    * and passes rows of untracked groups through UNPRUNED once the cap is
+    * hit (correct — the final phase still filters them; only the map-side
+    * prune degrades). The final phase is exact and uncapped: its footprint
+    * is k × (total groups / shuffle partitions) rows, so on high-cardinality
+    * keys size `spark.sql.shuffle.partitions` so that quotient fits an
+    * executor — or use the win2 two-phase salted window, which sorts and
+    * spills, instead of this operator. */
   override protected def doExecute(): RDD[InternalRow] = {
-    val (grpExprs, ordExpr, kk, childOut) = (groupExprs, orderExpr, k, child.output)
+    val (grpExprs, ordExpr, kk, childOut, isPartial) =
+      (groupExprs, orderExpr, k, child.output, partial)
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(grpExprs, childOut)
       val ordProj = UnsafeProjection.create(Seq(ordExpr), childOut)
@@ -80,29 +92,63 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], orderExpr: Expression,
         Ordering.by[(Any, InternalRow), Any](_._1)(valueOrd)
       val heaps =
         mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
-      iter.foreach { row =>
-        val keyRef = groupProj(row)
-        // projections reuse their output buffers → copy on retention only
-        val ov = InternalRow.copyValue(ordProj(row).get(0, dt))
-        heaps.get(keyRef) match {
-          case None =>
-            val h = mutable.PriorityQueue.empty[(Any, InternalRow)]
-            h.enqueue((ov, row.copy()))
-            heaps.put(keyRef.copy(), h)
-          case Some(h) if h.size < kk =>
-            h.enqueue((ov, row.copy()))
-          case Some(h) if valueOrd.lt(ov, h.head._1) =>
-            h.dequeue()
-            h.enqueue((ov, row.copy()))
-          case _ => // worse than the current k-th: drop
+      // streaming: pass-through rows (cap exceeded, partial phase only) are
+      // emitted as encountered; heap contents drain after input exhausts
+      new Iterator[InternalRow] {
+        private var passThrough: InternalRow = null
+        private var drain: Iterator[InternalRow] = null
+        private def advance(): Unit = {
+          while (passThrough == null && drain == null) {
+            if (!iter.hasNext) {
+              drain = heaps.valuesIterator.flatMap(_.iterator.map(_._2))
+            } else {
+              val row = iter.next()
+              val keyRef = groupProj(row)
+              // projections reuse their output buffers → copy on retention
+              val ov = InternalRow.copyValue(ordProj(row).get(0, dt))
+              heaps.get(keyRef) match {
+                case None =>
+                  if (isPartial && heaps.size >= TopKPerGroup.MaxPartialGroups)
+                    passThrough = row // untracked group past the cap
+                  else {
+                    val h = mutable.PriorityQueue.empty[(Any, InternalRow)]
+                    h.enqueue((ov, row.copy()))
+                    heaps.put(keyRef.copy(), h)
+                  }
+                case Some(h) if h.size < kk =>
+                  h.enqueue((ov, row.copy()))
+                case Some(h) if valueOrd.lt(ov, h.head._1) =>
+                  h.dequeue()
+                  h.enqueue((ov, row.copy()))
+                case _ => // worse than the current k-th: drop
+              }
+            }
+          }
+        }
+        override def hasNext: Boolean = {
+          advance()
+          passThrough != null || drain.hasNext
+        }
+        override def next(): InternalRow = {
+          advance()
+          if (passThrough != null) {
+            val r = passThrough; passThrough = null; r
+          } else drain.next()
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_._2))
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan)
   : TopKPerGroupExec = copy(child = newChild)
+}
+
+object TopKPerGroup {
+  /** Cap on groups tracked by one PARTIAL-phase task: ~1M groups × k rows
+    * of map-side state. Past it, new groups skip the map-side prune and
+    * ride the shuffle unpruned — graceful degradation to the plain
+    * exchange, never an OOM. Var (not conf-wired) so tests can shrink it. */
+  var MaxPartialGroups: Int = 1 << 20
 }
 
 /** Public surface for the custom operator. */

@@ -27,7 +27,7 @@ class ApproxSpec extends SparkSpec {
       .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"))
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
     val approx = SparkEntry.queries("agg15_approx_percentile")(spark, Sf0001)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2))).toMap
     assert(exact.keySet === approx.keySet)
     for ((k, ps) <- exact; (e, a) <- ps.zip(approx(k)))
       assert(math.abs(a - e) / e <= 0.01, s"flag $k: approx $a vs exact $e")

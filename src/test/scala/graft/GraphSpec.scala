@@ -40,6 +40,66 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(got(v) - exp) < 1e-9, s"$v: got ${got(v)} exp $exp") }
   }
 
+  test("in-degree-0 vertex keeps its teleport mass and keeps contributing") {
+    val s = spark
+    import s.implicits._
+    // a → b, b → c, c → b: a receives NO contributions but must survive
+    // every round at (1-d)/N and keep feeding b (the advisor's case).
+    val edgeList = Seq(("a", "b"), ("b", "c"), ("c", "b"))
+    val edges = edgeList.map { case (x, y) => (x, y, 1L) }.toDF("src", "dst", "w")
+    val got = GraphOps.pagerank(edges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set("a", "b", "c"), got)
+    val d = 0.85; val n = 3
+    var ref = Map("a" -> 1.0 / n, "b" -> 1.0 / n, "c" -> 1.0 / n)
+    for (_ <- 1 to 5) {
+      val contrib = edgeList.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => ref(u) / 1.0 }.sum }
+      ref = ref.keys.map(v =>
+        v -> ((1 - d) / n + d * contrib.getOrElse(v, 0.0))).toMap
+    }
+    ref.foreach { case (v, exp) =>
+      assert(math.abs(got(v) - exp) < 1e-9, s"$v: got ${got(v)} exp $exp") }
+    assert(math.abs(got.values.sum - (ref("b") + ref("c") + (1 - d) / n)) < 1e-9)
+  }
+
+  test("dangling vertex redistributes its mass; Σpr stays 1") {
+    val s = spark
+    import s.implicits._
+    // a → b, b → c; c has no out-edge (dangling) — its mass spreads
+    // uniformly each round, so total rank mass must stay exactly 1.
+    val edgeList = Seq(("a", "b"), ("b", "c"))
+    val edges = edgeList.map { case (x, y) => (x, y, 1L) }.toDF("src", "dst", "w")
+    val got = GraphOps.pagerank(edges, iters = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val d = 0.85; val n = 3
+    var ref = Map("a" -> 1.0 / n, "b" -> 1.0 / n, "c" -> 1.0 / n)
+    for (_ <- 1 to 6) {
+      val dm = ref("c")
+      val contrib = edgeList.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => ref(u) }.sum }
+      ref = ref.keys.map(v =>
+        v -> ((1 - d) / n + d * (contrib.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    ref.foreach { case (v, exp) =>
+      assert(math.abs(got(v) - exp) < 1e-9, s"$v: got ${got(v)} exp $exp") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass ${got.values.sum}")
+  }
+
+  test("convergence tolerance stops the loop early") {
+    val s = spark
+    import s.implicits._
+    // the symmetric cycle is ALREADY at its fixed point, so the first
+    // delta check sees Σ|Δpr| = 0 and must stop at round `checkEvery`,
+    // not run all 40.
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val (pr, rounds) =
+      GraphOps.pagerankRounds(edges, iters = 40, tol = 1e-9, checkEvery = 2)
+    assert(rounds == 2, s"expected early stop at round 2, ran $rounds")
+    pr.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-9))
+  }
+
   test("rank mass is conserved on the bidirected purchase graph") {
     val df = SparkEntry.queries("graph1_pagerank")(spark, Sf0001)
     // top-20 slice can't certify mass; recompute on the full rank vector

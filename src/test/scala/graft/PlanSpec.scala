@@ -248,6 +248,22 @@ class PlanSpec extends SparkSpec {
       s"map side must be the heap prune, not a sort:\n$p")
   }
 
+  test("win13: partial-phase group cap degrades to pass-through, stays exact") {
+    import graft.plans.TopKPerGroup
+    val baseline = SparkEntry.queries("win13_topk_native")(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    val saved = TopKPerGroup.MaxPartialGroups
+    try {
+      // cap far below the distinct-user count: most rows must ride the
+      // shuffle unpruned, and the final phase must still be exact
+      TopKPerGroup.MaxPartialGroups = 3
+      val capped = SparkEntry.queries("win13_topk_native")(spark, Sf0001)
+        .collect().map(_.toString).toSeq
+      assert(capped == baseline,
+        "capped partial phase changed the result set")
+    } finally TopKPerGroup.MaxPartialGroups = saved
+  }
+
   test("join14: dim filter prunes fact partitions at runtime (DPP)") {
     val df = SparkEntry.queries("join14_dpp")(spark, Sf0001)
     df.count() // settle AQE so the executed plan is final
