@@ -54,11 +54,15 @@ object Bench {
         }
         finally BlockHygiene.dropUnpinned(spark)
       }
-      // best-of-2: sub-second queries swing 4-5× on JIT/GC noise (VERDICT r4
-      // #7) — run twice, report the min; the first run pays codegen/JIT.
+      // median-of-3: this box swings ±25% on totals run-to-run (VERDICT r8
+      // #2) — three runs and the median separates real plan regressions
+      // from JIT/GC noise better than best-of-2's min. The first run still
+      // pays codegen/JIT; the median discards it unless all runs agree.
       val r1 = once()
       val r2 = if (r1 < 0) -1.0 else once()
-      val sec = if (r1 < 0 || r2 < 0) -1.0 else math.min(r1, r2)
+      val r3 = if (r2 < 0) -1.0 else once()
+      val sec = if (r1 < 0 || r2 < 0 || r3 < 0) -1.0
+        else Seq(r1, r2, r3).sorted.apply(1)
       System.err.println(f"[bench] $name%-28s ${if (sec >= 0) f"$sec%8.2f s" else "FAILED"}")
       name -> sec
     }

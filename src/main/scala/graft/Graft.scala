@@ -73,6 +73,8 @@ object Graft {
       // custom codegen expressions (cosine_sim) via the sanctioned
       // extension point — resolves in DataFrame expr() and spark.sql alike
       .withExtensions(graft.functions.VectorExtensions.apply)
+      // theta sketch aggregate + set-algebra estimators (agg22)
+      .withExtensions(graft.functions.ThetaExtensions.apply)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

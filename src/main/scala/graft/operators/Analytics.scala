@@ -278,6 +278,37 @@ object Analytics extends QueryModule {
         .orderBy("day")
     }),
 
+    // TS-7 ⚠: EWMA — exponentially weighted moving average per user,
+    //   y_i = α·x_i + (1−α)·y_{i−1}
+    // The one TS shape that is ORDER-RECURSIVE: no SQL window expresses it
+    // (no recursive frames; the closed form Σ α(1−α)^{n−i}x_i needs
+    // (1−α)^{−i} factors that overflow past a few hundred rows), so no
+    // DuckDB oracle — EwmaSpec pins a scalar-reference golden instead.
+    // Execution is the idiomatic Spark shape for per-key sequential state:
+    // groupByKey + flatMapSortedGroups = ONE exchange on user_id with a
+    // SECONDARY SORT on (ts, event_id) inside it, then a streaming O(1)-
+    // state fold over each group's iterator — no collect_list buffering,
+    // no per-group memory proportional to history, scales to any group
+    // size. Tie-break µs+event_id per the oracle-parity protocol.
+    "ts7_ewma" -> ((s, d) => {
+      import s.implicits._
+      val alpha = 0.3
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      e.groupByKey(_._1)
+        .flatMapSortedGroups($"ts_us", $"event_id") { (uid, rows) =>
+          var y = Double.NaN
+          rows.map { case (_, eid, tsUs, v) =>
+            y = if (y.isNaN) v else alpha * v + (1 - alpha) * y
+            (uid, eid, tsUs, y)
+          }
+        }
+        .toDF("user_id", "event_id", "ts_us", "ewma")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // WIN-11: cumulative distinct users by day — the "total uniques over
     // time" dashboard line. COUNT(DISTINCT) OVER a growing frame is not
     // directly plannable (and would be quadratic anyway); the standard

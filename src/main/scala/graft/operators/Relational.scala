@@ -346,6 +346,56 @@ object Relational extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // JOIN-15: AQE-handled skew join — join13's problem (one hot key
+    // dominating a shuffle join) solved by the RUNTIME re-planner instead
+    // of manual salting: AQE's OptimizeSkewedJoin sees the actual shuffle
+    // partition sizes, SPLITS the oversized fact partition into chunks and
+    // REPLICATES the matching dim partition per chunk — same effect as
+    // salting, zero query rewrite, and it only pays when skew actually
+    // materializes. When to prefer which: AQE handles skew that shows up
+    // as an oversized PARTITION under sort-merge join (thresholds are
+    // byte-based — they fire at production scale, not at sf-test sizes, so
+    // PlanSpec demonstrates with scaled-down thresholds); manual salting
+    // (join13) remains necessary when the plan must stay a hash join, or
+    // when a single KEY needs finer-than-partition splitting guarantees.
+    // 90% of fact rows share skew_key 0; hint("merge") pins SMJ so the
+    // demo is deterministic. Result provably equals the plain join — the
+    // oracle IS the plain join.
+    "join15_skew_aqe" -> ((s, d) => {
+      // the fact side is an enrichment join (lineitem ⨝ orders, SMJ) so
+      // the skewed exchange below is fed by MANY map tasks — AQE can only
+      // split a skewed partition at mapper boundaries, and a bare sf-test
+      // parquet scan is a single map task (one row group). At production
+      // scale any fact scan has thousands of mappers; this models that.
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .hint("merge")
+        .join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("skew_key",
+          when(pmod(col("l_orderkey"), lit(10)) < 9, lit(0L))
+            .otherwise(pmod(col("l_orderkey"), lit(97))))
+      // localCheckpoint materializes the 97-row dim: without it the dim's
+      // OWN aggregate partitioning (already on skew_key) is reused by the
+      // join, the shuffle sits below the agg instead of under the join's
+      // sort, and OptimizeSkewedJoin's pattern (sort-over-shuffle-stage on
+      // both sides) cannot match
+      val dim = Tables.part(s, d)
+        .groupBy(pmod(col("p_partkey"), lit(97)).as("skew_key"))
+        .agg(count(lit(1)).as("dim_n"))
+        .localCheckpoint()
+      // the rollup key is UNRELATED to the join key: a groupBy on
+      // skew_key would be satisfied by the join's output partitioning,
+      // and splitting the skewed partition would then ADD an exchange —
+      // OptimizeSkewedJoin (correctly) declines such plans unless forced
+      fact.join(dim.hint("merge"), "skew_key")
+        .groupBy(pmod(col("l_orderkey"), lit(7)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          sum(col("dim_n")).as("sum_dim_n"))
+        .orderBy("bucket")
+    }),
+
     // ---- AGG ----
     "agg1_count" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -841,6 +891,36 @@ object Relational extends QueryModule {
           col("est_early") + col("est_late") - col("est_union"))
     }),
 
+    // AGG-22 ⚠: theta-sketch set intersection — agg19's question ("how
+    // many customers ordered in BOTH eras") answered WITHOUT
+    // inclusion–exclusion: a theta sketch is a uniform hash-sample of the
+    // set below threshold θ, so |A∩B| is estimated DIRECTLY on the two
+    // sketches' retained entries (DataSketches Intersection). agg19's
+    // |A|+|B|−|A∪B| compounds three estimates' error against the UNION's
+    // scale (15% documented bound); here the error tracks the overlap
+    // itself — ApproxSpec holds this to ≤5% on the same data. Same plan
+    // shape: two filtered scans building map-side-merged sketch state
+    // (TypedImperativeAggregate ThetaSketchAgg — the shuffle carries
+    // compact sketches, never custkeys), one 1-row cross join for the
+    // set algebra. Sketches persist like agg16's: any later
+    // union/intersect/difference is footprint-sized, zero rescans.
+    "agg22_theta_intersection" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cut = to_timestamp(lit("1998-01-01"))
+      val ska = o.filter(col("o_orderdate") < cut)
+        .agg(call_function("theta_sketch_agg", col("o_custkey")).as("ska"))
+      val skb = o.filter(col("o_orderdate") >= cut)
+        .agg(call_function("theta_sketch_agg", col("o_custkey")).as("skb"))
+      ska.crossJoin(skb)
+        .select(
+          round(call_function("theta_estimate", col("ska")))
+            .cast("long").as("est_early"),
+          round(call_function("theta_estimate", col("skb")))
+            .cast("long").as("est_late"),
+          round(call_function("theta_intersect_estimate",
+            col("ska"), col("skb"))).cast("long").as("est_overlap"))
+    }),
+
     // AGG-21 ⚠: rolling distinct users from DAILY HLL SKETCHES — sketch
     // algebra over a window frame: persist one sketch per day (the agg16
     // rollup pattern), answer "7-day distinct users" for every day by
@@ -1184,6 +1264,22 @@ object Relational extends QueryModule {
       s"""SELECT o_orderstatus, count(*) AS n,
          |  ${Det.dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the plain join: AQE skew splitting must not change the result
+    "join15_skew_aqe" ->
+      s"""WITH fact AS (
+         |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+         |              ELSE l_orderkey % 97 END AS skew_key,
+         |         l_orderkey, l_quantity
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |dim AS (
+         |  SELECT p_partkey % 97 AS skew_key, count(*) AS dim_n
+         |  FROM part GROUP BY 1)
+         |SELECT f.l_orderkey % 7 AS bucket, count(*) AS n,
+         |  ${Det.dsumSql("f.l_quantity")} AS sum_qty,
+         |  CAST(SUM(d.dim_n) AS BIGINT) AS sum_dim_n
+         |FROM fact f JOIN dim d ON f.skew_key = d.skew_key
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join14_dpp" ->

@@ -71,6 +71,30 @@ object Scans extends QueryModule {
         .groupBy("fname").agg(count(lit(1)).as("n_lines"))
         .orderBy("fname")),
 
+    // SCAN-10: arbitrary-REGEX file selection over a directory listing
+    // (util.py:222-241 — the reference lists a remote dir and selects by
+    // re.match; pathGlobFilter (scan5) only covers the glob SUBSET of that
+    // contract — alternation like `part-0|ignore` has no glob). The
+    // listing is a driver-side metadata op (exactly what Spark's own
+    // InMemoryFileIndex performs for every scan); matched paths are handed
+    // to the reader explicitly, so data IO stays distributed and reads
+    // ONLY the matched files — at scale this is listing cost O(dir
+    // entries), scan cost O(matched bytes).
+    "scan10_regex_listing" -> ((s, _) => {
+      val re = "^(part-[02]\\.txt|ignore\\.dat)$".r
+      val dir = new org.apache.hadoop.fs.Path(s"$FixturesDir/multi")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(dir).map(_.getPath)
+        .filter(p => re.pattern.matcher(p.getName).matches)
+        .map(_.toString).sorted
+      s.read.text(files: _*)
+        .select(
+          regexp_extract(input_file_name(), "([^/]+)$", 1).as("fname"),
+          col("value").as("line"))
+        .groupBy("fname").agg(count(lit(1)).as("n_lines"))
+        .orderBy("fname")
+    }),
+
     // SCAN-6: JSON string column ingest (events.props)
     "scan6_json" -> ((s, d) =>
       Tables.events(s, d)
@@ -446,6 +470,15 @@ object Scans extends QueryModule {
     "scan5_glob" ->
       s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname, count(*) AS n_lines
          |FROM read_csv('$FixturesDir/multi/part-*.txt', header=false, delim='\\t',
+         |              columns={'line': 'VARCHAR'}, filename=true)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scan10_regex_listing" ->
+      s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname, count(*) AS n_lines
+         |FROM read_csv(['$FixturesDir/multi/part-0.txt',
+         |               '$FixturesDir/multi/part-2.txt',
+         |               '$FixturesDir/multi/ignore.dat'],
+         |              header=false, delim='\\t',
          |              columns={'line': 'VARCHAR'}, filename=true)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 

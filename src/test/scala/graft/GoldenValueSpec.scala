@@ -28,6 +28,29 @@ class GoldenValueSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("ts7: EWMA matches the scalar reference fold bit-exactly") {
+    val got = SparkEntry.queries("ts7_ewma")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val rows = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val alpha = 0.3
+    val ref = rows.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      var y = Double.NaN
+      es.sortBy(e => (e._3, e._2)).toSeq.map { case (_, eid, _, v) =>
+        y = if (y.isNaN) v else alpha * v + (1 - alpha) * y
+        (uid, eid) -> y
+      }
+    }.toMap
+    assert(got.size === ref.size)
+    // same fold order + same double expression shape → bit equality
+    for ((k, v) <- ref)
+      assert(java.lang.Double.compare(got(k), v) == 0,
+        s"$k: got ${got(k)} expected $v")
+  }
+
   test("func_hash_xx64 query: customer 1 hashes to the pinned value") {
     val df = SparkEntry.queries("func_hash_xx64")(spark, Sf0001)
     // c_custkey=1 is named Customer#000000001 in every TPC-H-ish sf

@@ -272,6 +272,36 @@ class PlanSpec extends SparkSpec {
       s"expected a dynamic-partition-pruning subquery in the fact scan:\n$p")
   }
 
+  test("join15: AQE detects and splits the skewed partition at runtime") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // the production thresholds are byte-based (256MB) — scale them to
+      // sf-test partition sizes so the same mechanism demonstrably fires
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      // default minPartitionSize (1MB) would coalesce the enrichment
+      // join's stage to ONE task at sf-test size — a skewed partition fed
+      // by a single mapper cannot be split (mapper-boundary granularity)
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      val df = SparkEntry.queries("join15_skew_aqe")(spark, Sf0001)
+      // collect() (NOT count(), which builds a separate plan) so THIS
+      // df's adaptive plan executes and re-optimizes to its final form
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE OptimizeSkewedJoin did not mark the join:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("dim2: as-of merge runs in user partitions, never one task") {
     val p = planOf("dim2_pit_join")
     assert(!p.contains("Exchange SinglePartition"),
