@@ -205,6 +205,109 @@ object LlmOps extends QueryModule {
           .reduce(_ + _).cast("double"), 6).as("recon_err"))
   }
 
+  // ---- persisted IVF-PQ index (LLM-28d/28e) -----------------------------
+
+  /** Builds and PERSISTS the IVF-PQ index under `store` — the piece that
+    * turns llm28c's "at 100 TB the codes table partitions BY CELL" comment
+    * into stored layout:
+    *   centroids/ — the IVF coarse quantizer (nCells rows)
+    *   codebook/  — the PQ codebook (m×k rows)
+    *   codes/     — long-form PQ codes, `partitionBy("cell")`
+    * Training (centroids + codebook) runs ONCE here and never again on the
+    * probe path. `train` is the training sample (at scale: a hash-sample);
+    * `index` is the corpus actually encoded and served. With
+    * residual=true, codes encode (vector − cell centroid) and the codebook
+    * is trained on those residuals (FAISS IVFPQ encoding): residuals
+    * cluster around 0 with cell-level structure removed, so the same m×k
+    * code budget quantizes a tighter distribution. */
+  def ivfpqBuild(train: DataFrame, index: DataFrame, store: String,
+                 m: Int = 8, dim: Int = 64, residual: Boolean = false)
+  : Unit = {
+    val cents = ivfCentroids(train).localCheckpoint()
+    cents.write.mode("overwrite").parquet(s"$store/centroids")
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(col("cdist"), col("cent_id"))
+    val cells = index.crossJoin(broadcast(cents))
+      .withColumn("cdist", l2sq(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        col("embedding"), col("cent"))
+    val encodeInput =
+      if (residual)
+        cells.select(col("vec_id"), col("cell"),
+          zip_with(col("embedding"), col("cent"),
+            (x, y) => (x - y).cast("float")).as("embedding"))
+      else cells.select(col("vec_id"), col("cell"), col("embedding"))
+    val trainInput =
+      if (residual) encodeInput.select("vec_id", "embedding")
+      else train
+    val cb = pqTrain(trainInput, m = m, dim = dim).localCheckpoint()
+    cb.write.mode("overwrite").parquet(s"$store/codebook")
+    pqEncodeLong(encodeInput.select("vec_id", "embedding"), cb,
+        m = m, dim = dim)
+      .join(encodeInput.select("vec_id", "cell"), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$store/codes")
+  }
+
+  /** Probe of a persisted [[ivfpqBuild]] index: the query's nprobe nearest
+    * cells are collected as LITERAL driver scalars (nprobe values — the
+    * bounded IVF-centroid pattern), so the codes read carries a static
+    * PARTITION filter: at 100 TB the scan lists and reads nprobe of
+    * nCells directories of an already-PQ-compressed table — nothing else.
+    * No training anywhere on this path; centroids (nCells rows) and
+    * codebook (m×k rows) load from the store as broadcast-sized tables.
+    * With residual=true the ADC lookup table is built per probed cell
+    * against the query's residual in that cell (the FAISS probe shape) —
+    * still ≤ nprobe × m × k rows, broadcast. */
+  def ivfpqProbe(q: DataFrame, corpus: DataFrame, store: String,
+                 m: Int = 8, dim: Int = 64, nprobe: Int = 4,
+                 residual: Boolean = false): DataFrame = {
+    val s = q.sparkSession
+    val cents = s.read.parquet(s"$store/centroids")
+    val probeCells = q.crossJoin(broadcast(cents))
+      .select(col("cent_id"), l2sq(col("embedding"), col("cent")).as("cdist"))
+      .orderBy(col("cdist"), col("cent_id")).limit(nprobe)
+      .collect().map(_.getLong(0))
+    val cb = s.read.parquet(s"$store/codebook")
+    val sd = dim / m
+    val lut =
+      if (residual) {
+        // per-cell query residuals → per-cell LUT, keyed (cell, sub, code)
+        val qres = q.crossJoin(broadcast(cents))
+          .filter(col("cent_id").isin(probeCells.map(Long.box): _*))
+          .select(col("cent_id").as("vec_id"),
+            zip_with(col("embedding"), col("cent"),
+              (x, y) => (x - y).cast("float")).as("embedding"))
+        pqSubvectors(qres, m, sd)
+          .select(col("vec_id").as("cell"), col("sub"),
+            col("subvec").as("qsub"))
+          .join(cb, "sub")
+          .select(col("cell"), col("sub"), col("cent_id").as("code"),
+            l2sq(col("qsub"), col("cent")).as("pdist"))
+      } else
+        pqSubvectors(q, m, sd)
+          .select(col("sub"), col("subvec").as("qsub"))
+          .join(cb, "sub")
+          .select(col("sub"), col("cent_id").as("code"),
+            l2sq(col("qsub"), col("cent")).as("pdist"))
+    val codes = s.read.parquet(s"$store/codes")
+      .filter(col("cell").isin(probeCells.map(Long.box): _*))
+    val joinKeys = if (residual) Seq("cell", "sub", "code") else Seq("sub", "code")
+    val shortlist = codes.join(broadcast(lut), joinKeys)
+      .groupBy("vec_id")
+      .agg(sum(col("pdist").cast("decimal(28,12)")).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(100)
+      .select("vec_id")
+    corpus.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q.select(col("embedding").as("q_emb"))))
+      .select(col("vec_id"),
+        round(l2sq(col("embedding"), col("q_emb")), 6).as("l2_dist"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+      .limit(20)
+  }
+
   /** Per-doc distinct-shingle table — the shared first stage of every
     * MinHash path (self-join dedup, cross-set ingest, streaming index). */
   def shingled(docs: DataFrame): DataFrame =
@@ -1385,6 +1488,40 @@ object LlmOps extends QueryModule {
           round(l2sq(col("embedding"), col("q_emb")), 6).as("l2_dist"))
         .orderBy(col("l2_dist"), col("vec_id"))
         .limit(20)
+    }),
+
+    // LLM-28d ⚠: IVF-PQ against a PERSISTED, cell-partitioned index —
+    // llm28c with build and probe actually separated: ivfpqBuild trains
+    // once and writes centroids/codebook/codes (codes partitionBy cell);
+    // ivfpqProbe reads back ONLY the nprobe probed cell partitions via a
+    // literal partition filter (PlanSpec asserts it) and never trains.
+    // Same training recipe as llm28c, so PqSpec pins result equality —
+    // the storage layout changes the IO, not the answer.
+    "llm28d_ivfpq_pruned" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val store = "/root/repo/target/tmp-sinks/llm28d_" +
+        java.util.UUID.randomUUID.toString.take(8)
+      ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), store)
+      ivfpqProbe(e.filter(col("vec_id") === 0),
+        e.filter(col("vec_id") =!= 0), store)
+    }),
+
+    // LLM-28e ⚠: residual-encoded IVF-PQ (full FAISS IVFPQ) — codes
+    // quantize (vector − cell centroid) instead of the raw vector: with
+    // the cell-level structure subtracted, the residual distribution is
+    // tighter around 0, so the same m×k code budget yields lower
+    // quantization error and better recall at equal nprobe (PqSpec
+    // measures both against llm28c). The probe builds a per-probed-cell
+    // ADC lookup table from the query's residual in each cell — still
+    // ≤ nprobe·m·k broadcast rows.
+    "llm28e_ivfpq_residual" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val store = "/root/repo/target/tmp-sinks/llm28e_" +
+        java.util.UUID.randomUUID.toString.take(8)
+      ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), store,
+        residual = true)
+      ivfpqProbe(e.filter(col("vec_id") === 0),
+        e.filter(col("vec_id") =!= 0), store, residual = true)
     })
   )
 

@@ -84,4 +84,70 @@ class PqSpec extends SparkSpec {
     // floor with margin
     assert(recall >= 0.35, s"IVF-PQ recall too low: $recall")
   }
+
+  private def exactTop20: Set[Long] = {
+    val e = emb
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("q_emb"), (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(20)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+  }
+
+  test("llm28d: persisted cell-partitioned index returns llm28c's answer") {
+    val inQuery = SparkEntry.queries("llm28c_ivfpq")(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    val persisted = SparkEntry.queries("llm28d_ivfpq_pruned")(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    // same training recipe, different storage — answers must be identical
+    assert(persisted == inQuery)
+  }
+
+  test("llm28d: probe reads only the nprobe probed cell partitions") {
+    val df = SparkEntry.queries("llm28d_ivfpq_pruned")(spark, Sf0001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("PartitionFilters: [cell"),
+      s"codes scan must carry a literal cell partition filter:\n$finalPlan")
+    // AQE wraps materialized stages in QueryStageExec leaves; descend into them
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.flatMap {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/codes")) =>
+        Seq(s)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case _ => Nil
+    }
+    val codeScans = scans(finalPlan)
+    assert(codeScans.nonEmpty, "probe must read the persisted codes store")
+    // the "number of partitions read" driver metric, populated at execution
+    val partsRead = codeScans.map(_.metrics("numPartitions").value).sum
+    assert(partsRead > 0 && partsRead <= 4,
+      s"nprobe=4 probe read $partsRead cell partitions")
+  }
+
+  test("llm28e: residual encoding does not lose recall at equal nprobe") {
+    val exact = exactTop20
+    val base = SparkEntry.queries("llm28c_ivfpq")(spark, Sf0001)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val res = SparkEntry.queries("llm28e_ivfpq_residual")(spark, Sf0001)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val rBase = base.intersect(exact).size / 20.0
+    val rRes = res.intersect(exact).size / 20.0
+    info(s"recall@20: raw-encoded $rBase, residual-encoded $rRes")
+    assert(rRes >= rBase,
+      s"residual encoding lost recall: $rRes < $rBase")
+  }
 }
