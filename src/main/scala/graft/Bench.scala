@@ -40,11 +40,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session("graft-bench")
+    // optional arg: comma-separated query names — bench only that subset
+    // (iteration aid; the driver always runs the full set)
+    val only: Option[Set[String]] =
+      args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names.contains(n) })
     // Per-query block hygiene (see BlockHygiene): drop each query's dead
     // localCheckpoint blocks so late-alphabet queries don't time under the
     // eviction+GC pressure of ~170 predecessors. Each query is an
     // independent measurement; the mig stage memo is pinned and survives.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

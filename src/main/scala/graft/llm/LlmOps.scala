@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.{QueryModule, Tables}
+import graft.{QueryModule, RoundCheckpointer, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -149,12 +149,15 @@ object LlmOps extends QueryModule {
       .withColumn("cent_id", row_number().over(seedW) - 1)
       .select(col("sub"), col("cent_id"), col("subvec").as("cent"))
     val subs = pqSubvectors(e, m, sd)
+    val rc = new RoundCheckpointer
     var cb = seeds
     // each Lloyd round: assign every subvector to its nearest current
     // centroid, recompute the means. The codebook is m·k tiny rows, so a
-    // localCheckpoint per round keeps the next round's broadcast a leaf
-    // instead of re-deriving the whole lineage.
-    for (_ <- 1 to rounds) {
+    // checkpoint BETWEEN rounds (superseded round released) keeps the next
+    // round's broadcast a leaf instead of re-deriving the whole lineage;
+    // the final round stays lazy — callers checkpoint the returned
+    // codebook themselves, so an eager pass here would be paid twice.
+    for (r <- 1 to rounds) {
       cb = subs.join(broadcast(cb), "sub")
         .withColumn("dist", l2sq(col("subvec"), col("cent")))
         .groupBy("vec_id", "sub")
@@ -166,7 +169,7 @@ object LlmOps extends QueryModule {
         .groupBy("sub", "cent_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
           x => x.getField("mval").cast("float")).as("cent"))
-      if (rounds > 1) cb = cb.localCheckpoint()
+      if (r < rounds) cb = rc.step(cb)
     }
     cb
   }
@@ -434,15 +437,17 @@ object LlmOps extends QueryModule {
     * which is O(log n) rounds with the same per-round plan shape.
     *
     * `edges` must be symmetric (both (a,b) and (b,a) present). Each round
-    * localCheckpoints the new labels: lineage stays one round deep, and the
-    * convergence `count()` (a scalar action — the standard iterative-
-    * algorithm driver loop, not a data collect) re-reads checkpointed
-    * blocks rather than recomputing the chain.
+    * checkpoints the new labels and releases the superseded round
+    * ([[RoundCheckpointer]]): lineage stays one round deep, block
+    * footprint stays one label-table copy, and the convergence `count()`
+    * (a scalar action — the standard iterative-algorithm driver loop, not
+    * a data collect) re-reads checkpointed blocks rather than recomputing
+    * the chain.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint()
+    val rc = new RoundCheckpointer
+    var labels = rc.step(edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -450,11 +455,10 @@ object LlmOps extends QueryModule {
         .join(labels.select(col("node").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min("comp").as("nbr_comp"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
+      val stepped = rc.step(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("next_comp"))
-        .localCheckpoint()
+            .as("next_comp")))
       changed = stepped.filter(col("next_comp") =!= col("comp")).count()
       labels = stepped.select(col("node"), col("next_comp").as("comp"))
       iter += 1
@@ -1539,9 +1543,9 @@ object LlmOps extends QueryModule {
     */
   def bpeTrain(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
     import s.implicits._
-    var toks = docs.select(col("doc_id"),
-        filter(split(col("text"), " "), t => t =!= "").as("toks"))
-      .localCheckpoint()
+    val rc = new RoundCheckpointer
+    var toks = rc.step(docs.select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks")))
     val merges = Seq.newBuilder[(Int, String, Long, String, String)]
     for (r <- 1 to rounds) {
       val top = toks.select(explode(zip_with(
@@ -1557,9 +1561,8 @@ object LlmOps extends QueryModule {
         // the final round's winner needs no corpus rewrite — nothing
         // downstream reads the merged tokens (saves a full map pass)
         if (r < rounds) {
-          toks = toks.select(col("doc_id"),
-              applyMerge(col("toks"), xs, ys).as("toks"))
-            .localCheckpoint()
+          toks = rc.step(toks.select(col("doc_id"),
+            applyMerge(col("toks"), xs, ys).as("toks")))
         }
       }
     }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{QueryModule, Tables}
+import graft.{QueryModule, RoundCheckpointer, Tables}
 
 /** GRAPH-1 — weighted PageRank, expressed relationally (SURVEY.md §2.19).
   *
@@ -34,12 +34,18 @@ object GraphOps extends QueryModule {
     *   pr(v) = (1-d)/N + d · (Σ_{u→v} pr(u)·w(u,v)/outw(u) + D/N)
     * where D is the total dangling mass of the previous round.
     *
-    * Rounds stay LAZY (one job executes the whole iteration tree, no
-    * per-round driver action): the dangling mass D is a 1-row aggregate
-    * broadcast back into the plan, not a collected scalar. With tol > 0
-    * the loop goes eager every `checkEvery` rounds — one localCheckpoint
-    * plus a Σ|Δpr| L1-delta scalar (the llm12 convergence pattern) — and
-    * stops early once the delta drops below tol.
+    * Each round is checkpointed eagerly and the superseded round released
+    * ([[RoundCheckpointer]]): the dangling-mass term references the
+    * previous round's rank vector a SECOND time (contribs + dmass), so a
+    * lazy iteration tree doubles per round — 2^iters subtree copies, each
+    * re-executed (the round-9 regression). Eager per-round materialization
+    * is the standard Pregel execution shape: plan depth and block
+    * footprint both stay O(1) in the iteration count. Graphs with no
+    * dangling vertex (one O(1) isEmpty probe of the checkpointed dangling
+    * table) skip the dmass join entirely — the term is identically 0.
+    * With tol > 0 the loop computes a Σ|Δpr| L1-delta scalar every
+    * `checkEvery` rounds (the llm12 convergence pattern) and stops early
+    * once the delta drops below tol.
     */
   def pagerank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
                tol: Double = 0.0, checkEvery: Int = 4): DataFrame =
@@ -61,6 +67,8 @@ object GraphOps extends QueryModule {
     val dangling = verts
       .join(norm.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
       .localCheckpoint()
+    val hasDangling = !dangling.isEmpty // O(1) probe of checkpointed blocks
+    val rc = new RoundCheckpointer
     var pr = verts.withColumn("pr", lit(1.0 / n))
     var prev = pr
     var i = 0
@@ -72,25 +80,34 @@ object GraphOps extends QueryModule {
         .groupBy("v")
         .agg(sum(col("contrib").cast("decimal(28,12)"))
           .cast("double").as("contrib_sum"))
-      // dangling mass as a broadcast 1-row table: D = Σ pr(dangling)
-      val dmass = dangling.join(pr, Seq("v"))
-        .agg(coalesce(sum(col("pr").cast("decimal(28,12)")).cast("double"),
-          lit(0.0)).as("dm"))
-      pr = verts.join(contribs, Seq("v"), "left")
-        .crossJoin(broadcast(dmass))
-        .select(col("v"),
-          (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib_sum"), lit(0.0)) +
-              col("dm") / lit(n.toDouble))).as("pr"))
-      if (i % 8 == 0) pr = pr.localCheckpoint()
+      val base = verts.join(contribs, Seq("v"), "left")
+      val next =
+        if (!hasDangling)
+          base.select(col("v"),
+            (lit((1 - damping) / n) + lit(damping) *
+              coalesce(col("contrib_sum"), lit(0.0))).as("pr"))
+        else {
+          // dangling mass as a broadcast 1-row table: D = Σ pr(dangling).
+          // Second reference to pr — rc.step below caps the plan at one
+          // round deep so the double reference cannot compound.
+          val dmass = dangling.join(pr, Seq("v"))
+            .agg(coalesce(sum(col("pr").cast("decimal(28,12)")).cast("double"),
+              lit(0.0)).as("dm"))
+          base.crossJoin(broadcast(dmass))
+            .select(col("v"),
+              (lit((1 - damping) / n) + lit(damping) *
+                (coalesce(col("contrib_sum"), lit(0.0)) +
+                  col("dm") / lit(n.toDouble))).as("pr"))
+        }
+      pr = rc.step(next)
       if (tol > 0 && i % checkEvery == 0 && i < iters) {
-        pr = pr.localCheckpoint()
         val delta = pr
           .join(prev.withColumnRenamed("pr", "pr_prev"), "v")
           .agg(sum(abs(col("pr") - col("pr_prev")).cast("decimal(28,12)"))
             .cast("double"))
           .collect()(0).getDouble(0)
         if (delta < tol) converged = true
+        rc.retain(pr) // delta baseline must outlive the next checkEvery rounds
         prev = pr
       }
     }

@@ -86,6 +86,26 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass ${got.values.sum}")
   }
 
+  test("iters=16 with a live dangling branch runs in bounded time") {
+    val s = spark
+    import s.implicits._
+    // Regression guard for the round-9 exponential-plan bug: the dangling
+    // branch references the previous round's pr TWICE, so without the
+    // per-round checkpoint 16 lazy rounds build 2^16 subtree copies and
+    // this test does not terminate. With O(1) plan depth it's seconds.
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val t0 = System.nanoTime()
+    val got = GraphOps.pagerank(edges, iters = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60, f"16 dangling rounds took $secs%.1f s — plan growth?")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass ${got.values.sum}")
+    // near the fixed point after 16 rounds: one more round moves ~nothing
+    val next = GraphOps.pagerank(edges, iters = 17)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (v, p) => assert(math.abs(next(v) - p) < 1e-3, v) }
+  }
+
   test("convergence tolerance stops the loop early") {
     val s = spark
     import s.implicits._
