@@ -40,6 +40,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session("graft-bench")
+    TmpStores.sweep() // leftover scratch stores from crashed JVMs
     // optional arg: comma-separated query names — bench only that subset
     // (iteration aid; the driver always runs the full set)
     val only: Option[Set[String]] =

@@ -33,6 +33,7 @@ object Verify {
     val only: Option[Set[String]] =
       args.lift(2).map(_.split(',').toSet)
     val spark = Graft.session("graft-verify")
+    TmpStores.sweep() // leftover scratch stores from crashed JVMs
     new java.io.File(outDir).mkdirs()
     var failed = 0
     SparkEntry.queries.toSeq.sortBy(_._1)

@@ -209,47 +209,14 @@ object MigrationOps extends QueryModule {
   def ednLogs(s: SparkSession, dir: String = s"$FixturesDir/edn"): DataFrame =
     s.read.option("header", "true").schema(ednSchema).csv(s"$dir/*.csv")
 
-  /** Per-session stage cache: mig3–mig11 all consume the same
-    * parse→latest-wins chain — recomputing it per query re-reads and
-    * re-parses both .ace files every time (the VERDICT r4 #5 regression).
-    * Each stage is materialized ONCE per session via localCheckpoint; on a
+  /** Per-session stage memo ([[graft.StageMemo]]): mig3–mig11 all consume
+    * the same parse→latest-wins chain — recomputing it per query re-reads
+    * and re-parses both .ace files every time (the VERDICT r4 #5
+    * regression). Each stage is materialized ONCE per session; on a
     * cluster these are the written stage outputs of the PipelineRunner
     * (runcommand.py:389-409's step artifacts), here the in-JVM equivalent. */
-  private val stageCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val evictionHooked =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
-  // The cache holds one entry per (session, stage) for the session's
-  // lifetime; entries (and the SparkSession they pin) are evicted when the
-  // underlying SparkContext ends, so short-lived sessions (test suites,
-  // notebook restarts) don't accumulate forever.
-  private def hookEviction(s: SparkSession): Unit =
-    if (evictionHooked.putIfAbsent(s, ()).isEmpty) {
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          stageCache.keys.filter(_._1 eq s).foreach(stageCache.remove)
-          evictionHooked.remove(s): Unit
-        }
-      })
-    }
   private def stage(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    stageCache.getOrElse((s, key), {
-      // built outside the map update: stages nest (importedState builds on
-      // patchedLog), so a computeIfAbsent-style lock would self-deadlock; a
-      // duplicate build on a true race is harmless (same deterministic data)
-      hookEviction(s)
-      // pinned: Bench/Verify drop per-query checkpoint blocks between
-      // queries; these stage outputs are the deliberate cross-query share
-      val df = graft.BlockHygiene.pin(build.localCheckpoint())
-      stageCache.putIfAbsent((s, key), df) match {
-        case Some(winner) =>
-          // lost the race: free the duplicate's checkpoint blocks
-          df.unpersist()
-          winner
-        case None => df
-      }
-    })
+    graft.StageMemo.frame(s, s"mig.$key")(build)
 
   /** Base dump ∪ patch dump as a changelog: base ts=0, patches ts=1 —
     * patches strictly win (apply-patches MERGE, pseudoace.py:105-110).

@@ -300,14 +300,13 @@ object Relational extends QueryModule {
       // fresh dir per run (the strm15 pattern): a cache keyed only by the
       // dataset path would silently reuse stale parquet after the fixture
       // at that path is regenerated, and check-then-write races under
-      // concurrent suites
-      val tag = java.util.UUID.randomUUID.toString.take(8)
-      val store = s"/root/repo/target/tmp-sinks/join14_events_$tag"
+      // concurrent suites. TmpStores deletes it on JVM exit.
+      val store = graft.TmpStores.scratch("join14_events")
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("value"),
           col("event_type"))
         .write.mode("overwrite").partitionBy("event_type").parquet(store)
-      val dimPath = s"/root/repo/target/tmp-sinks/join14_dim_$tag"
+      val dimPath = graft.TmpStores.scratch("join14_dim")
       Seq(("click", "engagement"), ("purchase", "conversion"),
         ("view", "engagement"), ("signup", "conversion"),
         ("error", "ops")).toDF("event_type", "category")
@@ -1047,20 +1046,23 @@ object Relational extends QueryModule {
     // cardinality; estimates are biased UP only, so every true heavy
     // hitter clears the threshold (no false negatives — the property that
     // matters for a filter stage). Built distributed (treeAggregate under
-    // df.stat), queried on the driver for the candidate keys agg17 found
-    // exactly. Approximate → rows-only + ApproxSpec bounds
-    // (exact <= estimate <= exact + eps·N).
+    // df.stat); the probe side BROADCASTS the ~50 KB sketch and estimates
+    // executor-side over the candidate-key table (agg17's exact set), so
+    // the candidates never leave the cluster — at 100 TB the candidate set
+    // can itself be millions of rows (VERDICT r9 #2: the driver-collect
+    // variant bounded only by assumption). The probe UDF is sketch-lookup,
+    // which has no built-in expression. Approximate → rows-only +
+    // ApproxSpec bounds (exact <= estimate <= exact + eps·N).
     "agg17b_heavy_hitters_cms" -> ((s, d) => {
-      import s.implicits._
       val li = Tables.lineitem(s, d)
       val sketch = li.stat.countMinSketch(
         col("l_partkey"), eps = 0.001, confidence = 0.99, seed = 42)
-      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val bc = s.sparkContext.broadcast(sketch)
+      val estimate =
+        udf((k: Long) => bc.value.estimateCount(java.lang.Long.valueOf(k)))
+      li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 45)
-        .select("l_partkey").as[Long].collect().sorted
-      exact.toSeq
-        .map(k => (k, sketch.estimateCount(java.lang.Long.valueOf(k))))
-        .toDF("l_partkey", "est_n")
+        .select(col("l_partkey"), estimate(col("l_partkey")).as("est_n"))
         .orderBy("l_partkey")
     })
   )

@@ -84,8 +84,12 @@ object Scans extends QueryModule {
       val re = "^(part-[02]\\.txt|ignore\\.dat)$".r
       val dir = new org.apache.hadoop.fs.Path(s"$FixturesDir/multi")
       val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // lookingAt = PREFIX match, mirroring the reference's re.match
+      // semantics (util.py:230) — an unanchored alternation like
+      // `part-0|ignore` selects by prefix there, and does here too; this
+      // query's own pattern is $-anchored so it selects identically
       val files = fs.listStatus(dir).map(_.getPath)
-        .filter(p => re.pattern.matcher(p.getName).matches)
+        .filter(p => re.pattern.matcher(p.getName).lookingAt)
         .map(_.toString).sorted
       s.read.text(files: _*)
         .select(

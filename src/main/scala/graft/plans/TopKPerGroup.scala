@@ -42,19 +42,27 @@ case class TopKPerGroupPlan(groupExprs: Seq[Expression], orderExpr: Expression,
   : TopKPerGroupPlan = copy(child = newChild)
 }
 
-/** Plans the logical node as partial (map-side prune) + final exec. */
+/** Plans the logical node as partial (map-side prune) + final exec. The
+  * partial-phase group cap is resolved HERE, on the driver at planning
+  * time (conf override, else [[TopKPerGroup.MaxPartialGroups]]), and
+  * shipped as an exec field: a cluster executor must see the planned
+  * value, not its own JVM's static default (ADVICE r9). */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(g, o, k, child) =>
+      val cap = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(TopKPerGroup.MaxPartialGroupsKey,
+          TopKPerGroup.MaxPartialGroups.toString).toInt
       TopKPerGroupExec(g, o, k,
-        TopKPerGroupExec(g, o, k, planLater(child), partial = true),
-        partial = false) :: Nil
+        TopKPerGroupExec(g, o, k, planLater(child), partial = true, cap),
+        partial = false, maxPartialGroups = cap) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(groupExprs: Seq[Expression], orderExpr: Expression,
-                            k: Int, child: SparkPlan, partial: Boolean)
+                            k: Int, child: SparkPlan, partial: Boolean,
+                            maxPartialGroups: Int)
   extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -79,8 +87,8 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], orderExpr: Expression,
     * executor — or use the win2 two-phase salted window, which sorts and
     * spills, instead of this operator. */
   override protected def doExecute(): RDD[InternalRow] = {
-    val (grpExprs, ordExpr, kk, childOut, isPartial) =
-      (groupExprs, orderExpr, k, child.output, partial)
+    val (grpExprs, ordExpr, kk, childOut, isPartial, cap) =
+      (groupExprs, orderExpr, k, child.output, partial, maxPartialGroups)
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(grpExprs, childOut)
       val ordProj = UnsafeProjection.create(Seq(ordExpr), childOut)
@@ -108,7 +116,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], orderExpr: Expression,
               val ov = InternalRow.copyValue(ordProj(row).get(0, dt))
               heaps.get(keyRef) match {
                 case None =>
-                  if (isPartial && heaps.size >= TopKPerGroup.MaxPartialGroups)
+                  if (isPartial && heaps.size >= cap)
                     passThrough = row // untracked group past the cap
                   else {
                     val h = mutable.PriorityQueue.empty[(Any, InternalRow)]
@@ -144,10 +152,16 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], orderExpr: Expression,
 }
 
 object TopKPerGroup {
-  /** Cap on groups tracked by one PARTIAL-phase task: ~1M groups × k rows
-    * of map-side state. Past it, new groups skip the map-side prune and
-    * ride the shuffle unpruned — graceful degradation to the plain
-    * exchange, never an OOM. Var (not conf-wired) so tests can shrink it. */
+  /** Session-conf override for the partial-phase group cap, read at
+    * planning time by [[TopKStrategy]]:
+    * `spark.conf.set(MaxPartialGroupsKey, n)`. */
+  val MaxPartialGroupsKey = "spark.graft.topk.maxPartialGroups"
+
+  /** Default cap on groups tracked by one PARTIAL-phase task: ~1M groups
+    * × k rows of map-side state. Past it, new groups skip the map-side
+    * prune and ride the shuffle unpruned — graceful degradation to the
+    * plain exchange, never an OOM. Driver-side default (tests shrink it);
+    * the planned value travels to executors as a TopKPerGroupExec field. */
   var MaxPartialGroups: Int = 1 << 20
 }
 
