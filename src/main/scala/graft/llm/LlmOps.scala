@@ -1377,6 +1377,69 @@ object LlmOps extends QueryModule {
     // one corpus scan + a 20-row self-join, vs C² shingle-set
     // intersections. Estimate = matching-lane fraction; MinHashSpec
     // bounds it against the exact source-level shingle Jaccard.
+    // LLM-32: substring-level duplication inventory — the span (not
+    // document) granularity of training-data dedup (exact-substring
+    // dedup à la the suffix-array line of work, recast relationally):
+    // boilerplate, licenses, and templated text repeat as SPANS inside
+    // otherwise-unique documents, invisible to llm1/llm2's whole-doc
+    // keys. Every 8-token window becomes a gram row (a row-local
+    // transform+explode — sequence/slice, NO self-join and no shuffle
+    // until the count); a hash agg with map-side combine counts
+    // occurrences and distinct carrier docs, and only grams occurring
+    // twice survive. At 100 TB the gram STRINGS must not ride the
+    // exchange: group on xxhash64(gram) (8-byte keys, collision rate
+    // ~n²/2⁶⁴), then rehydrate the winners' text via one broadcast
+    // semi-join back onto the gram stream — here the strings shuffle
+    // directly so the DuckDB oracle can hash-match the result.
+    "llm32_span_dup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 7),
+          i => concat_ws(" ", slice(col("t"), i, lit(8))))).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_occ") >= 2)
+        .orderBy(col("n_occ").desc, col("gram"))
+        .limit(50)),
+
+    // LLM-32b: the shuffle-thin twin of llm32 — the gram STRINGS never
+    // ride the count exchange. Pass 1 ships (xxhash64(gram), doc_id) —
+    // 16 B/row — and keeps only hashes occurring twice (tiny). Pass 2
+    // re-derives the gram stream (row-local re-explode) and joins it
+    // against the surviving counts (AQE broadcasts the small side), then
+    // dedups the now-small winner set to attach display strings. Honest
+    // crossover: at local[32] the single-pass llm32 wins (NVMe shuffle is
+    // ~free, the second scan isn't) — this plan pays off where shuffle is
+    // network+replication and grams are wide (char n-grams, sentences):
+    // 16 B/row vs the full text stream through the wire. Same output as
+    // llm32, same DuckDB oracle — xxhash64 collisions are the only
+    // divergence risk (~n²/2⁶⁴; zero at any tested SF, deterministic
+    // either way).
+    "llm32b_span_dup_hashed" -> ((s, d) => {
+      def grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 7),
+          i => concat_ws(" ", slice(col("t"), i, lit(8))))).as("gram"))
+      val counts = grams
+        .select(xxhash64(col("gram")).as("h"), col("doc_id"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_occ") >= 2)
+      grams.withColumn("h", xxhash64(col("gram")))
+        .join(counts, "h")
+        .select(col("gram"), col("n_occ"), col("n_docs")).distinct()
+        .orderBy(col("n_occ").desc, col("gram"))
+        .limit(50)
+    }),
+
     "llm31_source_overlap" -> ((s, d) => {
       val k = 128
       val perDoc = Tables.documents(s, d)
@@ -1639,6 +1702,36 @@ object LlmOps extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "llm32_span_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS g(i)
+        |)
+        |SELECT gram, count(*) AS n_occ,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM grams GROUP BY gram HAVING count(*) >= 2
+        |ORDER BY n_occ DESC, gram LIMIT 50""".stripMargin,
+
+    // llm32b produces llm32's exact output via the hashed two-pass plan —
+    // same oracle
+    "llm32b_span_dup_hashed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS g(i)
+        |)
+        |SELECT gram, count(*) AS n_occ,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM grams GROUP BY gram HAVING count(*) >= 2
+        |ORDER BY n_occ DESC, gram LIMIT 50""".stripMargin,
+
     "llm1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text))

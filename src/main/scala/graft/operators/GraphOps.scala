@@ -99,7 +99,18 @@ object GraphOps extends QueryModule {
                 (coalesce(col("contrib_sum"), lit(0.0)) +
                   col("dm") / lit(n.toDouble))).as("pr"))
         }
-      pr = rc.step(next)
+      // Checkpoint cadence: with the dangling branch LIVE every round must
+      // go eager (pr is referenced twice — lazy rounds double the plan,
+      // the r9 2^iters bug). Dangling-FREE graphs reference pr once, so
+      // plan growth is linear and rounds batch lazily between periodic
+      // cuts (depth ≤ checkEvery — one job per batch, the r8 fast shape);
+      // rc.step still releases the superseded cut either way. The final
+      // round always stays lazy: the caller's own action materializes it,
+      // an eager step here would pay that job twice.
+      pr =
+        if (i == iters) next
+        else if (hasDangling || tol > 0 || i % checkEvery == 0) rc.step(next)
+        else next
       if (tol > 0 && i % checkEvery == 0 && i < iters) {
         val delta = pr
           .join(prev.withColumnRenamed("pr", "pr_prev"), "v")
@@ -123,8 +134,13 @@ object GraphOps extends QueryModule {
     // is conserved — GraphSpec pins Σpr = 1, a hand-computed golden graph,
     // and run-to-run determinism. Rows-only in the driver gate.
     "graph1_pagerank" -> ((s, d) => {
-      val ol = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d),
+      // edge build: the one full-table op in the query — broadcast the
+      // 2-column orders projection (16 B/row) so lineitem never shuffles
+      // for the join; the groupBy is then the only exchange
+      val ol = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"))),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("w"))
