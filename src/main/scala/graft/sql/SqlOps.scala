@@ -172,6 +172,73 @@ object SqlOps extends QueryModule {
       |GROUP BY s_suppkey ORDER BY n_waiting DESC, s_suppkey
       |LIMIT 20""".stripMargin
 
+  // TPC-H Q8 shape: national market share — the 8-table star (part,
+  // lineitem, supplier, orders, customer, nation×2 — the same dim joined
+  // under two roles — region). The share is a double divide of two
+  // exact-decimal sums, so it cannot drift between engines. Catalyst
+  // broadcasts every dimension (part after its selective filters, both
+  // nation roles, region); only the lineitem⋈orders join shuffles.
+  // o_year is CAST to BIGINT on both sides — Spark's EXTRACT returns INT,
+  // DuckDB's BIGINT, and the driver compares schemas.
+  private val Sql8 =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN n2_name = 'NATION_3' THEN vol
+      |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |  CAST(SUM(vol) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS vol,
+      |    n2.n_name AS n2_name
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      |) t
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // TPC-H Q9 shape: product-line profit by supplier nation and year (no
+  // partsupp table in this lake, so profit is the discounted revenue).
+  // The LIKE on p_name prunes part before its broadcast; the grouped year
+  // comes straight from the fact-side timestamp, no re-join needed.
+  private val Sql9 =
+    """SELECT n_name AS nation,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS profit
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // TPC-H Q10 shape: returned-item reporting — top-20 customers by lost
+  // revenue in a two-quarter window. Date range pushes into the orders
+  // scan, the returnflag filter into lineitem; revenue DESC is a safe
+  // sort key under the decimal protocol, c_custkey breaks ties.
+  private val Sql10 =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |  CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql1_pricing_summary"  -> runSql("sql1_pricing_summary") _,
     "sql2_shipping_priority" -> runSql("sql2_shipping_priority") _,
@@ -179,7 +246,10 @@ object SqlOps extends QueryModule {
     "sql4_local_supplier"   -> runSql("sql4_local_supplier") _,
     "sql5_small_quantity"   -> runSql("sql5_small_quantity") _,
     "sql6_large_volume"     -> runSql("sql6_large_volume") _,
-    "sql7_waiting_supplier" -> runSql("sql7_waiting_supplier") _
+    "sql7_waiting_supplier" -> runSql("sql7_waiting_supplier") _,
+    "sql8_market_share"     -> runSql("sql8_market_share") _,
+    "sql9_nation_profit"    -> runSql("sql9_nation_profit") _,
+    "sql10_returned_items"  -> runSql("sql10_returned_items") _
   )
 
   override def oracle: Map[String, String] = Map(
@@ -189,6 +259,9 @@ object SqlOps extends QueryModule {
     "sql4_local_supplier"   -> Sql4,
     "sql5_small_quantity"   -> Sql5,
     "sql6_large_volume"     -> Sql6,
-    "sql7_waiting_supplier" -> Sql7
+    "sql7_waiting_supplier" -> Sql7,
+    "sql8_market_share"     -> Sql8,
+    "sql9_nation_profit"    -> Sql9,
+    "sql10_returned_items"  -> Sql10
   )
 }
