@@ -431,6 +431,44 @@ object Analytics extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // TS-8: classical seasonal decomposition (moving-average STL-lite) of
+    // the global hourly series: y = trend + seasonal + resid, trend a
+    // centered 25-hour moving average, seasonal the mean detrended value
+    // per hour-of-day. Plan: ONE full scan (partial+final hash agg to
+    // O(hours) rows); both windows then run over the metadata-sized hourly
+    // table — the global ORDER BY window is single-partition over O(hours)
+    // rows, the ts4 precedent (at 100 TB the series length is unchanged:
+    // hours, not events). Parity: hourly sums are exact decimals; trend /
+    // seasonal divide exact decimal window sums by exact counts (segment-
+    // tree vs sequential window order cannot flip a ulp on decimals);
+    // multiply-round protocol on the output.
+    "ts8_seasonal_decompose" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(expr("ts div 3600000000000").as("hour_idx"))
+        .agg(sum(col("value").cast("decimal(28,12)")).as("y_dec"))
+      val w = Window.orderBy("hour_idx").rowsBetween(-12, 12)
+      val t = hourly.select(col("hour_idx"),
+        col("y_dec").cast("double").as("y"),
+        (sum("y_dec").over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("trend"))
+      val det = t
+        .withColumn("detr", col("y") - col("trend"))
+        .withColumn("hod", col("hour_idx") % 24)
+      val wh = Window.partitionBy("hod")
+      det
+        .withColumn("seasonal",
+          sum(col("detr").cast("decimal(28,12)")).over(wh).cast("double") /
+            count(lit(1)).over(wh).cast("double"))
+        .select(col("hour_idx"),
+          (round(col("y") * lit(1000000.0)) / lit(1000000.0)).as("y"),
+          (round(col("trend") * lit(1000000.0)) / lit(1000000.0)).as("trend"),
+          (round(col("seasonal") * lit(1000000.0)) / lit(1000000.0))
+            .as("seasonal"),
+          (round((col("detr") - col("seasonal")) * lit(1000000.0)) /
+            lit(1000000.0)).as("resid"))
+        .orderBy("hour_idx")
+    }),
+
     "ts3_zscore_outliers" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
@@ -452,6 +490,36 @@ object Analytics extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "ts8_seasonal_decompose" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+        |    SUM(CAST(value AS DECIMAL(28,12))) AS y_dec
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT hour_idx, CAST(y_dec AS DOUBLE) AS y,
+        |    CAST(SUM(y_dec) OVER w AS DOUBLE) /
+        |    CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY hour_idx
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), d AS (
+        |  SELECT hour_idx, y, trend, y - trend AS detr,
+        |    hour_idx % 24 AS hod
+        |  FROM t
+        |), ss AS (
+        |  SELECT hour_idx, y, trend, detr,
+        |    CAST(SUM(CAST(detr AS DECIMAL(28,12)))
+        |         OVER (PARTITION BY hod) AS DOUBLE) /
+        |    CAST(COUNT(*) OVER (PARTITION BY hod) AS DOUBLE) AS seasonal
+        |  FROM d
+        |)
+        |SELECT hour_idx,
+        |  ROUND(y * 1000000.0)/1000000.0 AS y,
+        |  ROUND(trend * 1000000.0)/1000000.0 AS trend,
+        |  ROUND(seasonal * 1000000.0)/1000000.0 AS seasonal,
+        |  ROUND((detr - seasonal) * 1000000.0)/1000000.0 AS resid
+        |FROM ss ORDER BY hour_idx""".stripMargin,
 
     "win9_sessionize" ->
       """WITH e AS (

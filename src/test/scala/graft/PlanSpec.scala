@@ -328,4 +328,64 @@ class PlanSpec extends SparkSpec {
         s"$name must not move the raw table into one task:\n$p")
     }
   }
+
+  test("llm32: span inventory is join-free — grams explode in-row") {
+    val p = planOf("llm32_span_dup")
+    assert(!p.contains("Join"),
+      s"the window enumeration must be a row-local explode, never a " +
+        s"self-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must compile to top-k, not a full sort:\n$p")
+  }
+
+  test("llm32b: count exchange carries 8-byte hashes, not gram strings") {
+    val p = planOf("llm32b_span_dup_hashed")
+    // the partial-count aggregate upstream of the shuffle must key on the
+    // xxhash64 column; the gram string may only reappear in the second
+    // (rehydration) scan after the survivors filter
+    val ex = p.indexOf("Exchange hashpartitioning(h#")
+    assert(ex >= 0,
+      s"the count shuffle must partition on the hash column:\n$p")
+  }
+
+  test("llm33: JL projection is row-local — no shuffle before the sort") {
+    val p = planOf("llm33_jl_project")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a per-row projection must not shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a per-row projection must not collapse to one task:\n$p")
+  }
+
+  test("ts8: one full scan; windows run over the O(hours) rollup only") {
+    val p = planOf("ts8_seasonal_decompose")
+    // the raw-event scan must collapse to the hourly rollup via ONE
+    // partial+final agg before any window touches it
+    assert(p.contains("partial_sum"),
+      s"hourly rollup must be a partial+final hash agg:\n$p")
+    // the global trend window is single-partition, but only AFTER the
+    // rollup — i.e. downstream of a HashAggregate, never over raw events
+    val idx = p.indexOf("Exchange SinglePartition")
+    assert(idx >= 0 && p.substring(idx).contains("HashAggregate"),
+      s"the single-partition window may only see the hourly table:\n$p")
+  }
+
+  test("sql8: dims broadcast (nation twice), part filter pushed") {
+    val p = planOf("sql8_market_share")
+    val nBc = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBc >= 3,
+      s"expected the dimension chain to broadcast (found $nBc joins):\n$p")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      s"p_type filter must reach the part scan:\n$p")
+  }
+
+  test("sql10: date range and returnflag filters reach the scans") {
+    val p = planOf("sql10_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must reach the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"both date bounds must reach the orders scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT 20 must compile to top-k, not a full sort:\n$p")
+  }
 }
