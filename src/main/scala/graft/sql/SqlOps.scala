@@ -239,6 +239,222 @@ object SqlOps extends QueryModule {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // TPC-H Q6 shape: the forecasting-revenue-change filter — a pure
+  // scan-side predicate stack (date range + discount band + quantity cap)
+  // with a single global sum. At 100 TB this is the canonical
+  // pushdown-or-die query: all three predicates reach the parquet scan
+  // (min/max row-group pruning on l_shipdate), the aggregate ships ONE
+  // decimal per partition. The discount band compares the stored doubles
+  // directly — both engines read identical parquet bits, so the band
+  // membership set cannot differ.
+  private val Sql11 =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // TPC-H Q7 shape: volume shipping between two nations — the same dim
+  // (nation) joined under both trading roles with a symmetric OR pair
+  // predicate that Catalyst CANNOT push to either single scan (it spans
+  // both roles), so it filters after the two broadcast joins; grouped by
+  // the role pair and ship year.
+  private val Sql12 =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(vol) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS vol
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // TPC-H Q2 shape: minimum-cost supplier. This lake has no partsupp, so
+  // the supply relation is DERIVED from lineitem (per-(part,supplier) min
+  // unit price) — same join topology: a CTE consumed TWICE, once as the
+  // fact and once inside a correlated MIN subquery that re-joins the
+  // region star. unit_cost is a single IEEE divide of two stored doubles
+  // (no summation), so MIN and the equality compare are bit-exact on both
+  // engines. Catalyst decorrelates the MIN into a per-partkey aggregate
+  // re-joined to the outer — never a per-row re-scan.
+  private val Sql13 =
+    """WITH supply AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |    MIN(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_name, n_name, p_partkey, p_name,
+      |  CAST(unit_cost AS DOUBLE) AS cost
+      |FROM part
+      |JOIN supply ON pk = p_partkey
+      |JOIN supplier ON sk = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      |  AND unit_cost = (
+      |    SELECT MIN(s2.unit_cost)
+      |    FROM supply s2
+      |    JOIN supplier sp2 ON s2.sk = sp2.s_suppkey
+      |    JOIN nation n2 ON sp2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE s2.pk = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY cost, s_name, p_partkey LIMIT 20""".stripMargin
+
+  // TPC-H Q12 shape: shipping-class counts — conditional CASE-sums over
+  // one joined pair, two complementary tallies per group. (No l_shipmode
+  // column in this lake; o_orderpriority plays the class attribute, the
+  // late-shipment predicate l_shipdate > o_orderdate plays the
+  // commit/receipt lag.) SUMs are CAST BIGINT because DuckDB widens
+  // integer sums to HUGEINT while Spark stays BIGINT.
+  private val Sql14 =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // TPC-H Q13 shape: customer order-count distribution — the classic
+  // histogram-of-a-groupBy: LEFT join (customers with zero orders must
+  // survive as c_count = 0) with an extra ON-clause predicate that must
+  // NOT fall into WHERE (it would turn the join inner), then a second
+  // aggregate over the first's output. COUNT(o_orderkey) over the
+  // null-extended rows gives the zero bucket for free.
+  private val Sql15 =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // TPC-H Q14 shape: promo revenue share — a conditional-sum ratio over
+  // one month. Both sums ride the exact decimal protocol; the 100·x/y is
+  // evaluated on doubles in the same left-to-right order on both engines.
+  // The ELSE branch is a typed decimal zero (the sql8 trick) so the CASE
+  // unifies without an implicit float.
+  private val Sql16 =
+    """SELECT
+      |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_price
+      |                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |  CAST(SUM(disc_price) AS DOUBLE) AS promo_revenue
+      |FROM (
+      |  SELECT p_type,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS disc_price
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00') t""".stripMargin
+
+  // TPC-H Q15 shape: top supplier — a CTE (the reference's CREATE VIEW)
+  // consumed twice: once joined to supplier, once under MAX. The
+  // total_revenue equality is over EXACT decimals (the double cast
+  // happens only in the projection), so ties and the max compare are
+  // engine-independent by construction, not by luck.
+  private val Sql17 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // TPC-H Q16 shape: supplier-count by part attributes — COUNT(DISTINCT)
+  // per 3-attribute group, an IN-list size filter, and a NOT IN
+  // anti-subquery (negative-balance suppliers play the complaints list;
+  // s_suppkey is non-null so NOT IN's three-valued-logic trap is inert,
+  // and Catalyst compiles it to a left-anti join, not a per-row probe).
+  private val Sql18 =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 30""".stripMargin
+
+  // TPC-H Q19 shape: disjunctive multi-attribute predicates — three OR'd
+  // conjunction groups spanning BOTH join sides. Catalyst extracts the
+  // common p/l sub-predicates it can (brand ∈ {...} pushes to part,
+  // quantity ∈ [1,30] to lineitem) and evaluates the full disjunction
+  // post-join; the join key itself stays a plain equi-join, so this stays
+  // a hash join, never a cartesian with filter.
+  private val Sql19 =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#3' AND p_size >= 1 AND p_size <= 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#13' AND p_size >= 1 AND p_size <= 25
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#23' AND p_size >= 1 AND p_size <= 35
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  // TPC-H Q20 shape: part-promotion suppliers — nested IN subqueries
+  // (supplier ← lineitem-agg ← part-name scan) with a grouped HAVING
+  // threshold. (The reference's correlated 0.5·Σqty availability check
+  // needs partsupp; the fixed threshold keeps the nested-IN
+  // decorrelation pattern, which is the point of the shape.) Catalyst
+  // turns both INs into left-semi joins; the part-name LIKE prunes
+  // before anything shuffles.
+  private val Sql20 =
+    """SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gizmo%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(60 AS DECIMAL(18,2)))
+      |ORDER BY s_suppkey""".stripMargin
+
+  // TPC-H Q22 shape: dormant rich customers — an uncorrelated scalar
+  // average threshold plus a NOT EXISTS anti-join. (No c_phone column;
+  // nation plays the country code, and "no orders at all" is vacuous in
+  // this lake so dormancy is "no order since 1999".) The global average
+  // is Σ(decimal)/count evaluated as one double divide — identical on
+  // both engines — because a plain AVG(double) would be partial-agg
+  // order-sensitive in its last ulp and could flip boundary customers.
+  private val Sql21 =
+    """SELECT n_name,
+      |  CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql1_pricing_summary"  -> runSql("sql1_pricing_summary") _,
     "sql2_shipping_priority" -> runSql("sql2_shipping_priority") _,
@@ -249,7 +465,18 @@ object SqlOps extends QueryModule {
     "sql7_waiting_supplier" -> runSql("sql7_waiting_supplier") _,
     "sql8_market_share"     -> runSql("sql8_market_share") _,
     "sql9_nation_profit"    -> runSql("sql9_nation_profit") _,
-    "sql10_returned_items"  -> runSql("sql10_returned_items") _
+    "sql10_returned_items"  -> runSql("sql10_returned_items") _,
+    "sql11_forecast_revenue" -> runSql("sql11_forecast_revenue") _,
+    "sql12_volume_shipping" -> runSql("sql12_volume_shipping") _,
+    "sql13_min_cost_supplier" -> runSql("sql13_min_cost_supplier") _,
+    "sql14_priority_class_counts" -> runSql("sql14_priority_class_counts") _,
+    "sql15_order_count_distribution" -> runSql("sql15_order_count_distribution") _,
+    "sql16_promo_revenue"   -> runSql("sql16_promo_revenue") _,
+    "sql17_top_supplier"    -> runSql("sql17_top_supplier") _,
+    "sql18_supplier_cnt"    -> runSql("sql18_supplier_cnt") _,
+    "sql19_disjunctive_filters" -> runSql("sql19_disjunctive_filters") _,
+    "sql20_part_promotion"  -> runSql("sql20_part_promotion") _,
+    "sql21_sales_opportunity" -> runSql("sql21_sales_opportunity") _
   )
 
   override def oracle: Map[String, String] = Map(
@@ -262,6 +489,17 @@ object SqlOps extends QueryModule {
     "sql7_waiting_supplier" -> Sql7,
     "sql8_market_share"     -> Sql8,
     "sql9_nation_profit"    -> Sql9,
-    "sql10_returned_items"  -> Sql10
+    "sql10_returned_items"  -> Sql10,
+    "sql11_forecast_revenue" -> Sql11,
+    "sql12_volume_shipping" -> Sql12,
+    "sql13_min_cost_supplier" -> Sql13,
+    "sql14_priority_class_counts" -> Sql14,
+    "sql15_order_count_distribution" -> Sql15,
+    "sql16_promo_revenue"   -> Sql16,
+    "sql17_top_supplier"    -> Sql17,
+    "sql18_supplier_cnt"    -> Sql18,
+    "sql19_disjunctive_filters" -> Sql19,
+    "sql20_part_promotion"  -> Sql20,
+    "sql21_sales_opportunity" -> Sql21
   )
 }
