@@ -25,6 +25,10 @@ import graft.{QueryModule, RoundCheckpointer, Tables}
   */
 object GraphOps extends QueryModule {
 
+  /** Broadcast the rank vector while it is dimension-table-sized (~1M rows
+    * ≈ tens of MB hashed); larger graphs shuffle the join instead. */
+  val PagerankBroadcastVertexCap: Long = 1L << 20
+
   /** Weighted PageRank over a directed edge list (src, dst, w) for
     * arbitrary directed graphs — vertices with zero in-edges keep their
     * (1-d)/N teleport mass (the rank vector is rebuilt against the FULL
@@ -61,13 +65,25 @@ object GraphOps extends QueryModule {
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("outw")).as("p"))
       .localCheckpoint()
-    val verts = edges.select(col("src").as("v"))
-      .union(edges.select(col("dst").as("v"))).distinct().localCheckpoint()
-    val n = verts.count()
-    val dangling = verts
-      .join(norm.select(col("src").as("v")).distinct(), Seq("v"), "left_anti")
+    // ONE shuffle inventories the vertex space AND flags out-edge presence
+    // (src rows carry out=1, dst rows out=0; max() ORs them) — replacing
+    // the former distinct + left_anti pair of checkpoints. verts/dangling
+    // below are lazy filters over this one set of in-memory blocks.
+    val vstat = edges.select(col("src").as("v"), lit(1).as("out"))
+      .unionByName(edges.select(col("dst").as("v"), lit(0).as("out")))
+      .groupBy("v").agg(max("out").as("out"))
       .localCheckpoint()
-    val hasDangling = !dangling.isEmpty // O(1) probe of checkpointed blocks
+    val verts = vstat.select("v")
+    val n = vstat.count()
+    val dangling = vstat.filter(col("out") === 0).select("v")
+    val hasDangling = !dangling.isEmpty // one scan of the in-memory blocks
+    // The rank vector is n rows of (v, double). Under ~1M vertices that is
+    // tens of MB — broadcast it into the contribs join so the edge table
+    // (the big side, partitioned by src) never shuffles: each round becomes
+    // map-side join + one partial/final agg. Past the cap the hint is
+    // dropped and the join shuffles on src/v — the only scale-correct plan
+    // when the vertex table itself is cluster-sized.
+    val bcastRanks = n <= PagerankBroadcastVertexCap
     val rc = new RoundCheckpointer
     var pr = verts.withColumn("pr", lit(1.0 / n))
     var prev = pr
@@ -75,7 +91,8 @@ object GraphOps extends QueryModule {
     var converged = false
     while (i < iters && !converged) {
       i += 1
-      val contribs = norm.join(pr, norm("src") === pr("v"))
+      val prSide = if (bcastRanks) broadcast(pr) else pr
+      val contribs = norm.join(prSide, norm("src") === prSide("v"))
         .select(col("dst").as("v"), (col("pr") * col("p")).as("contrib"))
         .groupBy("v")
         .agg(sum(col("contrib").cast("decimal(28,12)"))
@@ -99,18 +116,18 @@ object GraphOps extends QueryModule {
                 (coalesce(col("contrib_sum"), lit(0.0)) +
                   col("dm") / lit(n.toDouble))).as("pr"))
         }
-      // Checkpoint cadence: with the dangling branch LIVE every round must
-      // go eager (pr is referenced twice — lazy rounds double the plan,
-      // the r9 2^iters bug). Dangling-FREE graphs reference pr once, so
-      // plan growth is linear and rounds batch lazily between periodic
-      // cuts (depth ≤ checkEvery — one job per batch, the r8 fast shape);
-      // rc.step still releases the superseded cut either way. The final
-      // round always stays lazy: the caller's own action materializes it,
-      // an eager step here would pay that job twice.
-      pr =
-        if (i == iters) next
-        else if (hasDangling || tol > 0 || i % checkEvery == 0) rc.step(next)
-        else next
+      // Checkpoint EVERY round (the Pregel execution shape). Eagerness is
+      // not just the r9 2^iters fix for the dangling double-reference —
+      // profiled at sf0.1, lazily-batched rounds cost 4.2 s/round vs
+      // 1.2 s eager: inside a deep lazy chain Catalyst has no size stats
+      // for the rank subtree, so the norm⋈pr join falls back to
+      // sort-merge over the full edge table each round, while an eager
+      // cut gives the next round a stats-bearing LogicalRDD (and the
+      // broadcast hint above a materialized build side). rc.step also
+      // releases round i−1's blocks, so storage stays O(n) not O(iters·n).
+      // The final round stays lazy: the caller's own action materializes
+      // it; an eager step here would pay that job twice.
+      pr = if (i == iters) next else rc.step(next)
       if (tol > 0 && i % checkEvery == 0 && i < iters) {
         val delta = pr
           .join(prev.withColumnRenamed("pr", "pr_prev"), "v")
@@ -137,22 +154,34 @@ object GraphOps extends QueryModule {
       // edge build: the one full-table op in the query — broadcast the
       // 2-column orders projection (16 B/row) so lineitem never shuffles
       // for the join; the groupBy is then the only exchange
-      val ol = Tables.lineitem(s, d)
+      // Vertex ids stay LONG through the iteration (parity-encoded:
+      // customer c → 2c, supplier s → 2s+1) — 8-byte keys hash, shuffle
+      // and compare several× cheaper than "c…"/"s…" strings across 5
+      // rounds of join+agg; the human-readable label is reconstructed
+      // only on the final 20-row projection. Both edge directions are
+      // emitted by ONE explode over the aggregated pairs, so the whole
+      // edge table is a single shuffle + a single set of checkpoint
+      // blocks that pagerank's three edge scans then read from memory.
+      val cid = col("o_custkey").cast("long") * 2
+      val sid = col("l_suppkey").cast("long") * 2 + 1
+      val edges = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(broadcast(Tables.orders(s, d)
             .select(col("o_orderkey"), col("o_custkey"))),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("w"))
-        .localCheckpoint() // both edge directions reuse the aggregated pairs
-      val edges = ol.select(
-          concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"), col("w"))
-        .unionByName(ol.select(
-          concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("c"), col("o_custkey")).as("dst"), col("w")))
+        .select(explode(array(
+          struct(cid.as("src"), sid.as("dst"), col("w").as("w")),
+          struct(sid.as("src"), cid.as("dst"), col("w").as("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.w").as("w"))
+        .localCheckpoint()
       pagerank(edges)
-        .select(col("v"), round(col("pr") * lit(1e6)) .as("pr_ppm"))
+        .select(
+          concat(when(col("v") % 2 === 0, lit("c")).otherwise(lit("s")),
+            floor(col("v") / 2).cast("long")).as("v"),
+          round(col("pr") * lit(1e6)).as("pr_ppm"))
         .orderBy(col("pr_ppm").desc, col("v"))
         .limit(20)
     })
