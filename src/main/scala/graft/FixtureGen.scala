@@ -228,6 +228,47 @@ object FixtureGen {
     // the pathGlobFilter must skip this one
     write(s"$Dir/blobs/ignore.txt", "must-not-be-read\n")
 
+    // scan11: XML catalog for Spark 4's built-in XML source. Exercises
+    // attributes (id/kind), nested element arrays (tags/tag), an XML
+    // entity escape (&amp;), an EMPTY child element (<tags/>) and an
+    // ABSENT one — the golden CSV mirror carries the parsed truth the
+    // DuckDB oracle reads (the scan3 golden-dual pattern).
+    write(s"$Dir/media_catalog.xml",
+      """<catalog>
+        |  <media id="1" kind="image">
+        |    <title>sunrise</title>
+        |    <bytes>2048</bytes>
+        |    <tags><tag>nature</tag><tag>sky</tag></tags>
+        |  </media>
+        |  <media id="2" kind="audio">
+        |    <title>rainfall</title>
+        |    <bytes>96000</bytes>
+        |    <tags><tag>ambient</tag></tags>
+        |  </media>
+        |  <media id="3" kind="image">
+        |    <title>skyline &amp; harbor</title>
+        |    <bytes>4096</bytes>
+        |    <tags><tag>city</tag><tag>night</tag><tag>water</tag></tags>
+        |  </media>
+        |  <media id="4" kind="video">
+        |    <title>drone pass</title>
+        |    <bytes>1048576</bytes>
+        |    <tags/>
+        |  </media>
+        |  <media id="5" kind="image">
+        |    <title>meadow</title>
+        |    <bytes>3072</bytes>
+        |  </media>
+        |</catalog>
+        |""".stripMargin)
+    write(s"$Dir/xml_golden.csv",
+      csvQuoteAll(Seq("id", "kind", "title", "bytes", "n_tags"), Seq(
+        Seq("1", "image", "sunrise", "2048", "2"),
+        Seq("2", "audio", "rainfall", "96000", "1"),
+        Seq("3", "image", "skyline & harbor", "4096", "3"),
+        Seq("4", "video", "drone pass", "1048576", "0"),
+        Seq("5", "image", "meadow", "3072", "0"))))
+
     println(s"fixtures written under $Dir")
   }
 }

@@ -247,10 +247,13 @@ object MigrationOps extends QueryModule {
 
   /** QA reconciliation (pseudoace.py:113-124): expected vs actual per-class
     * counts, full-outer so classes lost by the migration AND unexpected new
-    * classes both surface. The catalog is tiny → broadcast. */
+    * classes both surface. No broadcast hint: Spark cannot build a
+    * broadcast hash join for FULL OUTER (the hint only logs a warning per
+    * invocation), and both sides are O(classes) rows — the shuffle is
+    * metadata-sized. */
   def qaReport(s: SparkSession): DataFrame =
     classCounts(importedState(s))
-      .join(broadcast(idCatalog(s)), Seq("class_name"), "full_outer")
+      .join(idCatalog(s), Seq("class_name"), "full_outer")
       .select(col("class_name"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_db"), lit(0L)).as("n_db"),

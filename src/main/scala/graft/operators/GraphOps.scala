@@ -97,7 +97,15 @@ object GraphOps extends QueryModule {
         .groupBy("v")
         .agg(sum(col("contrib").cast("decimal(28,12)"))
           .cast("double").as("contrib_sum"))
-      val base = verts.join(contribs, Seq("v"), "left")
+      // contribs has ≤ n rows (one per receiving vertex) — under the same
+      // cap, broadcast it into the left join so verts never shuffles
+      // either: the whole round then carries exactly ONE exchange (the
+      // contribution aggregate). Statically this join is otherwise a
+      // sort-merge over two stats-less checkpoint leaves; AQE would often
+      // rescue it at runtime, but the eager per-round execution shouldn't
+      // gamble on that (PlanSpec pins the broadcast).
+      val base = verts.join(
+        if (bcastRanks) broadcast(contribs) else contribs, Seq("v"), "left")
       val next =
         if (!hasDangling)
           base.select(col("v"),

@@ -99,6 +99,29 @@ object Scans extends QueryModule {
         .orderBy("fname")
     }),
 
+    // SCAN-11: XML ingest via Spark 4's built-in XML source — the lake
+    // format the reference's ecosystem used for cross-species metadata
+    // interchange. Explicit schema (no inference pass over the file),
+    // rowTag streaming so a many-GB document splits into row-sized parse
+    // units: attributes land as `_`-prefixed fields, nested repeated
+    // elements as array-bearing structs, entity escapes are decoded by
+    // the parser. n_tags distinguishes an EMPTY <tags/> and an ABSENT
+    // tags element (both 0) from populated lists — the null-handling
+    // contract the golden CSV pins.
+    "scan11_xml" -> ((s, _) => {
+      val schema = StructType(Seq(
+        StructField("_id", IntegerType), StructField("_kind", StringType),
+        StructField("title", StringType), StructField("bytes", LongType),
+        StructField("tags", StructType(Seq(
+          StructField("tag", ArrayType(StringType)))))))
+      s.read.option("rowTag", "media").schema(schema)
+        .xml(s"$FixturesDir/media_catalog.xml")
+        .select(col("_id").as("id"), col("_kind").as("kind"), col("title"),
+          col("bytes"),
+          coalesce(size(col("tags.tag")), lit(0)).as("n_tags"))
+        .orderBy("id")
+    }),
+
     // SCAN-6: JSON string column ingest (events.props)
     "scan6_json" -> ((s, d) =>
       Tables.events(s, d)
@@ -489,6 +512,17 @@ object Scans extends QueryModule {
     "scan6_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the golden CSV is the parse ground truth (scan3 pattern): DuckDB has
+    // no XML reader, so the dual-written mirror pins what the XML parser
+    // must produce — including the decoded &amp; entity and the
+    // empty-vs-absent tags contract
+    "scan11_xml" ->
+      s"""SELECT id, kind, title, bytes, n_tags
+         |FROM read_csv('$FixturesDir/xml_golden.csv', header=true,
+         |  columns={'id':'INTEGER','kind':'VARCHAR','title':'VARCHAR',
+         |           'bytes':'BIGINT','n_tags':'INTEGER'})
+         |ORDER BY id""".stripMargin,
 
     "scan7_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice,

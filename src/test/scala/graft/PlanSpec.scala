@@ -388,4 +388,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"LIMIT 20 must compile to top-k, not a full sort:\n$p")
   }
+
+  test("graph1: rank join broadcasts; final-round plan stays ONE round deep") {
+    // Guards both halves of the r9/r10 PageRank findings: (a) the per-round
+    // norm⋈pr join must be a broadcast hash join (a stats-less rank subtree
+    // demoted it to sort-merge over the full edge table, 3-4x slower per
+    // round); (b) the returned frame's plan must contain exactly ONE round
+    // (earlier rounds materialized behind checkpoint leaves) — the 2^iters
+    // lazy-branching bug would multiply join nodes here.
+    val p = planOf("graph1_pagerank")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank-vector join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join in a pagerank round:\n$p")
+    val joins = "HashJoin".r.findAllIn(p).length
+    assert(joins <= 3,
+      s"final-round plan must be one round deep (contribs + base joins), " +
+        s"saw $joins join nodes:\n$p")
+  }
 }
