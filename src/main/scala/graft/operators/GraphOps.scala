@@ -150,6 +150,81 @@ object GraphOps extends QueryModule {
     (pr, i)
   }
 
+  /** Hop-bounded single-source shortest paths (Bellman-Ford relaxation):
+    * dist(v) = minimum total edge weight over paths from `source` with at
+    * most `maxHops` edges — the K-bounded semantics every distributed SSSP
+    * runs under (unbounded convergence is O(diameter) rounds of the same
+    * loop; the bound makes the result well-defined for the oracle).
+    *
+    * Execution recipe mirrors [[pagerank]]: per round ONE join (frontier
+    * against edges partitioned by src) + ONE min-aggregate, the dist
+    * vector broadcast while it is ≤ [[PagerankBroadcastVertexCap]] rows so
+    * the edge table never shuffles; rounds cut eagerly via
+    * [[RoundCheckpointer]] (plan depth and block footprint O(1) in K).
+    * MIN is order-independent — no decimal protocol needed: with integer
+    * weights the result is exact, bit-identical to any engine's answer on
+    * the same path set. Unreachable-within-K vertices are absent (no ∞
+    * sentinel row to disagree over).
+    */
+  def sssp(edges: DataFrame, source: Long, maxHops: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    // dist rows ≤ reachable vertices ≤ distinct dst count: one setup agg
+    // decides the broadcast gate, same cap and rationale as pagerank
+    val bcast =
+      e.select(col("dst").as("v")).distinct().count() <=
+        PagerankBroadcastVertexCap
+    val rc = new RoundCheckpointer
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("dist"))
+    var i = 0
+    while (i < maxHops) {
+      i += 1
+      val dSide = if (bcast) broadcast(dist) else dist
+      val relaxed = e.join(dSide, e("src") === dSide("v"))
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("v").agg(min("dist").as("dist"))
+      dist = if (i == maxHops) next else rc.step(next)
+    }
+    dist
+  }
+
+  /** Purchase graph shared by the graph queries: bidirected customer ↔
+    * supplier edge list, weight = line items traded on that relationship.
+    * Vertex ids stay LONG through the iterations (parity-encoded: customer
+    * c → 2c, supplier s → 2s+1) — 8-byte keys hash, shuffle and compare
+    * several× cheaper than "c…"/"s…" strings across rounds of join+agg;
+    * the human-readable label is reconstructed only on final tiny
+    * projections ([[vertexLabel]]). The 2-column orders projection is
+    * broadcast (16 B/row) so lineitem never shuffles for the join; both
+    * edge directions are emitted by ONE explode over the aggregated pairs,
+    * so the whole edge table is a single shuffle + a single set of
+    * checkpoint blocks the iteration's scans then read from memory. */
+  private def purchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val cid = col("o_custkey").cast("long") * 2
+    val sid = col("l_suppkey").cast("long") * 2 + 1
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+      .select(explode(array(
+        struct(cid.as("src"), sid.as("dst"), col("w").as("w")),
+        struct(sid.as("src"), cid.as("dst"), col("w").as("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.w").as("w"))
+      .localCheckpoint()
+  }
+
+  /** Decode a parity-encoded vertex id back to its "c<id>"/"s<id>" label. */
+  private def vertexLabel(v: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    concat(when(v % 2 === 0, lit("c")).otherwise(lit("s")),
+      floor(v / 2).cast("long"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GRAPH-1 ⚠: supplier/customer authority over the purchase graph —
@@ -159,41 +234,60 @@ object GraphOps extends QueryModule {
     // is conserved — GraphSpec pins Σpr = 1, a hand-computed golden graph,
     // and run-to-run determinism. Rows-only in the driver gate.
     "graph1_pagerank" -> ((s, d) => {
-      // edge build: the one full-table op in the query — broadcast the
-      // 2-column orders projection (16 B/row) so lineitem never shuffles
-      // for the join; the groupBy is then the only exchange
-      // Vertex ids stay LONG through the iteration (parity-encoded:
-      // customer c → 2c, supplier s → 2s+1) — 8-byte keys hash, shuffle
-      // and compare several× cheaper than "c…"/"s…" strings across 5
-      // rounds of join+agg; the human-readable label is reconstructed
-      // only on the final 20-row projection. Both edge directions are
-      // emitted by ONE explode over the aggregated pairs, so the whole
-      // edge table is a single shuffle + a single set of checkpoint
-      // blocks that pagerank's three edge scans then read from memory.
-      val cid = col("o_custkey").cast("long") * 2
-      val sid = col("l_suppkey").cast("long") * 2 + 1
-      val edges = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(broadcast(Tables.orders(s, d)
-            .select(col("o_orderkey"), col("o_custkey"))),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey"), col("l_suppkey"))
-        .agg(count(lit(1)).as("w"))
-        .select(explode(array(
-          struct(cid.as("src"), sid.as("dst"), col("w").as("w")),
-          struct(sid.as("src"), cid.as("dst"), col("w").as("w")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"),
-          col("e.w").as("w"))
-        .localCheckpoint()
-      pagerank(edges)
-        .select(
-          concat(when(col("v") % 2 === 0, lit("c")).otherwise(lit("s")),
-            floor(col("v") / 2).cast("long")).as("v"),
+      pagerank(purchaseEdges(s, d))
+        .select(vertexLabel(col("v")).as("v"),
           round(col("pr") * lit(1e6)).as("pr_ppm"))
         .orderBy(col("pr_ppm").desc, col("v"))
         .limit(20)
+    }),
+
+    // GRAPH-2: cheapest supply paths — 4-hop-bounded Bellman-Ford from
+    // customer 1 over the purchase graph, edge cost = line items traded
+    // (an odd metric commercially, but it exercises the general weighted
+    // relaxation; hop parity means even dist-updates land on customers,
+    // odd on suppliers). Exact DuckDB oracle: the K-bounded recursion
+    // unrolls to K min-aggregated join levels (frontier explosion is
+    // impossible — each level is collapsed to one MIN row per vertex
+    // before the next), integer arithmetic end-to-end, ORDER BY (dist,
+    // label) total order, nearest 30.
+    "graph2_sssp" -> ((s, d) => {
+      sssp(purchaseEdges(s, d), source = 2L, maxHops = 4)
+        .select(vertexLabel(col("v")).as("v"), col("dist"))
+        .orderBy(col("dist"), col("v"))
+        .limit(30)
     })
   )
 
-  def oracle: Map[String, String] = Map.empty
+  def oracle: Map[String, String] = Map(
+    "graph2_sssp" -> """
+      |WITH pairs AS (
+      |  SELECT o_custkey * 2 AS cid, l_suppkey * 2 + 1 AS sid,
+      |         COUNT(*) AS w
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT cid AS src, sid AS dst, w FROM pairs
+      |  UNION ALL
+      |  SELECT sid AS src, cid AS dst, w FROM pairs),
+      |d0(v, dist) AS (SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+      |r1 AS (SELECT e.dst AS v, MIN(d.dist + e.w) AS dist
+      |       FROM d0 d JOIN edges e ON e.src = d.v GROUP BY 1),
+      |d1 AS (SELECT v, MIN(dist) AS dist FROM
+      |       (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY v),
+      |r2 AS (SELECT e.dst AS v, MIN(d.dist + e.w) AS dist
+      |       FROM d1 d JOIN edges e ON e.src = d.v GROUP BY 1),
+      |d2 AS (SELECT v, MIN(dist) AS dist FROM
+      |       (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY v),
+      |r3 AS (SELECT e.dst AS v, MIN(d.dist + e.w) AS dist
+      |       FROM d2 d JOIN edges e ON e.src = d.v GROUP BY 1),
+      |d3 AS (SELECT v, MIN(dist) AS dist FROM
+      |       (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY v),
+      |r4 AS (SELECT e.dst AS v, MIN(d.dist + e.w) AS dist
+      |       FROM d3 d JOIN edges e ON e.src = d.v GROUP BY 1),
+      |d4 AS (SELECT v, MIN(dist) AS dist FROM
+      |       (SELECT * FROM d3 UNION ALL SELECT * FROM r4) GROUP BY v)
+      |SELECT (CASE WHEN v % 2 = 0 THEN 'c' ELSE 's' END ||
+      |        CAST(v // 2 AS VARCHAR)) AS v, dist
+      |FROM d4 ORDER BY dist, v LIMIT 30""".stripMargin
+  )
 }
