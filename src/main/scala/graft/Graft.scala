@@ -75,6 +75,8 @@ object Graft {
       .withExtensions(graft.functions.VectorExtensions.apply)
       // theta sketch aggregate + set-algebra estimators (agg22)
       .withExtensions(graft.functions.ThetaExtensions.apply)
+      // count-min aggregate + join-size inner product (prof2b)
+      .withExtensions(graft.functions.CmsExtensions.apply)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -1064,6 +1064,39 @@ object Relational extends QueryModule {
         .filter(col("n") >= 45)
         .select(col("l_partkey"), estimate(col("l_partkey")).as("est_n"))
         .orderBy("l_partkey")
+    }),
+
+    // PROF-2: exact join-cardinality prediction — the planner question
+    // behind every broadcast/shuffle/salt decision (join13/join15): how
+    // many rows would joining on this key produce? |A⋈B| = Σ_k cA(k)·cB(k);
+    // the self-join on l_partkey is the worst-case probe (Σ c², the pair
+    // blow-up a dedup or similarity stage would pay). The plan never runs
+    // the join it predicts: one map-side-combined groupBy collapses the
+    // shuffle to ~|keys| count rows, then a 1-row total — at 100 TB this
+    // costs a scan + |keys| exchange vs the join's |result| ≫ |input|.
+    // max_key_rows is the skew diagnostic (salting trigger).
+    "prof2_join_cardinality" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("self_join_pairs"),
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_key_rows"))),
+
+    // PROF-2b ⚠: the same prediction from FIXED-size state — CMS inner
+    // product (functions/CmsSketch.scala). One pass per side builds a
+    // d×w sketch (~80 KB) with map-side combine shipping one sketch per
+    // task; the estimate min_i Σ_j A[i][j]·B[i][j] is biased UP only and
+    // within (e/w)·N_A·N_B w.h.p. — ApproxSpec pins both bounds against
+    // the exact join count. Here: how many (R-flag, A-flag) line-item
+    // pairs share a part, without grouping or joining anything.
+    "prof2b_join_cardinality_cms" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sa = li.filter(col("l_returnflag") === "R")
+        .agg(expr("cms_sketch_agg(l_partkey)").as("cms_r"))
+      val sb = li.filter(col("l_returnflag") === "A")
+        .agg(expr("cms_sketch_agg(l_partkey)").as("cms_a"))
+      sa.crossJoin(sb)
+        .select(expr("cms_inner_product(cms_r, cms_a)").as("est_pairs"))
     })
   )
 
@@ -1447,6 +1480,13 @@ object Relational extends QueryModule {
          |  CAST(MIN($c) AS STRING) AS min_s, CAST(MAX($c) AS STRING) AS max_s
          |FROM lineitem""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    // SUM(c*c) in DuckDB widens to HUGEINT — cast back to match Spark's
+    // 64-bit sum (the true value fits comfortably at any test SF)
+    "prof2_join_cardinality" ->
+      """SELECT CAST(SUM(c * c) AS BIGINT) AS self_join_pairs,
+        |  COUNT(*) AS n_keys, MAX(c) AS max_key_rows
+        |FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)""".stripMargin,
 
     "samp1_hash_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

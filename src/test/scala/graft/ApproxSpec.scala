@@ -226,6 +226,22 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("prof2b: CMS inner product brackets the exact join cardinality") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, Sf0001)
+    val a = li.filter(col("l_returnflag") === "R").select("l_partkey")
+    val b = li.filter(col("l_returnflag") === "A").select("l_partkey")
+    val exact = a.join(b, "l_partkey").count()
+    val est = SparkEntry.queries("prof2b_join_cardinality_cms")(spark, Sf0001)
+      .collect()(0).getLong(0)
+    // lower bound is deterministic: colliding keys only ADD cross terms
+    assert(est >= exact, s"CMS inner product $est under exact $exact")
+    // upper bound holds with prob 1-e^-d; seed-fixed hashes make it a
+    // deterministic outcome for this dataset
+    val slack = (math.E / 2048 * a.count() * b.count()).ceil.toLong
+    assert(est <= exact + slack, s"$est above $exact + $slack")
+  }
+
   test("llm2: LSH near-dup output equals the exact all-pairs baseline") {
     // with b=32,r=4 and the corpus's bimodal jaccard the miss probability is
     // ~5e-8 — the LSH path must reproduce the exact result on sf0.001
