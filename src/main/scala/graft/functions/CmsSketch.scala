@@ -52,14 +52,19 @@ case class CmsAgg(
       s"cms_sketch_agg expects an integral key, got ${t.catalogString}")
   }
 
-  // slot 0 carries depth so the scalar side needs no config coupling
-  override def createAggregationBuffer(): Array[Long] =
-    new Array[Long](1 + depth * width)
+  // slot 0 carries depth so the scalar side needs no config coupling;
+  // stamped at CREATION, not first update — an empty partition's sketch
+  // must still carry its shape (PropertySpec found the update-only stamp
+  // crashing the inner product on empty sides)
+  override def createAggregationBuffer(): Array[Long] = {
+    val buf = new Array[Long](1 + depth * width)
+    buf(0) = depth
+    buf
+  }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      buf(0) = depth
       val key = v match {
         case l: Long => l
         case i: Int => i.toLong
@@ -79,11 +84,8 @@ case class CmsAgg(
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    if (b(0) != 0) {
-      a(0) = b(0)
-      var i = 1
-      while (i < a.length) { a(i) += b(i); i += 1 }
-    }
+    var i = 1
+    while (i < a.length) { a(i) += b(i); i += 1 }
     a
   }
 

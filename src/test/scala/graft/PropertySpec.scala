@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SchkTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CmsAgg, CmsInnerProduct, CosineSim, MinHashSig, RollingHash64}
+
+/** Algebraic laws the distributed execution model depends on, checked by
+  * ScalaCheck over randomized inputs. Every property here is the pure
+  * (interpreted-eval) core of an expression whose DISTRIBUTED correctness
+  * reduces to exactly this law: sketch merge must equal single-pass build
+  * (map-side combine), minhash must be a semilattice hom (mergeable
+  * signatures), rolling hash must satisfy its own recurrence (incremental
+  * fingerprinting). No SparkSession — hundreds of cases run in-process. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(label: String, p: Prop): Unit = {
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$label: $res")
+  }
+
+  private def strArray(xs: Seq[String]): ArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  private val tokens: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dog", "cat", "xyzzy", "q",
+      "lorem", "ipsum", "42"))
+
+  // ---- MinHashSig: semilattice homomorphism --------------------------
+
+  test("minhash: sig(A ++ B) is the elementwise min of sig(A), sig(B)") {
+    val expr = MinHashSig(BoundReference(0, ArrayType(StringType), true), 16)
+    def sig(xs: Seq[String]): Array[Long] =
+      expr.nullSafeEval(strArray(xs)).asInstanceOf[ArrayData].toLongArray()
+    check("minhash-merge", Prop.forAll(tokens, tokens) { (a, b) =>
+      val merged = sig(a ++ b)
+      val expect = sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+      merged.sameElements(expect)
+    })
+  }
+
+  test("minhash: signature has set semantics (order and dups irrelevant)") {
+    val expr = MinHashSig(BoundReference(0, ArrayType(StringType), true), 16)
+    def sig(xs: Seq[String]): Seq[Long] =
+      expr.nullSafeEval(strArray(xs)).asInstanceOf[ArrayData].toLongArray().toSeq
+    check("minhash-set", Prop.forAll(tokens) { a =>
+      sig(a) == sig(scala.util.Random.shuffle(a ++ a))
+    })
+  }
+
+  // ---- CmsAgg: map-side combine correctness --------------------------
+
+  private def cmsOf(keys: Seq[Long], depth: Int = 3, width: Int = 64)
+  : Array[Long] = {
+    val agg = CmsAgg(BoundReference(0, LongType, true), depth, width)
+    val buf = agg.createAggregationBuffer()
+    keys.foreach(k => agg.update(buf, new GenericInternalRow(Array[Any](k))))
+    buf
+  }
+
+  private val keys: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, 40L))
+
+  test("cms: merging per-partition sketches equals the single-pass sketch") {
+    val agg = CmsAgg(BoundReference(0, LongType, true), 3, 64)
+    check("cms-merge", Prop.forAll(keys, keys) { (a, b) =>
+      val merged = agg.merge(cmsOf(a), cmsOf(b))
+      merged.sameElements(cmsOf(a ++ b))
+    })
+  }
+
+  test("cms: serialization round-trips") {
+    val agg = CmsAgg(BoundReference(0, LongType, true), 3, 64)
+    check("cms-serde", Prop.forAll(keys) { a =>
+      agg.deserialize(agg.serialize(cmsOf(a))).sameElements(cmsOf(a))
+    })
+  }
+
+  test("cms: inner product never underestimates the true join size") {
+    val ip = CmsInnerProduct(
+      BoundReference(0, BinaryType, true), BoundReference(1, BinaryType, true))
+    val agg = CmsAgg(BoundReference(0, LongType, true), 3, 64)
+    check("cms-lower-bound", Prop.forAll(keys, keys) { (a, b) =>
+      val est = ip.nullSafeEval(agg.serialize(cmsOf(a)), agg.serialize(cmsOf(b)))
+        .asInstanceOf[Long]
+      val ca = a.groupBy(identity).view.mapValues(_.size.toLong)
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong)
+      val exact = ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+      est >= exact
+    })
+  }
+
+  // ---- CosineSim: interpreted eval matches the reference formula -----
+
+  private val vec: Gen[Array[Float]] =
+    Gen.listOfN(8, Gen.choose(-4.0f, 4.0f)).map(_.toArray)
+
+  test("cosine_sim: matches the double-accumulated reference formula") {
+    val expr = CosineSim(
+      BoundReference(0, ArrayType(FloatType), true),
+      BoundReference(1, ArrayType(FloatType), true))
+    check("cosine-ref", Prop.forAll(vec, vec) { (a, b) =>
+      val got = expr.nullSafeEval(
+        new GenericArrayData(a.map(x => x: Any)),
+        new GenericArrayData(b.map(x => x: Any)))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0.0 || nb == 0.0) got == null
+      else math.abs(got.asInstanceOf[Double] - dot / na / nb) < 1e-9
+    })
+  }
+
+  // ---- RollingHash64: its own recurrence -----------------------------
+
+  test("rolling_hash64: satisfies h(toks :+ t) = 31*h(toks) + xx64(t)") {
+    val expr = RollingHash64(BoundReference(0, StringType, true))
+    def h(text: String): Long =
+      expr.nullSafeEval(UTF8String.fromString(text)).asInstanceOf[Long]
+    val word = Gen.oneOf("a", "bb", "ccc", "dog", "lorem")
+    check("rolling-recurrence",
+      Prop.forAll(Gen.nonEmptyListOf(word), word) { (toks, t) =>
+        val xx = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(UTF8String.fromString(t), StringType, 42L)
+        h((toks :+ t).mkString(" ")) == 31L * h(toks.mkString(" ")) + xx
+      })
+  }
+}
