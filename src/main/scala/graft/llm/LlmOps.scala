@@ -4,6 +4,7 @@ import graft.{QueryModule, RoundCheckpointer, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** SURVEY.md §2.10 + north-star training-data-pipeline operators over
   * `documents` / `embeddings`.
@@ -326,7 +327,14 @@ object LlmOps extends QueryModule {
           .join(cb, "sub")
           .select(col("sub"), col("cent_id").as("code"),
             l2sq(col("qsub"), col("cent")).as("pdist"))
-    val codes = s.read.parquet(s"$store/codes")
+    // explicit schema: the codes table is partitionBy("cell") — a store
+    // built from an empty index has no parquet footer to infer from
+    // (EmptyAudit), and a production serve path pins its index schema
+    // anyway. PqSpec's parity tests certify the pinned shape.
+    val codesSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("sub", IntegerType),
+      StructField("code", IntegerType), StructField("cell", LongType)))
+    val codes = s.read.schema(codesSchema).parquet(s"$store/codes")
       .filter(col("cell").isin(probeCells.map(Long.box): _*))
     val joinKeys = if (residual) Seq("cell", "sub", "code") else Seq("sub", "code")
     val shortlist = codes.join(broadcast(lut), joinKeys)

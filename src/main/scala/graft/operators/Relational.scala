@@ -273,12 +273,22 @@ object Relational extends QueryModule {
     "join12_bloom_prune" -> ((s, d) => {
       val dim = Tables.part(s, d).filter(col("p_size") === 15)
         .select("p_partkey", "p_brand")
-      val bf = dim.stat.bloomFilter("p_partkey",
-        expectedNumItems = 1000000L, fpp = 0.01)
-      val bc = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+      // empty dim: stat.bloomFilter aggregates to null (no rows → no
+      // buffer) and deserializing it NPEs — the correct prune for an
+      // empty build side is "nothing can match" (EmptyAudit finding)
+      val bfOpt =
+        if (dim.isEmpty) None
+        else Some(dim.stat.bloomFilter("p_partkey",
+          expectedNumItems = 1000000L, fpp = 0.01))
+      val prune = bfOpt match {
+        case Some(bf) =>
+          val bc = s.sparkContext.broadcast(bf)
+          val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+          mightContain(col("l_partkey"))
+        case None => lit(false)
+      }
       Tables.lineitem(s, d)
-        .filter(mightContain(col("l_partkey")))
+        .filter(prune)
         .select("l_partkey", "l_extendedprice")
         .join(dim, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
@@ -302,16 +312,19 @@ object Relational extends QueryModule {
       // at that path is regenerated, and check-then-write races under
       // concurrent suites. TmpStores deletes it on JVM exit.
       val store = graft.TmpStores.scratch("join14_events")
-      Tables.events(s, d)
+      val fact = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("value"),
           col("event_type"))
-        .write.mode("overwrite").partitionBy("event_type").parquet(store)
+      fact.write.mode("overwrite").partitionBy("event_type").parquet(store)
       val dimPath = graft.TmpStores.scratch("join14_dim")
       Seq(("click", "engagement"), ("purchase", "conversion"),
         ("view", "engagement"), ("signup", "conversion"),
         ("error", "ops")).toDF("event_type", "category")
         .write.mode("overwrite").parquet(dimPath)
-      s.read.parquet(store)
+      // explicit schema: an all-empty partitioned write leaves no footer
+      // to infer from (EmptyAudit), and production readers of a
+      // partitioned store should pin schema anyway
+      s.read.schema(fact.schema).parquet(store)
         .join(s.read.parquet(dimPath)
           .filter(col("category") === "conversion"), "event_type")
         .groupBy("event_type")

@@ -222,10 +222,12 @@ object Scans extends QueryModule {
     // SINK-3: partitioned sink (per-class split dump, runcommand.py:137)
     "sink3_partitioned" -> ((s, d) => {
       val out = s"$SinkDir/sink3_part"
-      Tables.lineitem(s, d)
+      val src = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-      s.read.parquet(out)
+      src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      // explicit schema: an all-empty partitioned write leaves no footer
+      // to infer from (EmptyAudit finding)
+      s.read.schema(src.schema).parquet(out)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag")

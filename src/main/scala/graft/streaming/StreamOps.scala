@@ -513,10 +513,20 @@ object StreamOps extends QueryModule {
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
           .parquet(src),
         s"$tmp/store", s"$tmp/ckpt", appId = "strm15")
-      val replay = commitBatchCounts(
-        s.read.parquet(src), s"$tmp/store", "strm15", batchId = 3L)
-      require(replay.isLeft, s"replayed batch must be skipped, got $replay")
-      VersionedStore.read(s, s"$tmp/store").orderBy("user_id")
+      // replay whatever batch ACTUALLY committed last (= 3 with the 4-file
+      // source; an EMPTY source commits no batch, so there is nothing to
+      // replay and the store is legitimately version-less)
+      VersionedStore.lastTxn(s"$tmp/store", "strm15") match {
+        case Some(last) =>
+          val replay = commitBatchCounts(
+            s.read.parquet(src), s"$tmp/store", "strm15", batchId = last)
+          require(replay.isLeft,
+            s"replayed batch $last must be skipped, got $replay")
+          VersionedStore.read(s, s"$tmp/store").orderBy("user_id")
+        case None =>
+          import s.implicits._
+          Seq.empty[(Long, Long)].toDF("user_id", "n_events")
+      }
     })
   )
 
