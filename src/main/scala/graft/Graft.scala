@@ -77,6 +77,8 @@ object Graft {
       .withExtensions(graft.functions.ThetaExtensions.apply)
       // count-min aggregate + join-size inner product (prof2b)
       .withExtensions(graft.functions.CmsExtensions.apply)
+      // DDSketch quantile aggregate + quantile estimators (agg23)
+      .withExtensions(graft.functions.DdsExtensions.apply)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -138,11 +140,22 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events.ts arrives as LongType nanos (nanosAsLong=true); expose both the
-    * raw nanos (`ts`) and a proper TimestampType `event_ts` (µs precision —
-    * the generator's values are µs-granular, so `div 1000` is lossless).
+  /** events.ts — the generated lake has carried this column under TWO
+    * physical encodings across rounds: INT64 TIMESTAMP(NANOS) (surfaced as
+    * LongType nanos via nanosAsLong=true) and plain TIMESTAMP µs. The
+    * loader normalizes so every downstream operator sees ONE contract:
+    * `ts` = LongType nanos since epoch, `event_ts` = TimestampType µs.
+    * µs-encoded inputs convert exactly (×1000); NTZ wall-clock reads as a
+    * UTC instant (session tz is pinned UTC), which is also how the DuckDB
+    * oracle's epoch_us(ts) treats naive timestamps — parity preserved.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    val norm = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+    norm.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

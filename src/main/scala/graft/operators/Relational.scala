@@ -933,6 +933,32 @@ object Relational extends QueryModule {
             col("ska"), col("skb"))).cast("long").as("est_overlap"))
     }),
 
+    // AGG-23: DDSketch quantile sketch — mergeable QUANTILE state next to
+    // the cardinality sketches (HLL/theta/CMS), and the only sketch family
+    // here whose result the DuckDB oracle can HASH-MATCH: the log-bucket
+    // mapping ⌈ln(x)/ln(γ)⌉ is deterministic and insertion-order-free, so
+    // the sketch is a pure function of the value multiset (t-digest is
+    // not — centroids depend on merge order). Per group the shuffle
+    // carries one bucket→count map (~hundreds of 12 B entries), never
+    // rows; p50/p95 come off the 1-row final stage. Bucket indices are
+    // exact BIGINTs; value estimates 2γⁱ/(γ+1) round to 2 dp because pow
+    // differs by 1 ulp across libms (protocol in DdSketch.scala).
+    // Mergeability (sketch(A⊎B) ≡ merge bytes) is pinned by DdsSpec.
+    "agg23_ddsketch_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          call_function("dds_sketch_agg", col("l_extendedprice"), lit(0.01))
+            .as("sk"))
+        .select(col("l_returnflag"), col("n_items"),
+          call_function("dds_quantile_bucket", col("sk"), lit(0.5))
+            .as("p50_bucket"),
+          call_function("dds_quantile", col("sk"), lit(0.5)).as("p50_est"),
+          call_function("dds_quantile_bucket", col("sk"), lit(0.95))
+            .as("p95_bucket"),
+          call_function("dds_quantile", col("sk"), lit(0.95)).as("p95_est"))
+        .orderBy("l_returnflag")),
+
     // AGG-21 ⚠: rolling distinct users from DAILY HLL SKETCHES — sketch
     // algebra over a window frame: persist one sketch per day (the agg16
     // rollup pattern), answer "7-day distinct users" for every day by
@@ -1519,6 +1545,38 @@ object Relational extends QueryModule {
     "agg17_heavy_hitters" ->
       """SELECT l_partkey, count(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING count(*) >= 45
-        |ORDER BY n DESC, l_partkey""".stripMargin
+        |ORDER BY n DESC, l_partkey""".stripMargin,
+
+    // the oracle REPLICATES the deterministic log-bucketing in plain SQL
+    // (⌈ln(x)/ln(γ)⌉, γ interpolated from the same Scala double both
+    // engines round-trip); rank ⌊q·(n−1)⌋+1 is exact in DuckDB's DECIMAL
+    // literals and in the sketch's integer arithmetic; value estimates
+    // round to 2 dp (pow differs by 1 ulp across libms — DdSketch.scala)
+    "agg23_ddsketch_quantile" -> {
+      val g = s"CAST(${(1 + 0.01) / (1 - 0.01)} AS DOUBLE)"
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |    CAST(CEIL(LN(l_extendedprice) / LN($g)) AS BIGINT) AS i,
+         |    COUNT(*) AS c
+         |  FROM lineitem GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT l_returnflag, i,
+         |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY i) AS cum,
+         |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM b),
+         |q AS (
+         |  SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_items,
+         |    MIN(CASE WHEN cum >= FLOOR(0.5 * (n - 1)) + 1 THEN i END)
+         |      AS p50_bucket,
+         |    MIN(CASE WHEN cum >= FLOOR(0.95 * (n - 1)) + 1 THEN i END)
+         |      AS p95_bucket
+         |  FROM cum GROUP BY 1)
+         |SELECT l_returnflag, n_items,
+         |  p50_bucket,
+         |  ROUND(2 * POWER($g, p50_bucket) / ($g + 1), 2) AS p50_est,
+         |  p95_bucket,
+         |  ROUND(2 * POWER($g, p95_bucket) / ($g + 1), 2) AS p95_est
+         |FROM q ORDER BY l_returnflag""".stripMargin
+    }
   )
 }
