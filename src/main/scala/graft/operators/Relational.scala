@@ -959,6 +959,37 @@ object Relational extends QueryModule {
           call_function("dds_quantile", col("sk"), lit(0.95)).as("p95_est"))
         .orderBy("l_returnflag")),
 
+    // AGG-24: rolling 7-day p50/p95 from DAILY DDSKETCHES — the agg21
+    // rolling-HLL shape applied to QUANTILES: one scan builds a per-day
+    // sketch, then every 7-day window is answered by merging 7
+    // KB-sized bucket maps (dds_merge_agg over a row frame) — the raw
+    // events are scanned ONCE ever; an exact formulation re-sorts the
+    // raw rows per window. The window runs over O(days) rows
+    // (metadata-sized — the ts4 single-partition justification). Row
+    // frame -6..0 over OBSERVED days (agg21's contract; this lake has
+    // every day populated, so row frame == calendar frame). Unlike
+    // agg21 this one HASH-MATCHES: deterministic log buckets, the
+    // zero bucket (value ≤ 0 — present at sf0.1) surfaces as
+    // Long.MinValue in both engines, rank/estimate protocol as agg23.
+    "agg24_rolling_quantile" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_format(col("event_ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          call_function("dds_sketch_agg", col("value"), lit(0.01)).as("sk"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily.select(col("day"),
+          sum(col("n")).over(w).as("n_7d"),
+          call_function("dds_merge_agg", col("sk")).over(w).as("sk7"))
+        .select(col("day"), col("n_7d"),
+          call_function("dds_quantile_bucket", col("sk7"), lit(0.5))
+            .as("p50_bucket"),
+          call_function("dds_quantile", col("sk7"), lit(0.5)).as("p50_est"),
+          call_function("dds_quantile_bucket", col("sk7"), lit(0.95))
+            .as("p95_bucket"),
+          call_function("dds_quantile", col("sk7"), lit(0.95)).as("p95_est"))
+        .orderBy("day")
+    }),
+
     // AGG-21 ⚠: rolling distinct users from DAILY HLL SKETCHES — sketch
     // algebra over a window frame: persist one sketch per day (the agg16
     // rollup pattern), answer "7-day distinct users" for every day by
@@ -1577,6 +1608,52 @@ object Relational extends QueryModule {
          |  p95_bucket,
          |  ROUND(2 * POWER($g, p95_bucket) / ($g + 1), 2) AS p95_est
          |FROM q ORDER BY l_returnflag""".stripMargin
+    },
+
+    // daily log-bucket histograms merged over a 7-ROW day window (same
+    // frame as the Spark query); the zero bucket (value ≤ 0) carries the
+    // Long.MinValue sentinel in BOTH engines so ordering and rank
+    // arithmetic treat it as below every positive bucket
+    "agg24_rolling_quantile" -> {
+      val g = s"CAST(${(1 + 0.01) / (1 - 0.01)} AS DOUBLE)"
+      val zb = Long.MinValue.toString
+      s"""WITH e AS (
+         |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |    CASE WHEN value > 0 AND NOT isnan(value) AND NOT isinf(value)
+         |         THEN CAST(CEIL(LN(value) / LN($g)) AS BIGINT)
+         |         ELSE CAST('$zb' AS BIGINT) END AS i
+         |  FROM events),
+         |db AS (SELECT day, i, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         |days AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn
+         |         FROM (SELECT DISTINCT day FROM e)),
+         |m AS (
+         |  SELECT d2.day AS day, b.i, SUM(b.c) AS c
+         |  FROM days d2
+         |  JOIN days d1 ON d1.rn BETWEEN d2.rn - 6 AND d2.rn
+         |  JOIN db b ON b.day = d1.day
+         |  GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT day, i,
+         |    SUM(c) OVER (PARTITION BY day ORDER BY i) AS cum,
+         |    SUM(c) OVER (PARTITION BY day) AS n
+         |  FROM m),
+         |q AS (
+         |  SELECT day, CAST(MAX(n) AS BIGINT) AS n_7d,
+         |    MIN(CASE WHEN cum >= FLOOR(0.5 * (n - 1)) + 1 THEN i END)
+         |      AS p50_bucket,
+         |    MIN(CASE WHEN cum >= FLOOR(0.95 * (n - 1)) + 1 THEN i END)
+         |      AS p95_bucket
+         |  FROM cum GROUP BY 1)
+         |SELECT day, n_7d,
+         |  p50_bucket,
+         |  CASE WHEN p50_bucket = CAST('$zb' AS BIGINT) THEN 0.0
+         |       ELSE ROUND(2 * POWER($g, p50_bucket) / ($g + 1), 2)
+         |  END AS p50_est,
+         |  p95_bucket,
+         |  CASE WHEN p95_bucket = CAST('$zb' AS BIGINT) THEN 0.0
+         |       ELSE ROUND(2 * POWER($g, p95_bucket) / ($g + 1), 2)
+         |  END AS p95_est
+         |FROM q ORDER BY day""".stripMargin
     }
   )
 }
