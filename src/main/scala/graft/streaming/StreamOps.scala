@@ -39,6 +39,26 @@ object StreamOps extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("ws_us"), col("n"))
 
+  /** STRM-16: per-window value quantiles from a MERGEABLE sketch — the
+    * streaming-quantile story: exact quantiles need the window's full
+    * sorted multiset (unbounded state), but DDSketch state folds
+    * micro-batch rows bucket-wise, so the emitted quantile is exactly
+    * the sketch of the window's whole multiset no matter how rows split
+    * across batches (DdsSpec's merge law). State per open window is one
+    * KB-scale bucket map, evicted once the watermark closes the window.
+    * 1-hour tumbling (vs strm1's 10-min) — a second window granularity. */
+  def windowedQuantiles(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("event_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        call_function("dds_sketch_agg", col("value"), lit(0.01)).as("sk"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("n"),
+        call_function("dds_quantile_bucket", col("sk"), lit(0.5))
+          .as("p50_bucket"),
+        call_function("dds_quantile", col("sk"), lit(0.5)).as("p50_est"),
+        call_function("dds_quantile_bucket", col("sk"), lit(0.95))
+          .as("p95_bucket"),
+        call_function("dds_quantile", col("sk"), lit(0.95)).as("p95_est"))
+
   /** STRM-3: 30-minute-gap session windows per user. */
   def sessionAgg(ev: DataFrame): DataFrame =
     ev.groupBy(session_window(col("event_ts"), "30 minutes"), col("user_id"))
@@ -162,6 +182,11 @@ object StreamOps extends QueryModule {
     * batch). */
   def tumblingAggStream(ev: DataFrame, watermark: String = "1 hour"): DataFrame =
     tumblingAgg(ev.withWatermark("event_ts", watermark))
+
+  /** STRM-16 streaming: watermarked windowed quantiles — sketch state
+    * accumulates across micro-batches and is dropped with the window. */
+  def windowedQuantilesStream(ev: DataFrame, watermark: String = "1 hour"): DataFrame =
+    windowedQuantiles(ev.withWatermark("event_ts", watermark))
 
   /** STRM-5 streaming: exactly-once dedup with watermark-bounded state —
     * the dedup key state for event ids older than the watermark is dropped
@@ -527,7 +552,14 @@ object StreamOps extends QueryModule {
           import s.implicits._
           Seq.empty[(Long, Long)].toDF("user_id", "n_events")
       }
-    })
+    }),
+
+    // STRM-16 batch-replay: same windowedQuantiles transform the
+    // MemoryStream spec drives incrementally; hash-matches (agg23/24
+    // bucket protocol, zero bucket = Long.MinValue sentinel)
+    "strm16_windowed_quantiles" -> ((s, d) =>
+      windowedQuantiles(withEventTs(Tables.events(s, d)))
+        .orderBy("ws_us"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -565,6 +597,42 @@ object StreamOps extends QueryModule {
     "strm15_idempotent_ingest" ->
       """SELECT user_id, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replicates the deterministic DDSketch protocol (see agg23/agg24 in
+    // Relational.scala) per 1-hour tumbling window
+    "strm16_windowed_quantiles" -> {
+      val g = s"CAST(${(1 + 0.01) / (1 - 0.01)} AS DOUBLE)"
+      val zb = Long.MinValue.toString
+      s"""WITH e AS (
+         |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+         |    CASE WHEN value > 0 AND NOT isnan(value) AND NOT isinf(value)
+         |         THEN CAST(CEIL(LN(value) / LN($g)) AS BIGINT)
+         |         ELSE CAST('$zb' AS BIGINT) END AS i
+         |  FROM events),
+         |b AS (SELECT ws_us, i, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT ws_us, i,
+         |    SUM(c) OVER (PARTITION BY ws_us ORDER BY i) AS cum,
+         |    SUM(c) OVER (PARTITION BY ws_us) AS n
+         |  FROM b),
+         |q AS (
+         |  SELECT ws_us, CAST(MAX(n) AS BIGINT) AS n,
+         |    MIN(CASE WHEN cum >= FLOOR(0.5 * (n - 1)) + 1 THEN i END)
+         |      AS p50_bucket,
+         |    MIN(CASE WHEN cum >= FLOOR(0.95 * (n - 1)) + 1 THEN i END)
+         |      AS p95_bucket
+         |  FROM cum GROUP BY 1)
+         |SELECT ws_us, n,
+         |  p50_bucket,
+         |  CASE WHEN p50_bucket = CAST('$zb' AS BIGINT) THEN 0.0
+         |       ELSE ROUND(2 * POWER($g, p50_bucket) / ($g + 1), 2)
+         |  END AS p50_est,
+         |  p95_bucket,
+         |  CASE WHEN p95_bucket = CAST('$zb' AS BIGINT) THEN 0.0
+         |       ELSE ROUND(2 * POWER($g, p95_bucket) / ($g + 1), 2)
+         |  END AS p95_est
+         |FROM q ORDER BY ws_us""".stripMargin
+    },
 
     "strm1_tumbling" ->
       s"""SELECT (epoch_us(ts) // 600000000) * 600000000 AS ws_us, event_type,

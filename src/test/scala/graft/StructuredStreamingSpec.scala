@@ -75,6 +75,44 @@ class StructuredStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed quantiles stream: sketch state accumulates across batches, " +
+      "closed-window quantile == batch recompute on the union") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = StreamOps.windowedQuantilesStream(
+      StreamOps.withEventTs(input.toDF()), "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wq_t")
+      .outputMode("append").start()
+    // 10 values for the 600-660min window, deliberately SPLIT so the
+    // sketch state must carry batch 1's rows into batch 2's fold
+    val all = (1 to 10).map(i =>
+      Ev(i.toLong, 1, "m", i * 1.5, nanosAt(600 + i % 30)))
+    try {
+      input.addData(all.take(4): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(4): _*)
+      q.processAllAvailable()
+      // close the window: watermark needs an event past 660 + 1h
+      input.addData(Ev(99, 9, "m", 1.0, nanosAt(800)))
+      q.processAllAvailable()
+      val emitted = s.table("wq_t")
+        .filter($"ws_us" === nanosAt(600) / 1000)
+        .select("n", "p50_bucket", "p50_est", "p95_bucket", "p95_est")
+        .collect()
+      assert(emitted.length === 1, "600min window must emit exactly once")
+      // the incremental result must equal the one-shot batch aggregate of
+      // the same rows — the mergeable-state guarantee, not a tolerance
+      val batch = StreamOps.windowedQuantiles(
+          StreamOps.withEventTs(all.toDF()))
+        .filter($"ws_us" === nanosAt(600) / 1000)
+        .select("n", "p50_bucket", "p50_est", "p95_bucket", "p95_est")
+        .collect()
+      assert(emitted.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: running user counts accumulate across batches") {
     val s = spark
     import s.implicits._
