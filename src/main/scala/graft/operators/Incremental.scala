@@ -69,6 +69,88 @@ object Incremental extends QueryModule {
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_dec"))
 
+  /** IVM-2 — maintain a materialized JOIN view V = orders ⋈ customer under
+    * change feeds on BOTH sides, never re-running the full join. Delta rule
+    * (keys: ΔO by o_orderkey, ΔC by c_custkey; post = insert ∪
+    * update_postimage):
+    *
+    *   V_new = V_old ∖ (ΔO-keys ∪ ΔC-keys)          — untouched rows
+    *         ∪ ΔO_post ⋈ C_new                       — changed orders
+    *         ∪ (O_old ∖ ΔO-keys) ⋉ΔC ⋈ ΔC_post      — customer-side churn
+    *
+    * The three terms are DISJOINT by construction (partitioned on whether
+    * each row's order / customer key changed), so the union needs no dedup.
+    * C_new is reconstructed view-side as (C_old ∖ ΔC-keys) ∪ ΔC_post — the
+    * maintained version's base tables are never read. The third term must
+    * draw from O_old, not V_old: an INNER-join view has no row for an
+    * order whose customer didn't exist yet, so a customer INSERT has to
+    * re-probe the base fact — V_old alone cannot resurrect those rows
+    * (the subtle bug in the "pure view + deltas" formulation).
+    *
+    * Cost at 100 TB: ΔO/ΔC terms are churn-proportional; the anti-joins
+    * broadcast only CHANGED KEYS against the view/fact, and with the view
+    * and fact hash-partitioned by the join key the semi/anti probes prune
+    * to affected partitions. Every term's small side is an explicit
+    * broadcast — zero shuffles in the whole maintenance plan. */
+  def maintainJoinView(vOld: DataFrame, oOld: DataFrame,
+                       ordersFeed0: DataFrame, custFeed0: DataFrame,
+                       custOld: DataFrame): DataFrame = {
+    // each feed feeds 2-3 terms below; materialize ONCE (churn-sized) so a
+    // lazily-derived feed (changeFeed's full-outer diff, or a CDC log
+    // scan) isn't recomputed per referencing term
+    val ordersFeed = ordersFeed0.localCheckpoint()
+    val custFeed = custFeed0.localCheckpoint()
+    val post = col("_change_type").isin("insert", "update_postimage")
+    val oKeys = ordersFeed.select("o_orderkey").distinct()
+    val cKeys = custFeed.select("c_custkey").distinct()
+    val oPost = ordersFeed.filter(post)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cPost = custFeed.filter(post).select("c_custkey", "c_mktsegment")
+    val cNew = custOld.select("c_custkey", "c_mktsegment")
+      .join(broadcast(cKeys), Seq("c_custkey"), "left_anti")
+      .unionByName(cPost)
+    val untouched = vOld
+      .join(broadcast(oKeys), Seq("o_orderkey"), "left_anti")
+      .join(broadcast(cKeys), col("o_custkey") === col("c_custkey"),
+        "left_anti")
+    val fromChangedOrders = oPost
+      .join(broadcast(cNew), col("o_custkey") === col("c_custkey"))
+      .drop("c_custkey")
+    val fromChangedCust = oOld
+      .join(broadcast(oKeys), Seq("o_orderkey"), "left_anti")
+      .join(broadcast(cPost), col("o_custkey") === col("c_custkey"))
+      .drop("c_custkey")
+    untouched.unionByName(fromChangedOrders).unionByName(fromChangedCust)
+  }
+
+  /** Two-sided store evolution for IVM-2: orders evolve as in ivm1 (keeping
+    * o_custkey this time); customer v1 drops ≡0 (mod 4), v2 instead drops
+    * ≡0 (mod 6) and rewrites the segment on ≡0 (mod 9) — so the dim sees
+    * inserts, deletes, AND updates, including customers that EXIST only
+    * from v2 on (the case that forces the O_old re-probe). */
+  def buildJoinStores(s: SparkSession, d: String,
+                      oRoot: String, cRoot: String): Unit = {
+    VersionedStore.destroy(oRoot)
+    VersionedStore.destroy(cRoot)
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    VersionedStore.commit(o.filter(col("o_orderkey") % 3 =!= 0), oRoot)
+    VersionedStore.commit(
+      o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice"))), oRoot)
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    VersionedStore.commit(c.filter(col("c_custkey") % 4 =!= 0), cRoot)
+    VersionedStore.commit(
+      c.filter(col("c_custkey") % 6 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 9 === 0,
+            concat(lit("X-"), col("c_mktsegment")))
+            .otherwise(col("c_mktsegment"))), cRoot)
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVM-1: the v2 aggregate produced WITHOUT reading v2's base table —
     // v1's aggregate plus the v1→v2 change feed. The oracle recomputes
@@ -89,6 +171,30 @@ object Incremental extends QueryModule {
         .select(col("o_orderpriority"), col("n"),
           col("sum_dec").cast("double").as("sum_price"))
         .orderBy("o_orderpriority")
+    }),
+
+    // IVM-2: the v2 join view produced from V_old + the two change feeds +
+    // v1 base reads only — the oracle recomputes O_v2 ⋈ C_v2 directly and
+    // must hash-match bit-for-bit (no aggregation, so row identity is the
+    // whole test).
+    "ivm2_incremental_join" -> ((s, d) => {
+      val (oRoot, cRoot) =
+        graft.StageMemo.value(s, s"ivm2.stores.$d") {
+          val o = s"${Scans.SinkDir}/ivm2_orders"
+          val c = s"${Scans.SinkDir}/ivm2_cust"
+          buildJoinStores(s, d, o, c)
+          (o, c)
+        }
+      val oOld = VersionedStore.read(s, oRoot, 1L)
+      val cOld = VersionedStore.read(s, cRoot, 1L)
+      val vOld = oOld.join(cOld,
+        oOld("o_custkey") === cOld("c_custkey")).drop("c_custkey")
+      val oFeed = VersionedStore.changeFeed(s, oRoot, 1L, 2L,
+        Seq("o_orderkey"))
+      val cFeed = VersionedStore.changeFeed(s, cRoot, 1L, 2L,
+        Seq("c_custkey"))
+      maintainJoinView(vOld, oOld, oFeed, cFeed, cOld)
+        .orderBy("o_orderkey")
     })
   )
 
@@ -99,6 +205,18 @@ object Incremental extends QueryModule {
         |                     ELSE o_totalprice END AS DECIMAL(18,2)))
         |    AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 5 <> 0
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the v2 join recomputed from the source expressions (double*2 is
+    // exponent-exact, so the maintained doubles hash-match)
+    "ivm2_incremental_join" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CASE WHEN o.o_orderkey % 7 = 0 THEN o.o_totalprice * 2
+        |       ELSE o.o_totalprice END AS o_totalprice,
+        |  CASE WHEN c.c_custkey % 9 = 0 THEN 'X-' || c.c_mktsegment
+        |       ELSE c.c_mktsegment END AS c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 5 <> 0 AND c.c_custkey % 6 <> 0
+        |ORDER BY o.o_orderkey""".stripMargin
   )
 }

@@ -62,4 +62,54 @@ class IncrementalSpec extends SparkSpec {
       .orderBy("o_orderpriority").collect()
     assert(after.toSeq === before.toSeq)
   }
+
+  private val oRoot = "/root/repo/target/tmp-sinks/ivm2_spec_orders"
+  private val cRoot = "/root/repo/target/tmp-sinks/ivm2_spec_cust"
+
+  private def joinOf(v: Long) = {
+    val o = VersionedStore.read(spark, oRoot, v)
+    val c = VersionedStore.read(spark, cRoot, v)
+    o.join(c, o("o_custkey") === c("c_custkey")).drop("c_custkey")
+  }
+
+  test("ivm2: maintained join view == full recompute of v2, row for row") {
+    Incremental.buildJoinStores(spark, Sf0001, oRoot, cRoot)
+    val maintained = Incremental.maintainJoinView(
+      joinOf(1L),
+      VersionedStore.read(spark, oRoot, 1L),
+      VersionedStore.changeFeed(spark, oRoot, 1L, 2L, Seq("o_orderkey")),
+      VersionedStore.changeFeed(spark, cRoot, 1L, 2L, Seq("c_custkey")),
+      VersionedStore.read(spark, cRoot, 1L))
+    val recomputed = joinOf(2L)
+    // exact multiset equality, both directions
+    assert(maintained.exceptAll(recomputed).count() === 0, "extra rows")
+    assert(recomputed.exceptAll(maintained).count() === 0, "missing rows")
+  }
+
+  test("ivm2: a customer INSERT resurrects unchanged orders the old view " +
+      "never contained (the O_old re-probe case)") {
+    Incremental.buildJoinStores(spark, Sf0001, oRoot, cRoot)
+    // customers inserted at v2: %4==0 (absent from v1) && %6!=0
+    val inserted = VersionedStore.read(spark, cRoot, 2L)
+      .filter(col("c_custkey") % 4 === 0)
+    assert(inserted.count() > 0, "fixture must actually insert customers")
+    val maintained = Incremental.maintainJoinView(
+      joinOf(1L),
+      VersionedStore.read(spark, oRoot, 1L),
+      VersionedStore.changeFeed(spark, oRoot, 1L, 2L, Seq("o_orderkey")),
+      VersionedStore.changeFeed(spark, cRoot, 1L, 2L, Seq("c_custkey")),
+      VersionedStore.read(spark, cRoot, 1L))
+    // an order surviving both versions UNCHANGED whose customer is newly
+    // inserted: invisible in V_old, must appear in the maintained view
+    val resurrected = VersionedStore.read(spark, oRoot, 1L)
+      .filter(col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 7 =!= 0)
+      .join(inserted.select("c_custkey"),
+        col("o_custkey") === col("c_custkey")).drop("c_custkey")
+    assert(resurrected.count() > 0, "fixture must exercise the case")
+    assert(resurrected.join(joinOf(1L), Seq("o_orderkey"), "left_semi")
+      .count() === 0, "case rows must be absent from the OLD view")
+    assert(resurrected.select("o_orderkey")
+      .join(maintained, Seq("o_orderkey"), "left_anti").count() === 0,
+      "maintained view must contain the resurrected rows")
+  }
 }
