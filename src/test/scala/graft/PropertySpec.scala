@@ -7,7 +7,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Test => SchkTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CmsAgg, CmsInnerProduct, CosineSim, MinHashSig, RollingHash64}
+import graft.functions.{CmsAgg, CmsInnerProduct, CosineSim, DdSketch, DdsAgg, DdsMergeAgg, MinHashSig, RollingHash64}
 
 /** Algebraic laws the distributed execution model depends on, checked by
   * ScalaCheck over randomized inputs. Every property here is the pure
@@ -128,5 +128,81 @@ class PropertySpec extends AnyFunSuite {
           .hash(UTF8String.fromString(t), StringType, 42L)
         h((toks :+ t).mkString(" ")) == 31L * h(toks.mkString(" ")) + xx
       })
+  }
+
+  // ---- DdsAgg: the laws the quantile rollups rely on -----------------
+  // agg23's map-side combine, agg24's window merge, and strm16's
+  // cross-micro-batch state all reduce to: the serialized sketch is a
+  // canonical pure function of the value MULTISET, and bucket-wise add
+  // is a commutative monoid on that canonical form.
+
+  private def ddsBuf(xs: Seq[Double]) = {
+    val agg = DdsAgg(BoundReference(0, DoubleType, true))
+    val buf = agg.createAggregationBuffer()
+    xs.foreach(x => agg.update(buf, new GenericInternalRow(Array[Any](x))))
+    buf
+  }
+  private def ddsBytes(xs: Seq[Double]): Seq[Byte] = {
+    val agg = DdsAgg(BoundReference(0, DoubleType, true))
+    agg.serialize(ddsBuf(xs)).toSeq
+  }
+
+  // mixes magnitudes across 9 decades with zero/negative (zero-bucket) hits
+  private val dvals: Gen[List[Double]] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(0.001, 1e6),
+      1 -> Gen.oneOf(0.0, -3.5)))
+
+  test("dds: part-sketch merge is byte-identical to the single pass, " +
+      "both merge orders") {
+    check("dds-merge", Prop.forAll(dvals, dvals) { (a, b) =>
+      val agg = DdsAgg(BoundReference(0, DoubleType, true))
+      val ab = agg.serialize(agg.merge(ddsBuf(a), ddsBuf(b))).toSeq
+      val ba = agg.serialize(agg.merge(ddsBuf(b), ddsBuf(a))).toSeq
+      ab == ddsBytes(a ++ b) && ba == ddsBytes(a ++ b)
+    })
+  }
+
+  test("dds: merge is associative on canonical bytes") {
+    check("dds-assoc", Prop.forAll(dvals, dvals, dvals) { (a, b, c) =>
+      val agg = DdsAgg(BoundReference(0, DoubleType, true))
+      val l = agg.serialize(
+        agg.merge(agg.merge(ddsBuf(a), ddsBuf(b)), ddsBuf(c))).toSeq
+      val r = agg.serialize(
+        agg.merge(ddsBuf(a), agg.merge(ddsBuf(b), ddsBuf(c)))).toSeq
+      l == r
+    })
+  }
+
+  test("dds: sketch bytes are insertion-order-free (multiset function)") {
+    check("dds-order", Prop.forAll(dvals, Gen.long) { (a, seed) =>
+      ddsBytes(new scala.util.Random(seed).shuffle(a)) == ddsBytes(a)
+    })
+  }
+
+  test("dds_merge_agg: re-aggregating part sketches == whole sketch, " +
+      "empty parts are identity") {
+    check("dds-reagg", Prop.forAll(dvals, dvals) { (a, b) =>
+      val m = DdsMergeAgg(BoundReference(0, BinaryType, true))
+      val buf = m.createAggregationBuffer()
+      for (part <- Seq(a, Nil, b)) // the empty part must not perturb
+        m.update(buf, new GenericInternalRow(
+          Array[Any](ddsBytes(part).toArray)))
+      m.eval(buf).asInstanceOf[Array[Byte]].toSeq == ddsBytes(a ++ b)
+    })
+  }
+
+  test("dds: quantile estimate is within alpha relative error of the " +
+      "exact rank statistic (positive values)") {
+    val pos: Gen[List[Double]] =
+      Gen.nonEmptyListOf(Gen.choose(10.0, 1e6))
+    val qGen = Gen.oneOf(0.0, 0.25, 0.5, 0.9, 0.95, 1.0)
+    check("dds-alpha", Prop.forAll(pos, qGen) { (a, q) =>
+      val est = DdSketch.quantileValue(ddsBytes(a).toArray, q)
+      val sorted = a.sorted
+      val exact = sorted((q * (a.size - 1)).toLong.toInt) // rank ⌊q·(n−1)⌋+1
+      // α=1% value guarantee + 2 dp output rounding slack (values ≥ 10)
+      math.abs(est - exact) / exact <= 0.01 + 0.001
+    })
   }
 }
