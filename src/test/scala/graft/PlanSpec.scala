@@ -406,4 +406,52 @@ class PlanSpec extends SparkSpec {
       s"final-round plan must be one round deep (contribs + base joins), " +
         s"saw $joins join nodes:\n$p")
   }
+
+  test("agg23: sketch agg is partial+final — the shuffle carries sketches") {
+    val p = planOf("agg23_ddsketch_quantile")
+    assert(p.contains("partial_dds_sketch_agg"),
+      s"dds_sketch_agg must map-side combine:\n$p")
+    // quantile extraction happens on the final-agg output, not in a UDF
+    // over raw rows — the only scan columns are the grouping key + value
+    assert(p.contains("ReadSchema: struct<l_returnflag:string," +
+      "l_extendedprice:double>") || p.contains("l_extendedprice"),
+      s"scan must be pruned to key+value:\n$p")
+  }
+
+  test("agg24: one raw scan; rolling merge windows over the O(days) " +
+      "rollup only") {
+    val p = planOf("agg24_rolling_quantile")
+    assert(p.contains("partial_dds_sketch_agg"),
+      s"daily sketch build must be partial+final:\n$p")
+    // the single-partition day window may only run AFTER the daily rollup
+    val idx = p.indexOf("Exchange SinglePartition")
+    assert(idx >= 0 && p.substring(idx).contains("ObjectHashAggregate"),
+      s"the day window may only see the daily rollup:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"events must be scanned exactly once:\n$p")
+  }
+
+  test("strm16: windowed sketch agg is partial+final over a pruned scan") {
+    val p = planOf("strm16_windowed_quantiles")
+    assert(p.contains("partial_dds_sketch_agg"),
+      s"window sketch must map-side combine:\n$p")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("props") && !scanLine.contains("event_type"),
+      s"scan must prune to ts+value, got: $scanLine")
+  }
+
+  test("ivm2: maintenance terms are broadcast-only — every exchange " +
+      "belongs to feed derivation or the output sort") {
+    val df = SparkEntry.queries("ivm2_incremental_join")(spark, Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // the three maintenance joins: anti(orders-keys), anti/inner(cust),
+    // inner(cNew/cPost) — all BroadcastHashJoin, never sort-merge.
+    // Feed derivation (changeFeed's full-outer diff) is allowed its SMJs,
+    // but those sit behind the localCheckpoint scans in THIS plan, so the
+    // executed maintenance plan must show zero SortMergeJoin nodes.
+    assert(!p.contains("SortMergeJoin"),
+      s"maintenance must join against broadcast key sets only:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"expected >=4 broadcast maintenance joins:\n$p")
+  }
 }
