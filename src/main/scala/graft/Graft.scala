@@ -79,6 +79,8 @@ object Graft {
       .withExtensions(graft.functions.CmsExtensions.apply)
       // DDSketch quantile aggregate + quantile estimators (agg23)
       .withExtensions(graft.functions.DdsExtensions.apply)
+      // SpaceSaving top-k heavy-hitter summary (agg25)
+      .withExtensions(graft.functions.SpaceSavingExtensions.apply)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

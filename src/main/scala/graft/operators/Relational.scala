@@ -990,6 +990,26 @@ object Relational extends QueryModule {
         .orderBy("day")
     }),
 
+    // AGG-25 ⚠: SpaceSaving one-pass top-k — the third heavy-hitter tier
+    // (functions/SpaceSaving.scala): agg17 is exact but shuffles ~|keys|
+    // count rows; agg17b's CMS has fixed state but still needs exact
+    // CANDIDATES to probe; SpaceSaving emits the candidates ITSELF from
+    // one pass over fixed k-counter state — the shuffle carries one
+    // k-entry summary per task, period. Per-key bounds ride along:
+    // est ≥ true ≥ est − err, err=0 ⇒ provably exact count. Counter
+    // summaries are arrival-order-dependent (not canonical bytes) →
+    // no_oracle + SpaceSavingSpec/PropertySpec bounds, the agg16/21/22
+    // precedent. k=512 ≫ the 20 rows kept: at sf0.1 every top-20 key's
+    // counter is far above the eviction floor, err = 0.
+    "agg25_topk_sketch" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(call_function("space_saving_agg", col("l_partkey"), lit(512))
+          .as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.key").as("l_partkey"), col("e.est").as("est_n"),
+          col("e.err").as("err_n"))
+        .orderBy(col("est_n").desc, col("l_partkey")).limit(20)),
+
     // AGG-21 ⚠: rolling distinct users from DAILY HLL SKETCHES — sketch
     // algebra over a window frame: persist one sketch per day (the agg16
     // rollup pattern), answer "7-day distinct users" for every day by

@@ -7,7 +7,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Test => SchkTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CmsAgg, CmsInnerProduct, CosineSim, DdSketch, DdsAgg, DdsMergeAgg, MinHashSig, RollingHash64}
+import graft.functions.{CmsAgg, CmsInnerProduct, CosineSim, DdSketch, DdsAgg, DdsMergeAgg, MinHashSig, RollingHash64, SpaceSaving}
 
 /** Algebraic laws the distributed execution model depends on, checked by
   * ScalaCheck over randomized inputs. Every property here is the pure
@@ -189,6 +189,49 @@ class PropertySpec extends AnyFunSuite {
         m.update(buf, new GenericInternalRow(
           Array[Any](ddsBytes(part).toArray)))
       m.eval(buf).asInstanceOf[Array[Byte]].toSeq == ddsBytes(a ++ b)
+    })
+  }
+
+  // ---- SpaceSaving: merge preserves the per-key bounds ----------------
+
+  private def ssBuf(keys: Seq[Long], k: Int): SpaceSaving.Buf = {
+    val b = new SpaceSaving.Buf(k)
+    keys.foreach(b.offer)
+    b
+  }
+
+  test("space_saving: after an arbitrary two-way merge, " +
+      "est >= true >= est - err and keys above 2N/k are present") {
+    val keyG = Gen.listOf(Gen.frequency(
+      5 -> Gen.choose(0L, 5L),      // a few hot keys
+      3 -> Gen.choose(0L, 30L),
+      1 -> Gen.choose(0L, 200L)))   // a long tail
+    check("ss-merge-bounds",
+      Prop.forAll(keyG, keyG, Gen.choose(4, 16)) { (a, b, k) =>
+        val buf = ssBuf(a, k)
+        buf.absorb(ssBuf(b, k))
+        val all = a ++ b
+        val exact = all.groupBy(identity).view.mapValues(_.size.toLong)
+        val n = all.size.toLong
+        val bounds = buf.m.forall { case (kk, v) =>
+          val t = exact.getOrElse(kk, 0L)
+          v(0) >= t && v(0) - v(1) <= t
+        }
+        val present = exact.forall { case (kk, c) =>
+          c <= 2 * n / k + 1 || buf.m.contains(kk)
+        }
+        bounds && present
+      })
+  }
+
+  test("space_saving: serialization round-trips counters, errors, and k") {
+    val keyG = Gen.listOf(Gen.choose(0L, 50L))
+    check("ss-serde", Prop.forAll(keyG, Gen.choose(4, 16)) { (a, k) =>
+      val b = ssBuf(a, k)
+      val r = SpaceSaving.deserialize(SpaceSaving.serialize(b))
+      r.k == b.k && r.m.size == b.m.size && b.m.forall { case (kk, v) =>
+        val rv = r.m.getOrNull(kk); rv != null && rv.sameElements(v)
+      }
     })
   }
 
