@@ -39,19 +39,55 @@ import org.apache.spark.sql.types._
   */
 object SpaceSaving {
 
-  /** counters: key → (count, err). Mutating update. */
+  /** counters: key → (count, err). Mutating update.
+    *
+    * Eviction is amortized O(1): a naive min-scan per evicting offer is
+    * O(k) — measured 4.9 s on the sf0.1 bench (600k offers × k=512 when
+    * distinct keys ≫ k, nearly every unseen key evicts). Instead keep a
+    * lazily-rebuilt POOL of keys currently at the min count: each rebuild
+    * is O(k) but only fires when the pool drains, and the min count can
+    * only rise ≤ N/k times total, so rebuild work is O(N) across a whole
+    * partition. Pool entries are validated on use (a pooled key that got
+    * incremented since the rebuild is skipped). */
   final class Buf(val k: Int) {
     val m: mutable.LongMap[Array[Long]] = mutable.LongMap.empty
+    private var minC = 0L
+    private var minPool: Array[Long] = Array.emptyLongArray
+    private var minPoolIdx = 0
+
+    /** Invalidate the min pool (after absorb/deserialize mutations). */
+    private[SpaceSaving] def resetPool(): Unit = {
+      minPool = Array.emptyLongArray
+      minPoolIdx = 0
+      minC = 0L
+    }
+
+    private def evictTarget(): Long = {
+      while (true) {
+        while (minPoolIdx < minPool.length) {
+          val cand = minPool(minPoolIdx); minPoolIdx += 1
+          val v = m.getOrNull(cand)
+          if (v != null && v(0) == minC) return cand
+        }
+        var newMin = Long.MaxValue
+        m.foreach { case (_, v) => if (v(0) < newMin) newMin = v(0) }
+        minC = newMin
+        val pool = mutable.ArrayBuilder.make[Long]
+        m.foreach { case (kk, v) => if (v(0) == minC) pool += kk }
+        minPool = pool.result(); minPoolIdx = 0
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
     def offer(key: Long): Unit = {
       val cur = m.getOrNull(key)
       if (cur != null) cur(0) += 1
       else if (m.size < k) m(key) = Array(1L, 0L)
       else {
-        // evict the min-count key; the newcomer inherits its count as
+        // evict a min-count key; the newcomer inherits its count as
         // the overestimate floor
-        var minK = 0L; var minC = Long.MaxValue
-        m.foreach { case (kk, v) => if (v(0) < minC) { minC = v(0); minK = kk } }
-        m.remove(minK)
+        val victim = evictTarget()
+        m.remove(victim) // victim validated at count == minC by evictTarget
         m(key) = Array(minC + 1, minC)
       }
     }
@@ -84,6 +120,7 @@ object SpaceSaving {
         m.clear()
         keep.foreach { case (kk, v) => m(kk) = v }
       }
+      resetPool()
     }
   }
 
