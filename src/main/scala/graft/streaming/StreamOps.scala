@@ -59,6 +59,25 @@ object StreamOps extends QueryModule {
           .as("p95_bucket"),
         call_function("dds_quantile", col("sk"), lit(0.95)).as("p95_est"))
 
+  /** STRM-17: per-window trending keys — SpaceSaving as windowed streaming
+    * state: k counters per OPEN window regardless of key cardinality (the
+    * exact formulation keeps every key it has seen — unbounded on a hot
+    * stream). Graceful degradation is the contract: while a window's key
+    * cardinality stays ≤ k the summary IS the exact count table (err 0,
+    * deterministic — the gate k=512 is ~3× this lake's max hourly users
+    * at sf0.1, so the DuckDB oracle hash-matches); past k it degrades to
+    * est ≥ true ≥ est − err counters (SpaceSavingSpec/PropertySpec). */
+  def windowedTopK(ev: DataFrame, k: Int = 512): DataFrame =
+    ev.groupBy(window(col("event_ts"), "1 hour"))
+      .agg(call_function("space_saving_agg", col("user_id"), lit(k))
+        .as("top"))
+      .select(col("window"), posexplode(slice(col("top"), 1, 5)))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        (col("pos") + 1).as("rank"),
+        col("col.key").as("user_id"),
+        col("col.est").as("est_n"),
+        col("col.err").as("err_n"))
+
   /** STRM-3: 30-minute-gap session windows per user. */
   def sessionAgg(ev: DataFrame): DataFrame =
     ev.groupBy(session_window(col("event_ts"), "30 minutes"), col("user_id"))
@@ -187,6 +206,12 @@ object StreamOps extends QueryModule {
     * accumulates across micro-batches and is dropped with the window. */
   def windowedQuantilesStream(ev: DataFrame, watermark: String = "1 hour"): DataFrame =
     windowedQuantiles(ev.withWatermark("event_ts", watermark))
+
+  /** STRM-17 streaming: watermarked trending top-k — fixed k-counter
+    * state per open window, emitted and dropped at watermark close. */
+  def windowedTopKStream(ev: DataFrame, k: Int = 512,
+                         watermark: String = "1 hour"): DataFrame =
+    windowedTopK(ev.withWatermark("event_ts", watermark), k)
 
   /** STRM-5 streaming: exactly-once dedup with watermark-bounded state —
     * the dedup key state for event ids older than the watermark is dropped
@@ -559,7 +584,14 @@ object StreamOps extends QueryModule {
     // bucket protocol, zero bucket = Long.MinValue sentinel)
     "strm16_windowed_quantiles" -> ((s, d) =>
       windowedQuantiles(withEventTs(Tables.events(s, d)))
-        .orderBy("ws_us"))
+        .orderBy("ws_us")),
+
+    // STRM-17 batch-replay: gate k=512 ≥ every window's user cardinality
+    // at all SFs (max 166 at sf0.1) → the summary is provably exact and
+    // the oracle hash-matches a plain top-5-per-window
+    "strm17_windowed_topk" -> ((s, d) =>
+      windowedTopK(withEventTs(Tables.events(s, d)))
+        .orderBy("ws_us", "rank"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -633,6 +665,23 @@ object StreamOps extends QueryModule {
          |  END AS p95_est
          |FROM q ORDER BY ws_us""".stripMargin
     },
+
+    // exact per-window top-5 — valid BECAUSE k=512 exceeds every window's
+    // user cardinality (under-capacity SpaceSaving = exact count table,
+    // err 0); ties broken (n DESC, user ASC) in both engines
+    "strm17_windowed_topk" ->
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+        |    user_id, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ws_us, user_id, n,
+        |    ROW_NUMBER() OVER (PARTITION BY ws_us ORDER BY n DESC, user_id)
+        |      AS rnk
+        |  FROM c)
+        |SELECT ws_us, CAST(rnk AS INTEGER) AS rank, user_id,
+        |  n AS est_n, CAST(0 AS BIGINT) AS err_n
+        |FROM r WHERE rnk <= 5 ORDER BY ws_us, rank""".stripMargin,
 
     "strm1_tumbling" ->
       s"""SELECT (epoch_us(ts) // 600000000) * 600000000 AS ws_us, event_type,

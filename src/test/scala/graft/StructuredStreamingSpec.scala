@@ -113,6 +113,47 @@ class StructuredStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k stream: k-bounded counters emit at window close " +
+      "with valid bounds; heavy key surfaces at rank 1 despite eviction") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    // k=4 < 7 distinct users in the window → eviction engages mid-stream
+    val agg = StreamOps.windowedTopKStream(
+      StreamOps.withEventTs(input.toDF()), k = 4, watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("topk_t")
+      .outputMode("append").start()
+    // 20 events in the 600-660min window: user 1 ×12 (> 2N/k = 10 →
+    // guaranteed present after any merge), user 2 ×4, user 3 ×2, 4/5 ×1
+    val evs = (Seq.fill(12)(1L) ++ Seq.fill(4)(2L) ++ Seq.fill(2)(3L) ++
+      Seq(4L, 5L)).zipWithIndex.map { case (u, i) =>
+      Ev(i.toLong, u, "m", 1.0, nanosAt(600 + i % 30)) }
+    val exact = evs.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    try {
+      input.addData(evs.take(9): _*)
+      q.processAllAvailable()
+      assert(s.table("topk_t").count() === 0, "open window must not emit")
+      input.addData(evs.drop(9): _*)
+      q.processAllAvailable()
+      input.addData(Ev(99, 9, "m", 1.0, nanosAt(800))) // close the window
+      q.processAllAvailable()
+      val rows = s.table("topk_t")
+        .filter($"ws_us" === nanosAt(600) / 1000)
+        .orderBy("rank")
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(rows.nonEmpty && rows.length <= 4,
+        s"at most k rows can come out of a k-counter summary: ${rows.toSeq}")
+      for ((_, user, est, err) <- rows) {
+        val t = exact.getOrElse(user, 0L)
+        assert(est >= t, s"user $user: est $est under true $t")
+        assert(est - err <= t, s"user $user: est-err ${est - err} over $t")
+      }
+      assert(rows.head._2 === 1L, s"heavy user must rank 1: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: running user counts accumulate across batches") {
     val s = spark
     import s.implicits._
