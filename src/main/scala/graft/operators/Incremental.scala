@@ -178,10 +178,14 @@ object Incremental extends QueryModule {
     // must hash-match bit-for-bit (no aggregation, so row identity is the
     // whole test).
     "ivm2_incremental_join" -> ((s, d) => {
+      // path tagged by the data dir (join11 precedent): one JVM touching
+      // two lakes (e.g. the empty-lake sweep + sf0.001 specs) must not
+      // rebuild THE SAME store path under a different-dir memo key
       val (oRoot, cRoot) =
         graft.StageMemo.value(s, s"ivm2.stores.$d") {
-          val o = s"${Scans.SinkDir}/ivm2_orders"
-          val c = s"${Scans.SinkDir}/ivm2_cust"
+          val tag = java.lang.Integer.toHexString(d.hashCode)
+          val o = s"${Scans.SinkDir}/ivm2_orders_$tag"
+          val c = s"${Scans.SinkDir}/ivm2_cust_$tag"
           buildJoinStores(s, d, o, c)
           (o, c)
         }
