@@ -105,6 +105,25 @@ object DdSketch {
     if (i == Long.MinValue) 0.0
     else Math.round(2.0 * Math.pow(gamma, i.toDouble) / (gamma + 1) * 100.0) / 100.0
   }
+
+  /** CDF: fraction of tallied values with bucket index ≤ bucket(x) —
+    * the inverse of the quantile query ("what share of prices are ≤ x").
+    * Deterministic: an integer cumulative count divided by an integer
+    * total, both pure functions of the multiset, so a SQL oracle that
+    * replicates the bucketing reproduces the double EXACTLY (one IEEE
+    * division of identical integers). x ≤ 0 counts just the zero bucket. */
+  def cdf(bytes: Array[Byte], x: Double): Double = {
+    val (gamma, zero, map) = deserialize(bytes)
+    val n = zero + map.values.sum
+    require(n > 0, "dds_cdf of an empty sketch")
+    val cum =
+      if (x <= 0 || x.isNaN) zero
+      else {
+        val xi = Math.ceil(Math.log(x) / Math.log(gamma)).toLong
+        zero + map.iterator.collect { case (i, c) if i <= xi => c }.sum
+      }
+    cum.toDouble / n.toDouble
+  }
 }
 
 /** `dds_sketch_agg(x[, alpha]) -> binary` — build the sketch over a double
@@ -317,6 +336,25 @@ case class DdsQuantile(left: Expression, right: Expression)
       l: Expression, r: Expression): DdsQuantile = copy(l, r)
 }
 
+/** `dds_cdf(sketch, x) -> double` — fraction of values ≤ x (exact ratio of
+  * deterministic bucket counts; oracle-reproducible, see DdSketch.cdf). */
+case class DdsCdf(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+  override def prettyName: String = "dds_cdf"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dds_cdf expects (binary, double), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullSafeEval(b: Any, x: Any): Any =
+    DdSketch.cdf(b.asInstanceOf[Array[Byte]], x.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DdsCdf = copy(l, r)
+}
+
 /** Registration (same extension point as Vector/Theta/Cms extensions). */
 object DdsExtensions {
   private def doubleLit(e: Expression, what: String): Double = e match {
@@ -346,5 +384,9 @@ object DdsExtensions {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("dds_quantile"),
       new ExpressionInfo(classOf[DdsQuantile].getName, "dds_quantile"),
       (children: Seq[Expression]) => DdsQuantile(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dds_cdf"),
+      new ExpressionInfo(classOf[DdsCdf].getName, "dds_cdf"),
+      (children: Seq[Expression]) => DdsCdf(children(0), children(1))))
   }
 }

@@ -990,6 +990,25 @@ object Relational extends QueryModule {
         .orderBy("day")
     }),
 
+    // AGG-23b: DDSketch CDF — the INVERSE quantile query ("what share of
+    // prices are ≤ x", the SLO question) off the same sketch state as
+    // agg23: one scan, sketch-sized shuffle, any number of thresholds
+    // answered from the final 1-row stage. Hash-matches: the CDF is one
+    // IEEE division of two integers that are pure functions of the
+    // multiset; threshold literals chosen mid-bucket (frac .50/.43) so a
+    // 1-ulp ln() divergence cannot flip their bucket index.
+    "agg23b_ddsketch_cdf" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(call_function("dds_sketch_agg", col("l_extendedprice"),
+          lit(0.01)).as("sk"))
+        .select(col("l_returnflag"),
+          call_function("dds_cdf", col("sk"), lit(10000.0))
+            .as("share_le_10k"),
+          call_function("dds_cdf", col("sk"), lit(30000.0))
+            .as("share_le_30k"))
+        .orderBy("l_returnflag")),
+
     // AGG-25 ⚠: SpaceSaving one-pass top-k — the third heavy-hitter tier
     // (functions/SpaceSaving.scala): agg17 is exact but shuffles ~|keys|
     // count rows; agg17b's CMS has fixed state but still needs exact
@@ -1628,6 +1647,25 @@ object Relational extends QueryModule {
          |  p95_bucket,
          |  ROUND(2 * POWER($g, p95_bucket) / ($g + 1), 2) AS p95_est
          |FROM q ORDER BY l_returnflag""".stripMargin
+    },
+
+    // the CDF replicated as integer bucket-count arithmetic: one double
+    // division of identical integers reproduces Spark's double exactly
+    "agg23b_ddsketch_cdf" -> {
+      val g = s"CAST(${(1 + 0.01) / (1 - 0.01)} AS DOUBLE)"
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |    CAST(CEIL(LN(l_extendedprice) / LN($g)) AS BIGINT) AS i,
+         |    COUNT(*) AS c
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT l_returnflag,
+         |  CAST(SUM(CASE WHEN i <= CEIL(LN(10000.0) / LN($g)) THEN c
+         |           ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         |    AS share_le_10k,
+         |  CAST(SUM(CASE WHEN i <= CEIL(LN(30000.0) / LN($g)) THEN c
+         |           ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         |    AS share_le_30k
+         |FROM b GROUP BY 1 ORDER BY l_returnflag""".stripMargin
     },
 
     // daily log-bucket histograms merged over a 7-ROW day window (same

@@ -14,6 +14,33 @@ class DdsSpec extends SparkSpec {
 
   private val alpha = 0.01
 
+  test("agg23b: cdf tracks the exact share and inverts the quantile") {
+    val sk = Tables.lineitem(spark, Sf0001)
+      .agg(expr("dds_sketch_agg(l_extendedprice, 0.01)").as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val vals = Tables.lineitem(spark, Sf0001)
+      .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    val n = vals.length.toDouble
+    // cdf vs the exact share: off by at most the mass of x's own bucket
+    // (values within one 2% band of x) plus nothing else
+    for (x <- Seq(10000.0, 30000.0, 55000.0)) {
+      val est = graft.functions.DdSketch.cdf(sk, x)
+      val exact = vals.count(_ <= x) / n
+      assert(math.abs(est - exact) <= 0.02,
+        s"cdf($x)=$est vs exact share $exact")
+    }
+    // inverse relation: the cdf at the q-quantile estimate recovers q up
+    // to rank discretization + one bucket's mass
+    for (q <- Seq(0.25, 0.5, 0.9)) {
+      val v = graft.functions.DdSketch.quantileValue(sk, q)
+      val c = graft.functions.DdSketch.cdf(sk, v)
+      assert(c >= q - 1e-9 && c - q <= 0.05, s"cdf(quantile($q))=$c")
+    }
+    // monotone in x
+    val cs = Seq(1.0, 100.0, 10000.0, 1e6).map(graft.functions.DdSketch.cdf(sk, _))
+    assert(cs == cs.sorted, s"cdf must be monotone: $cs")
+  }
+
   test("agg23: sketch p50/p95 within alpha relative error of exact") {
     val exact = Tables.lineitem(spark, Sf0001)
       .groupBy("l_returnflag")
