@@ -1473,6 +1473,48 @@ object LlmOps extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // LLM-34: surgical span EXCISION — the step after llm16's detection:
+    // production decontamination (GPT-3 appendix C / Pile style) does not
+    // drop a whole training doc over one leaked n-gram, it CUTS the
+    // contaminated window out and keeps the rest. Plan: llm16's 8-gram ⋈
+    // broadcast(benchmark grams) produces hit START positions; one
+    // collect_set per doc (hits are rare — KB-scale rows after the
+    // broadcast join prunes); the rewrite is ROW-LOCAL higher-order
+    // functions (filter-with-index over the word array — codegen'd, no
+    // UDF, no extra shuffle): a word at position p survives unless some
+    // hit start s covers it (s ≤ p ≤ s+7). Docs shorter than 8 words
+    // have no grams and pass through whole. Exact-SQL-expressible →
+    // DuckDB oracle hash-matches via nested list comprehensions.
+    "llm34_span_excise" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), words.as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("w")) - 7)).as("i"), col("w"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ", slice(col("w"), col("i"), lit(8))).as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select("gram").distinct()
+      val hitStarts = grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+      Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), words.as("w"))
+        .join(hitStarts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("starts"), array().cast("array<int>")).as("starts"),
+          col("w"))
+        .select(col("doc_id"),
+          filter(col("w"), (_, j) => !exists(col("starts"),
+            s => s <= j + 1 && j + 1 <= s + lit(7))).as("clean"),
+          col("w"))
+        .select(col("doc_id"),
+          (size(col("w")) - size(col("clean"))).cast("long").as("n_removed"),
+          concat_ws(" ", col("clean")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     "llm31_source_overlap" -> ((s, d) => {
       val k = 128
       val perDoc = Tables.documents(s, d)
@@ -2036,6 +2078,32 @@ object LlmOps extends QueryModule {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 50 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+
+    // llm16's gram machinery, then the excision as nested list
+    // comprehensions: keep wd[p] unless some hit start s covers p
+    "llm34_span_excise" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |ng AS (SELECT doc_id, i,
+        |         array_to_string(wd[i:i+7], ' ') AS gram
+        |       FROM w, unnest(range(1, greatest(len(wd) - 7, 0) + 1)) AS g(i)
+        |       WHERE len(wd) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 50 = 0),
+        |hs AS (SELECT t.doc_id, list(DISTINCT t.i) AS starts
+        |       FROM ng t JOIN bench b ON t.gram = b.gram
+        |       WHERE t.doc_id % 50 <> 0 GROUP BY t.doc_id),
+        |cl AS (
+        |  SELECT w.doc_id, w.wd, COALESCE(hs.starts, []) AS starts,
+        |    [w.wd[p] FOR p IN range(1, len(w.wd) + 1)
+        |     IF len([s FOR s IN COALESCE(hs.starts, [])
+        |             IF s <= p AND p <= s + 7]) = 0] AS clean
+        |  FROM w LEFT JOIN hs ON w.doc_id = hs.doc_id
+        |  WHERE w.doc_id % 50 <> 0)
+        |SELECT doc_id,
+        |  CAST(len(wd) - len(clean) AS BIGINT) AS n_removed,
+        |  -- a FULLY excised doc: DuckDB's array_to_string([]) is NULL,
+        |  -- Spark's concat_ws over an empty array is '' — align on ''
+        |  COALESCE(array_to_string(clean, ' '), '') AS clean_text
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     // md5 hex strings agree across engines; row_number is total because
     // the md5 keys are unique per doc
