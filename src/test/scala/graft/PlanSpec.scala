@@ -407,6 +407,15 @@ class PlanSpec extends SparkSpec {
         s"saw $joins join nodes:\n$p")
   }
 
+  test("llm34: benchmark grams broadcast; the excision rewrite is " +
+      "codegen'd HOFs, not a UDF") {
+    val p = planOf("llm34_span_excise")
+    assert(p.contains("BroadcastHashJoin"),
+      s"gram probe must broadcast the benchmark side:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"the span rewrite must stay in codegen'd higher-order functions:\n$p")
+  }
+
   test("agg23: sketch agg is partial+final — the shuffle carries sketches") {
     val p = planOf("agg23_ddsketch_quantile")
     assert(p.contains("partial_dds_sketch_agg"),
