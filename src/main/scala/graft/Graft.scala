@@ -81,6 +81,8 @@ object Graft {
       .withExtensions(graft.functions.DdsExtensions.apply)
       // SpaceSaving top-k heavy-hitter summary (agg25)
       .withExtensions(graft.functions.SpaceSavingExtensions.apply)
+      // Spark's internal bloom build/probe surfaced (join12b)
+      .withExtensions(graft.functions.BloomNativeExtensions.apply)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

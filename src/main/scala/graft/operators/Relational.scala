@@ -297,6 +297,36 @@ object Relational extends QueryModule {
         .orderBy("p_brand")
     }),
 
+    // JOIN-12b: the same prune with SPARK'S OWN bloom expressions
+    // (functions/BloomNative.scala): bloom_filter_agg builds the sketch
+    // as distributed aggregate state (bit-array OR merge, map-side
+    // combined), the scalar subquery lands it in bloom_might_contain as
+    // a literal, and the probe runs inside whole-stage codegen — vs
+    // join12's driver-side stat.bloomFilter + probe UDF. Both sides hash
+    // through xxhash64 (the aggregate takes LongType); false positives
+    // are killed by the real join, so the oracle is the plain join.
+    // Empty dim: the scalar subquery yields NULL, might_contain NULL →
+    // filter drops every row — the correct prune, with no NPE path.
+    "join12b_bloom_native" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("j12b_part")
+      Tables.lineitem(s, d).createOrReplaceTempView("j12b_lineitem")
+      s.sql(s"""
+        |WITH dim AS (
+        |  SELECT p_partkey, p_brand FROM j12b_part WHERE p_size = 15)
+        |SELECT p_brand, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM (
+        |  SELECT l_partkey, l_extendedprice FROM j12b_lineitem
+        |  WHERE bloom_might_contain(
+        |    (SELECT bloom_filter_agg(xxhash64(p_partkey), 1000000L,
+        |       8388608L) FROM dim),
+        |    xxhash64(l_partkey))) l
+        |JOIN dim ON l.l_partkey = dim.p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+    }),
+
     // JOIN-14: dynamic partition pruning — the fact table is LAID OUT
     // partitioned on the join key; the dim-side filter is only known at
     // run time (it lives in a table, not the query text), so no static
@@ -1398,6 +1428,13 @@ object Relational extends QueryModule {
 
     // bloom pruning is result-invisible: the oracle is the plain join
     "join12_bloom_prune" ->
+      s"""SELECT p_brand, count(*) AS n,
+         |  ${Det.dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size = 15 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the prune is exact after the real join — same oracle as join12
+    "join12b_bloom_native" ->
       s"""SELECT p_brand, count(*) AS n,
          |  ${Det.dsumSql("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN part ON l_partkey = p_partkey

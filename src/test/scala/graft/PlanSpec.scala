@@ -407,6 +407,22 @@ class PlanSpec extends SparkSpec {
         s"saw $joins join nodes:\n$p")
   }
 
+  test("join12b: native bloom probe is an in-plan expression fed by a " +
+      "scalar subquery — no UDF anywhere") {
+    val df = SparkEntry.queries("join12b_bloom_native")(spark, Sf0001)
+    // the AQE physical toString collapses stage subtrees, so assert on
+    // the optimized logical plan, where expressions are spelled out
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain("), // the expression's prettyName
+      s"probe must be the native expression:\n$p")
+    assert(p.contains("bloom_filter_agg("),
+      s"sketch must build as distributed aggregate state:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("UDF("),
+      s"no UDF in the native bloom pipeline:\n$p")
+    assert(p.contains("scalar-subquery") || p.contains("Subquery"),
+      s"the sketch must arrive via scalar subquery:\n$p")
+  }
+
   test("llm34: benchmark grams broadcast; the excision rewrite is " +
       "codegen'd HOFs, not a UDF") {
     val p = planOf("llm34_span_excise")
