@@ -154,6 +154,41 @@ class StructuredStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: the v2 state API reproduces STRM-8's running " +
+      "counts exactly (RocksDB-backed ValueState across batches)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // TWS requires the RocksDB provider; restore the prior provider after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.UserEvent]
+    val counts = StreamOps.userRunningCountsTws(input.toDS())
+    val q = counts.toDF().writeStream.format("memory").queryName("tws_t")
+      .outputMode("update").start()
+    try {
+      // same feed as the STRM-8 test — the two APIs must agree row-for-row
+      input.addData(StreamOps.UserEvent(1, 1, 100),
+        StreamOps.UserEvent(1, 2, 200), StreamOps.UserEvent(2, 3, 150))
+      q.processAllAvailable()
+      input.addData(StreamOps.UserEvent(1, 4, 300),
+        StreamOps.UserEvent(2, 5, 120))
+      q.processAllAvailable()
+      val finalCounts = s.table("tws_t")
+        .groupBy("user_id").agg(max("n").as("n"), max("last_us").as("last_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(finalCounts === Set((1L, 3L, 300L), (2L, 2L, 150L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState: running user counts accumulate across batches") {
     val s = spark
     import s.implicits._
