@@ -87,6 +87,27 @@ object StreamOps extends QueryModule {
         unix_micros(col("session_window.end")).as("sess_end_us"),
         col("n"))
 
+  /** STRM-3b: DYNAMIC-gap sessionization — the gap is a per-event
+    * expression (clicks time out in 10 min, everything else 30), which
+    * `session_window` accepts as a Column: sessions close when the next
+    * event lands past the running max of (event_ts + its own gap), and
+    * windows merge transitively. The fixed-gap formulation cannot
+    * express per-event-type engagement timeouts; the oracle replicates
+    * the semantics exactly as gaps-and-islands SQL (running max of
+    * t+gap, break on t ≥ prev_end — the same [start, end) boundary
+    * Spark uses). Same single (user) exchange as strm3 at any scale. */
+  def dynamicSessionAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(
+        session_window(col("event_ts"),
+          when(col("event_type") === "click", "10 minutes")
+            .otherwise("30 minutes")),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n"))
+
   /** STRM-5: exactly-once dedup by event_id (streaming: with watermark
     * state TTL; batch: same call). */
   def dedupById(ev: DataFrame): DataFrame =
@@ -609,7 +630,11 @@ object StreamOps extends QueryModule {
     // the oracle hash-matches a plain top-5-per-window
     "strm17_windowed_topk" -> ((s, d) =>
       windowedTopK(withEventTs(Tables.events(s, d)))
-        .orderBy("ws_us", "rank"))
+        .orderBy("ws_us", "rank")),
+
+    "strm3b_dynamic_session" -> ((s, d) =>
+      dynamicSessionAgg(withEventTs(Tables.events(s, d)))
+        .orderBy("user_id", "sess_start_us"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -683,6 +708,36 @@ object StreamOps extends QueryModule {
          |  END AS p95_est
          |FROM q ORDER BY ws_us""".stripMargin
     },
+
+    // gaps-and-islands replication of Spark's dynamic session semantics:
+    // running max of (t + that event's own gap) over earlier rows; a
+    // session breaks when t >= prev_end ([start,end) boundary); end =
+    // max(t + gap) within the island (sessions merge transitively)
+    "strm3b_dynamic_session" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |    CASE WHEN event_type = 'click' THEN 600000000
+        |         ELSE 1800000000 END AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, t, gap,
+        |    MAX(t + gap) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, t, gap,
+        |    CASE WHEN prev_end IS NULL OR t >= prev_end THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, t, gap,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(t) AS sess_start_us, MAX(t + gap) AS sess_end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
 
     // exact per-window top-5 — valid BECAUSE k=512 exceeds every window's
     // user cardinality (under-capacity SpaceSaving = exact count table,
