@@ -113,6 +113,31 @@ object Funcs extends QueryModule {
             .as("k_map"))
         .orderBy("event_id")),
 
+    // FUNC: Spark 4 VARIANT — the open-lakehouse semi-structured type
+    // (binary-encoded, schema-on-read, typed path extraction) vs
+    // func_map_json's string-level get_json_object. The query exercises
+    // the full round-trip: build nested JSON in-row, parse_json → VARIANT,
+    // variant_get typed paths (incl. a nested object and a JSON string
+    // embedded as a leaf). The oracle never sees the intermediate
+    // encoding — it checks the extracted values against the BASE columns,
+    // so any drift anywhere in the round-trip hash-mismatches.
+    "func_variant" -> ((s, d) =>
+      Tables.events(s, d).select(
+          col("event_id"),
+          parse_json(to_json(struct(
+            col("event_type").as("t"),
+            struct(col("user_id").as("u"), col("value").as("v")).as("n"),
+            col("props").as("p")))).as("var"),
+          col("props"))
+        .select(
+          col("event_id"),
+          expr("variant_get(var, '$.t', 'string')").as("t"),
+          expr("variant_get(var, '$.n.u', 'long')").as("u"),
+          expr("variant_get(var, '$.n.v', 'double')").as("v"),
+          expr("variant_get(var, '$.p', 'string')").as("p_raw"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .orderBy("event_id")),
+
     "func_hash" -> ((s, d) =>
       Tables.customer(s, d).select(
           col("c_custkey"),
@@ -207,6 +232,14 @@ object Funcs extends QueryModule {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_json,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_map
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // ground truth from the BASE columns — the variant round-trip must
+    // reproduce them byte-for-byte
+    "func_variant" ->
+      """SELECT event_id, event_type AS t, user_id AS u, value AS v,
+        |  props AS p_raw,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
     "func_hash" ->
