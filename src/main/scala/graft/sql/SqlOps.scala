@@ -455,6 +455,38 @@ object SqlOps extends QueryModule {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // WITH RECURSIVE (Spark 4) — hierarchy walking in pure SQL: every
+  // customer key walks its binary-tree ancestor chain (k → ⌊k/2⌋ → … → 1),
+  // ~log₂(maxkey) recursion rounds regardless of table size (each round is
+  // one whole-set step — recursion depth, not row count, is the iteration
+  // driver, exactly the SSSP/K-hop shape graph2 hand-rolls). FLOOR(x/2)
+  // instead of integer division keeps the text engine-portable (Spark DIV
+  // vs DuckDB //); keys ≤ 15k so double division is exact.
+  private val Sql22 =
+    """WITH RECURSIVE anc(k, cur, d) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT k, CAST(FLOOR(cur / 2) AS BIGINT), d + 1
+      |  FROM anc WHERE cur > 1)
+      |SELECT k AS c_custkey,
+      |  CAST(MAX(d) AS BIGINT) AS depth,
+      |  CAST(SUM(cur) AS BIGINT) AS path_sum
+      |FROM anc GROUP BY k ORDER BY k""".stripMargin
+
+  // LATERAL correlated subquery with LIMIT — per-row top-N in pure SQL
+  // (the "top 2 orders for every customer" ask): Catalyst decorrelates
+  // the lateral into a ranked join instead of re-running the subquery per
+  // customer row; inner-lateral semantics drop order-less customers on
+  // both engines. Ties broken by o_orderkey so the top-2 is total.
+  private val Sql23 =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql1_pricing_summary"  -> runSql("sql1_pricing_summary") _,
     "sql2_shipping_priority" -> runSql("sql2_shipping_priority") _,
@@ -476,7 +508,9 @@ object SqlOps extends QueryModule {
     "sql18_supplier_cnt"    -> runSql("sql18_supplier_cnt") _,
     "sql19_disjunctive_filters" -> runSql("sql19_disjunctive_filters") _,
     "sql20_part_promotion"  -> runSql("sql20_part_promotion") _,
-    "sql21_sales_opportunity" -> runSql("sql21_sales_opportunity") _
+    "sql21_sales_opportunity" -> runSql("sql21_sales_opportunity") _,
+    "sql22_recursive_hierarchy" -> runSql("sql22_recursive_hierarchy") _,
+    "sql23_lateral_topn"    -> runSql("sql23_lateral_topn") _
   )
 
   override def oracle: Map[String, String] = Map(
@@ -500,6 +534,8 @@ object SqlOps extends QueryModule {
     "sql18_supplier_cnt"    -> Sql18,
     "sql19_disjunctive_filters" -> Sql19,
     "sql20_part_promotion"  -> Sql20,
-    "sql21_sales_opportunity" -> Sql21
+    "sql21_sales_opportunity" -> Sql21,
+    "sql22_recursive_hierarchy" -> Sql22,
+    "sql23_lateral_topn"    -> Sql23
   )
 }
