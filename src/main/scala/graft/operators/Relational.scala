@@ -1168,6 +1168,27 @@ object Relational extends QueryModule {
         .orderBy("source", "sample_rank")
     }),
 
+    // SAMP-3: WEIGHTED sample without replacement (Efraimidis–Spirakis
+    // A-Res): each row draws an exponential clock −ln(u)/w and the k
+    // smallest clocks win — inclusion probability tracks weight exactly,
+    // the property llm19's integer mix weights approximate. Like samp1/2
+    // the "randomness" is a content hash (first 8 md5 hex digits → u ∈
+    // (0,1]), so the SAME sample comes back on any engine, run, and
+    // partitioning — reproducible sampling is what makes a training-mix
+    // auditable — and the DuckDB oracle can certify membership exactly.
+    // Plan: row-local clock computation, TakeOrdered top-k (no global
+    // sort); weights here derive from doc_id so both engines see them.
+    "samp3_weighted" -> ((s, d) => {
+      val w = (col("doc_id") % 10 + 1).cast("double")
+      val u = (expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8)" +
+        ", 16, 10) as bigint)").cast("double") + 1.0) / 4294967296.0
+      Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"), (-log(u) / w).as("clock"))
+        .orderBy(col("clock"), col("doc_id")).limit(100)
+        .select(col("doc_id"), col("w").cast("long").as("w"))
+        .orderBy("doc_id")
+    }),
+
     // AGG-17: exact heavy hitters — every key whose frequency clears a
     // threshold. The plan is the one that survives 100 TB: partial
     // (map-side) counts collapse the shuffle to ~|keys| rows, the HAVING
@@ -1638,6 +1659,20 @@ object Relational extends QueryModule {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 2) < '0d'
         |ORDER BY o_orderkey""".stripMargin,
+
+    // same A-Res clocks from the same md5-derived uniforms; LIMIT picks
+    // the identical 100 members (clock ties broken by doc_id)
+    "samp3_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, (doc_id % 10 + 1) AS w,
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))
+        |       AS BIGINT) + 1.0) / 4294967296.0 AS u
+        |  FROM documents),
+        |top AS (
+        |  SELECT doc_id, w FROM t
+        |  ORDER BY -LN(u) / w, doc_id LIMIT 100)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w
+        |FROM top ORDER BY doc_id""".stripMargin,
 
     // the oracle computes the cap with a single direct window — the
     // two-phase salted plan must select the IDENTICAL rows
