@@ -56,7 +56,13 @@ object DdSketch {
     buf.putLong(java.lang.Double.doubleToLongBits(gamma))
     buf.putLong(zero)
     buf.putInt(idxs.length)
-    idxs.foreach { i => buf.putInt(i.toInt); buf.putLong(buckets(i)) }
+    idxs.foreach { i =>
+      // the wire format carries Int indices; DdsAgg's alpha floor keeps
+      // every reachable index far inside that range — fail loudly rather
+      // than wrap if that invariant is ever violated
+      require(i == i.toInt.toLong, s"dds bucket index $i exceeds Int range")
+      buf.putInt(i.toInt); buf.putLong(buckets(i))
+    }
     buf.array()
   }
 
@@ -80,11 +86,14 @@ object DdSketch {
   /** Quantile bucket index for q (4-decimal precision): the smallest
     * bucket whose cumulative count reaches rank ⌊q·(n−1)⌋ + 1, zeros
     * (x ≤ 0 tallied in zeroCount) ranking below every positive bucket.
-    * Long.MinValue encodes "rank falls in the zero bucket". */
-  def quantileBucket(bytes: Array[Byte], q: Double): Long = {
+    * Long.MinValue encodes "rank falls in the zero bucket". Boxed so an
+    * EMPTY sketch (a group whose values were all NULL — DdsAgg skips
+    * nulls but still emits state) yields SQL NULL instead of crashing
+    * the query. */
+  def quantileBucket(bytes: Array[Byte], q: Double): java.lang.Long = {
     val (_, zero, map) = deserialize(bytes)
     val n = zero + map.values.sum
-    require(n > 0, "dds_quantile of an empty sketch")
+    if (n == 0) return null
     val q4 = Math.round(q * 10000)
     require(q4 >= 0 && q4 <= 10000, s"quantile out of [0,1]: $q")
     val rank = q4 * (n - 1) / 10000 + 1 // 1-based target rank, exact
@@ -98,11 +107,13 @@ object DdSketch {
   }
 
   /** Quantile value estimate: bucket midpoint 2γⁱ/(γ+1) rounded to 2 dp
-    * (see cross-engine protocol above); 0.0 for the zero bucket. */
-  def quantileValue(bytes: Array[Byte], q: Double): Double = {
+    * (see cross-engine protocol above); 0.0 for the zero bucket; NULL for
+    * an empty sketch. */
+  def quantileValue(bytes: Array[Byte], q: Double): java.lang.Double = {
     val (gamma, _, _) = deserialize(bytes)
     val i = quantileBucket(bytes, q)
-    if (i == Long.MinValue) 0.0
+    if (i == null) null
+    else if (i.longValue == Long.MinValue) 0.0
     else Math.round(2.0 * Math.pow(gamma, i.toDouble) / (gamma + 1) * 100.0) / 100.0
   }
 
@@ -112,10 +123,10 @@ object DdSketch {
     * total, both pure functions of the multiset, so a SQL oracle that
     * replicates the bucketing reproduces the double EXACTLY (one IEEE
     * division of identical integers). x ≤ 0 counts just the zero bucket. */
-  def cdf(bytes: Array[Byte], x: Double): Double = {
+  def cdf(bytes: Array[Byte], x: Double): java.lang.Double = {
     val (gamma, zero, map) = deserialize(bytes)
     val n = zero + map.values.sum
-    require(n > 0, "dds_cdf of an empty sketch")
+    if (n == 0) return null
     val cum =
       if (x <= 0 || x.isNaN) zero
       else {
@@ -137,7 +148,9 @@ case class DdsAgg(
   extends TypedImperativeAggregate[(Array[Long], mutable.LongMap[Long])]
   with UnaryLike[Expression] {
 
-  require(alpha > 0 && alpha < 1, s"dds_sketch_agg alpha out of (0,1): $alpha")
+  // floor at 1e-6: below ~2e-7 the index ⌈ln(x)/ln(γ)⌉ can exceed Int
+  // range and the wire format (Int indices) could not hold it
+  require(alpha >= 1e-6 && alpha < 1, s"dds_sketch_agg alpha out of [1e-6,1): $alpha")
 
   private val gamma = (1 + alpha) / (1 - alpha)
   // DIVISION, not reciprocal-multiply: ⌈ln(x)/ln(γ)⌉ is the cross-engine
@@ -305,6 +318,7 @@ case class DdsQuantileBucket(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
   override def prettyName: String = "dds_quantile_bucket"
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // NULL for an empty sketch
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
@@ -323,6 +337,7 @@ case class DdsQuantile(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
   override def prettyName: String = "dds_quantile"
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // NULL for an empty sketch
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
@@ -342,6 +357,7 @@ case class DdsCdf(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
   override def prettyName: String = "dds_cdf"
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // NULL for an empty sketch
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess

@@ -183,7 +183,8 @@ object Incremental extends QueryModule {
       // rebuild THE SAME store path under a different-dir memo key
       val (oRoot, cRoot) =
         graft.StageMemo.value(s, s"ivm2.stores.$d") {
-          val tag = java.lang.Integer.toHexString(d.hashCode)
+          val tag = Scans.dirTag(d) // md5-based: hashCode collisions would
+          // alias two lakes onto one store path (ADVICE r10)
           val o = s"${Scans.SinkDir}/ivm2_orders_$tag"
           val c = s"${Scans.SinkDir}/ivm2_cust_$tag"
           buildJoinStores(s, d, o, c)

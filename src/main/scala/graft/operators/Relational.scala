@@ -221,8 +221,9 @@ object Relational extends QueryModule {
     "join11_bucketed" -> ((s, d) => {
       // table names encode the data dir (ADVICE r3 item 4): one JVM running
       // against two different dirs must not silently reuse the first dir's
-      // bucketed files. String.hashCode is stable across JVMs.
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      // bucketed files. md5-based (ADVICE r10): stable across JVMs AND
+      // collision-resistant, unlike String.hashCode.
+      val tag = Scans.dirTag(d)
       val wh = s"graft_b_orders_$tag" -> s"graft_b_lineitem_$tag"
       if (!s.catalog.tableExists(wh._1)) {
         // the in-memory catalog forgets tables across JVMs but their files
@@ -1002,9 +1003,11 @@ object Relational extends QueryModule {
     // zero bucket (value ≤ 0 — present at sf0.1) surfaces as
     // Long.MinValue in both engines, rank/estimate protocol as agg23.
     "agg24_rolling_quantile" -> ((s, d) => {
+      // count(value), not count(*): DdsAgg skips NULLs, so n must too —
+      // keeps Spark and the oracle consistent if value is ever nullable
       val daily = Tables.events(s, d)
         .groupBy(date_format(col("event_ts"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("n"),
+        .agg(count(col("value")).as("n"),
           call_function("dds_sketch_agg", col("value"), lit(0.01)).as("sk"))
       val w = Window.orderBy("day").rowsBetween(-6, 0)
       daily.select(col("day"),
@@ -1752,7 +1755,7 @@ object Relational extends QueryModule {
          |    CASE WHEN value > 0 AND NOT isnan(value) AND NOT isinf(value)
          |         THEN CAST(CEIL(LN(value) / LN($g)) AS BIGINT)
          |         ELSE CAST('$zb' AS BIGINT) END AS i
-         |  FROM events),
+         |  FROM events WHERE value IS NOT NULL),
          |db AS (SELECT day, i, COUNT(*) AS c FROM e GROUP BY 1, 2),
          |days AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn
          |         FROM (SELECT DISTINCT day FROM e)),

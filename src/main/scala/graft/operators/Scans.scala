@@ -22,6 +22,16 @@ object Scans extends QueryModule {
   val FixturesDir = "/root/repo/fixtures"
   val SinkDir = "/root/repo/target/tmp-sinks"
 
+  /** Collision-resistant short tag for a data-dir path, used to namespace
+    * on-disk artifacts (bucketed tables, versioned stores) per lake.
+    * String.hashCode collides too easily — two dirs with colliding codes
+    * would memoize separately but WRITE THE SAME PATH, cross-contaminating
+    * lakes (the failure ivm2/join11's tagging exists to prevent). */
+  def dirTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SCAN-1: parquet scan with pushed filter + pruned columns (the explain

@@ -48,8 +48,9 @@ object StreamOps extends QueryModule {
     * KB-scale bucket map, evicted once the watermark closes the window.
     * 1-hour tumbling (vs strm1's 10-min) — a second window granularity. */
   def windowedQuantiles(ev: DataFrame): DataFrame =
+    // count(value), not count(*): DdsAgg skips NULLs, so n must too
     ev.groupBy(window(col("event_ts"), "1 hour"))
-      .agg(count(lit(1)).as("n"),
+      .agg(count(col("value")).as("n"),
         call_function("dds_sketch_agg", col("value"), lit(0.01)).as("sk"))
       .select(unix_micros(col("window.start")).as("ws_us"), col("n"),
         call_function("dds_quantile_bucket", col("sk"), lit(0.5))
@@ -683,7 +684,7 @@ object StreamOps extends QueryModule {
          |    CASE WHEN value > 0 AND NOT isnan(value) AND NOT isinf(value)
          |         THEN CAST(CEIL(LN(value) / LN($g)) AS BIGINT)
          |         ELSE CAST('$zb' AS BIGINT) END AS i
-         |  FROM events),
+         |  FROM events WHERE value IS NOT NULL),
          |b AS (SELECT ws_us, i, COUNT(*) AS c FROM e GROUP BY 1, 2),
          |cum AS (
          |  SELECT ws_us, i,

@@ -100,6 +100,34 @@ class DdsSpec extends SparkSpec {
     assert(math.abs(vals.getDouble(2) - 100.0) / 100.0 <= alpha)
   }
 
+  test("agg23: an all-NULL group yields NULL, not a crash (ADVICE r10)") {
+    // DdsAgg skips NULLs but still emits a sketch for the group — the
+    // scalar probes must return SQL NULL for that empty state instead of
+    // failing the whole query
+    val row = Seq[(Int, Option[Double])]((1, None), (1, None))
+      .toDF("g", "x")
+      .groupBy("g")
+      .agg(call_function("dds_sketch_agg", col("x"), lit(alpha)).as("sk"))
+      .select(
+        call_function("dds_quantile_bucket", col("sk"), lit(0.5)).as("b"),
+        call_function("dds_quantile", col("sk"), lit(0.5)).as("v"),
+        call_function("dds_cdf", col("sk"), lit(10.0)).as("c"))
+      .collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2),
+      s"empty-sketch probes must be NULL, got $row")
+  }
+
+  test("agg23: alpha below the wire-format floor fails loudly") {
+    // indices are Int on the wire; alpha < 1e-6 could overflow them —
+    // the aggregate must reject it at construction, not wrap silently
+    val ex = intercept[Exception] {
+      Seq(1.0).toDF("x")
+        .agg(call_function("dds_sketch_agg", col("x"), lit(1e-9)).as("sk"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("alpha"), s"unexpected: ${ex.getMessage}")
+  }
+
   test("agg23: quantile estimates are monotone in q") {
     val sk = Tables.lineitem(spark, Sf0001)
       .agg(call_function("dds_sketch_agg", col("l_extendedprice"), lit(alpha))
