@@ -227,6 +227,21 @@ object LlmOps extends QueryModule {
     graft.StageMemo.frame(s, s"llm28.ivfcents.$d")(
       ivfCentroids(Tables.embeddings(s, d)))
 
+  /** Memoized persisted IVF-PQ store over `d` (index = every vec except
+    * query 0) — built once per (session, sf-dir), shared by llm28d's
+    * single probe and llm28f's batch probe; swept on JVM exit.
+    * private[graft]: PqSpec probes the same store to pin batch/single
+    * parity. */
+  private[graft] def memoIvfpqStore(s: SparkSession, d: String): String =
+    graft.StageMemo.value(s, s"llm28d.store.$d") {
+      val e = Tables.embeddings(s, d)
+      val st = graft.TmpStores.scratch("llm28d")
+      ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
+        cents0 = Some(memoIvfCentroids(s, d)),
+        codebook0 = Some(memoCodebook(s, d, 8)))
+      st
+    }
+
   // ---- persisted IVF-PQ index (LLM-28d/28e) -----------------------------
 
   /** Builds and PERSISTS the IVF-PQ index under `store` — the piece that
@@ -349,6 +364,89 @@ object LlmOps extends QueryModule {
         round(l2sq(col("embedding"), col("q_emb")), 6).as("l2_dist"))
       .orderBy(col("l2_dist"), col("vec_id"))
       .limit(20)
+  }
+
+  /** BATCH probe of a persisted [[ivfpqBuild]] index — the serve-time shape
+    * [[ivfpqProbe]]'s single-row contract forbids: N queries answered in
+    * ONE codes scan (llm3f's broadcast-queries × one-scan pattern applied
+    * to the persisted index). Per query: nprobe nearest cells; the scan's
+    * partition filter is the UNION of all probed cells (≤ N·nprobe literal
+    * values, collected once as a driver-side Nq·nprobe-row table — the
+    * same bounded-centroid pattern as the single probe, ×N). Each code row
+    * fans out ONLY to the queries that probed its cell, via one broadcast
+    * (q_id, cell, sub, code, pdist) LUT of ≤ N·nprobe·m·k rows, so ADC
+    * work per scan row scales with the queries that actually want it, not
+    * with N. Shortlist and exact re-rank are per-query window top-N —
+    * partitioned by q_id, each partition holding one query's ≤ nprobe
+    * cells of candidates. Per query the answer is IDENTICAL to a
+    * sequential [[ivfpqProbe]] of the same store (same rank expressions,
+    * same decimal ADC, same tie-breaks — PqSpec pins the parity).
+    * Output: (q_id, vec_id, l2_dist), k rows per query. */
+  def ivfpqProbeBatch(qs0: DataFrame, corpus: DataFrame, store: String,
+                      m: Int = 8, dim: Int = 64, nprobe: Int = 4,
+                      k: Int = 20, shortlistN: Int = 100,
+                      residual: Boolean = false): DataFrame = {
+    val s = qs0.sparkSession
+    import s.implicits._
+    val qs = qs0.select(col("vec_id").as("q_id"), col("embedding"))
+    val cents = s.read.parquet(s"$store/centroids")
+    // per-query nprobe nearest cells: Nq × nCells broadcast-sized score,
+    // Nq·nprobe rows to the driver (bounded by the serve batch, not data)
+    val wq = Window.partitionBy("q_id").orderBy(col("cdist"), col("cent_id"))
+    val probePairs = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"),
+        col("cent_id"), l2sq(col("embedding"), col("cent")).as("cdist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cent_id").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val unionCells = probePairs.map(_._2).distinct.sorted
+    val probeDf = probePairs.toSeq.toDF("q_id", "cell")
+    val cb = s.read.parquet(s"$store/codebook")
+    val sd = dim / m
+    // one (q_id, cell, sub, code, pdist) LUT for both encodings; the
+    // residual variant scores the query's residual IN each probed cell
+    val qByCell =
+      if (residual)
+        qs.join(broadcast(probeDf), "q_id")
+          .join(broadcast(cents.select(col("cent_id").as("cell"),
+            col("cent").as("ccent"))), "cell")
+          .select(col("q_id"), col("cell"),
+            zip_with(col("embedding"), col("ccent"),
+              (x, y) => (x - y).cast("float")).as("embedding"))
+      else qs.join(broadcast(probeDf), "q_id")
+    val lut = qByCell
+      .select(col("q_id"), col("cell"), explode(array(
+        (0 until m).map(i => struct(lit(i).as("sub"),
+          slice(col("embedding"), i * sd + 1, sd).as("qsub"))): _*)).as("s"))
+      .select(col("q_id"), col("cell"), col("s.sub").as("sub"),
+        col("s.qsub").as("qsub"))
+      .join(cb, "sub")
+      .select(col("q_id"), col("cell"), col("sub"),
+        col("cent_id").as("code"), l2sq(col("qsub"), col("cent")).as("pdist"))
+    val codesSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("sub", IntegerType),
+      StructField("code", IntegerType), StructField("cell", LongType)))
+    // THE one scan: union-of-probed-cells literal partition filter
+    val codes = s.read.schema(codesSchema).parquet(s"$store/codes")
+      .filter(col("cell").isin(unionCells.map(Long.box): _*))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    val shortlist = codes.join(broadcast(lut), Seq("cell", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("pdist").cast("decimal(28,12)")).as("adc"))
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= shortlistN)
+      .select("q_id", "vec_id")
+    val wRank = Window.partitionBy("q_id")
+      .orderBy(col("l2_dist"), col("vec_id"))
+    corpus.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qs.select(col("q_id"), col("embedding").as("q_emb"))),
+        "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(l2sq(col("embedding"), col("q_emb")), 6).as("l2_dist"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("q_id"), col("l2_dist"), col("vec_id"))
   }
 
   /** Per-doc distinct-shingle table — the shared first stage of every
@@ -1676,15 +1774,23 @@ object LlmOps extends QueryModule {
       // rebuilding a persisted index per invocation was pure bench waste
       // and leaked a scratch dir per run (ADVICE r9). TmpStores deletes
       // the store on JVM exit.
-      val store = graft.StageMemo.value(s, s"llm28d.store.$d") {
-        val st = graft.TmpStores.scratch("llm28d")
-        ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
-          cents0 = Some(memoIvfCentroids(s, d)),
-          codebook0 = Some(memoCodebook(s, d, 8)))
-        st
-      }
+      val store = memoIvfpqStore(s, d)
       ivfpqProbe(e.filter(col("vec_id") === 0),
         e.filter(col("vec_id") =!= 0), store)
+    }),
+
+    // LLM-28f ⚠: BATCH retrieval over the llm28d persisted index — the
+    // serve-path shape for retrieval-augmented pipelines: N query vectors
+    // answered by ONE cell-pruned codes scan (union of every query's
+    // nprobe cells as the literal partition filter) instead of N scans.
+    // Per-query answers are identical to sequential llm28d probes (PqSpec
+    // pins parity and the ≤ N·nprobe partitions-read bound). Queries 1-4
+    // are index members, so each finds itself at distance 0 — the
+    // self-retrieval sanity a real serving stack checks first.
+    "llm28f_ivfpq_batch" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      ivfpqProbeBatch(e.filter(col("vec_id") < 5),
+        e.filter(col("vec_id") =!= 0), memoIvfpqStore(s, d))
     }),
 
     // LLM-28e ⚠: residual-encoded IVF-PQ (full FAISS IVFPQ) — codes

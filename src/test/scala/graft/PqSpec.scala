@@ -138,6 +138,60 @@ class PqSpec extends SparkSpec {
       s"nprobe=4 probe read $partsRead cell partitions")
   }
 
+  test("llm28f: batch probe matches N sequential single probes") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val batch = SparkEntry.queries("llm28f_ivfpq_batch")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("l2_dist")))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    assert(batch.keySet === (0L until 5L).toSet,
+      s"expected 5 query groups, got ${batch.keySet}")
+    // the memoized store llm28f probed (building it if this test runs first)
+    val store = graft.llm.LlmOps.memoIvfpqStore(spark, Sf0001)
+    for (q <- 0L until 5L) {
+      val single = graft.llm.LlmOps.ivfpqProbe(
+          e.filter(col("vec_id") === q), e.filter(col("vec_id") =!= 0), store)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("l2_dist")))
+        .toSeq
+      assert(batch(q) === single, s"query $q: batch diverges from single")
+    }
+    // self-retrieval sanity: index-member queries find themselves at 0
+    for (q <- 1L until 5L)
+      assert(batch(q).head === ((q, 0.0)), s"query $q must retrieve itself")
+  }
+
+  test("llm28f: one batch scan reads at most N*nprobe cell partitions") {
+    val df = SparkEntry.queries("llm28f_ivfpq_batch")(spark, Sf0001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("PartitionFilters: [cell"),
+      s"codes scan must carry a literal cell partition filter:\n$finalPlan")
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.flatMap {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/codes")) =>
+        Seq(s)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case _ => Nil
+    }
+    val codeScans = scans(finalPlan)
+    assert(codeScans.length === 1,
+      s"batch retrieval must read the codes store EXACTLY once, " +
+        s"got ${codeScans.length} scans")
+    val partsRead = codeScans.map(_.metrics("numPartitions").value).sum
+    assert(partsRead > 0 && partsRead <= 5 * 4,
+      s"5 queries at nprobe=4 read $partsRead cell partitions")
+  }
+
   test("llm28e: residual encoding does not lose recall at equal nprobe") {
     val exact = exactTop20
     val base = SparkEntry.queries("llm28c_ivfpq")(spark, Sf0001)
