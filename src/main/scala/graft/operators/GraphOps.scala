@@ -56,9 +56,14 @@ object GraphOps extends QueryModule {
     pagerankRounds(edges, iters, damping, tol, checkEvery)._1
 
   /** Same as [[pagerank]] but also reports how many rounds actually ran —
-    * lets GraphSpec prove convergence-based early termination fired. */
+    * lets GraphSpec prove convergence-based early termination fired.
+    * `broadcastCap` overrides [[PagerankBroadcastVertexCap]] — production
+    * callers leave the default; GraphSpec sets 0 to force the above-cap
+    * shuffle-join plan (otherwise dead code at test scale) and pin its
+    * rank parity with the broadcast path. */
   def pagerankRounds(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
-                     tol: Double = 0.0, checkEvery: Int = 4)
+                     tol: Double = 0.0, checkEvery: Int = 4,
+                     broadcastCap: Long = PagerankBroadcastVertexCap)
   : (DataFrame, Int) = {
     val norm = edges
       .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
@@ -83,7 +88,7 @@ object GraphOps extends QueryModule {
     // map-side join + one partial/final agg. Past the cap the hint is
     // dropped and the join shuffles on src/v — the only scale-correct plan
     // when the vertex table itself is cluster-sized.
-    val bcastRanks = n <= PagerankBroadcastVertexCap
+    val bcastRanks = n <= broadcastCap
     val rc = new RoundCheckpointer
     var pr = verts.withColumn("pr", lit(1.0 / n))
     var prev = pr

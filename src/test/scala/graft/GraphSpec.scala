@@ -120,6 +120,39 @@ class GraphSpec extends SparkSpec {
     pr.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-9))
   }
 
+  test("above-cap shuffle-join path matches the broadcast path " +
+      "in bounded time (VERDICT r10 #2)") {
+    val s = spark
+    import s.implicits._
+    // broadcastCap = 0 forces the >1M-vertex fallback (rank vector joins
+    // by shuffle, never broadcast) — the plan a 1000-executor cluster runs
+    // when the vertex table itself is cluster-sized. Dead code at test
+    // scale unless forced, so a wrong plan there would be invisible.
+    val edgeList = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "a"), ("b", "d"))
+    val edges = edgeList.map { case (x, y) => (x, y, 1L) }.toDF("src", "dst", "w")
+    val t0 = System.nanoTime()
+    val shuffled = GraphOps.pagerankRounds(edges, iters = 8, broadcastCap = 0L)
+      ._1.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60, f"above-cap path took $secs%.1f s — plan growth?")
+    val bcast = GraphOps.pagerankRounds(edges, iters = 8)
+      ._1.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(shuffled.keySet === bcast.keySet)
+    // DECIMAL rank-mass protocol makes both paths bit-deterministic — the
+    // join strategy must not change a single rank
+    shuffled.foreach { case (v, p) =>
+      assert(p === bcast(v), s"$v: shuffle $p vs broadcast ${bcast(v)}") }
+    assert(math.abs(shuffled.values.sum - 1.0) < 1e-9)
+    // also exercise the dangling double-reference branch above the cap
+    val dEdges = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val dGot = GraphOps.pagerankRounds(dEdges, iters = 6, broadcastCap = 0L)
+      ._1.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dRef = GraphOps.pagerankRounds(dEdges, iters = 6)
+      ._1.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dGot === dRef, "dangling graph diverges above the cap")
+  }
+
   test("rank mass is conserved on the bidirected purchase graph") {
     val df = SparkEntry.queries("graph1_pagerank")(spark, Sf0001)
     // top-20 slice can't certify mass; recompute on the full rank vector
