@@ -153,6 +153,69 @@ case class CmsInnerProduct(left: Expression, right: Expression)
       l: Expression, r: Expression): CmsInnerProduct = copy(l, r)
 }
 
+/** Static probe kernel for [[CmsEstimate]] — a standalone object so the
+  * generated Java can call the static forwarder
+  * `graft.functions.CmsProbe.estimate(bytes, key)` directly. Reads counters
+  * straight off the serialized sketch (ByteBuffer.wrap is a view, not a
+  * copy) — no per-row deserialization. */
+object CmsProbe {
+  def estimate(bytes: Array[Byte], key: Long): Long = {
+    val bb = ByteBuffer.wrap(bytes)
+    val depth = bb.getLong(0).toInt
+    val width = (bytes.length / 8 - 1) / depth
+    var best = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val h = XxHash64Function.hash(key, LongType, i.toLong)
+      val bucket = ((h % width + width) % width).toInt
+      val c = bb.getLong((1 + i * width + bucket) * 8)
+      if (c < best) best = c
+      i += 1
+    }
+    best
+  }
+}
+
+/** `cms_estimate(sketch, key) -> bigint` — point-frequency estimate
+  * min_i counts[i][h_i(key)] from a [[CmsAgg]] sketch. UNLIKE the 1-row
+  * inner product, this probe runs PER CANDIDATE ROW (agg17b estimates
+  * every heavy-hitter candidate against a broadcast sketch — millions of
+  * rows at 100 TB), so it participates in whole-stage codegen via a
+  * static-kernel call instead of falling back to interpreted eval or a
+  * ScalaUDF (the shape join12b's bloom_might_contain already proved out;
+  * PlanSpec asserts the codegen span). */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryLike[Expression] {
+  override def prettyName: String = "cms_estimate"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType | IntegerType | ShortType | ByteType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate expects (binary, integral), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullSafeEval(b: Any, k: Any): Any = {
+    val key = k match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case by: Byte => by.toLong
+      case other => throw new IllegalStateException(s"bad key $other")
+    }
+    CmsProbe.estimate(b.asInstanceOf[Array[Byte]], key)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+  : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (b, k) =>
+      s"graft.functions.CmsProbe.estimate($b, (long)($k))")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CmsEstimate = copy(l, r)
+}
+
 /** Registration (same extension point as ThetaExtensions). */
 object CmsExtensions {
   private def intLit(e: Expression, what: String): Int = e match {
@@ -176,5 +239,10 @@ object CmsExtensions {
       new ExpressionInfo(classOf[CmsInnerProduct].getName, "cms_inner_product"),
       (children: Seq[Expression]) =>
         CmsInnerProduct(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) =>
+        CmsEstimate(children(0), children(1))))
   }
 }

@@ -268,9 +268,14 @@ object Relational extends QueryModule {
     // ~matching fraction. Spark's own runtime row-level filtering does the
     // same rewrite automatically when stats allow (enabled in
     // Graft.session); this spells the pattern out and keeps it available
-    // when the optimizer's size estimates miss. The mightContain probe is
-    // a UDF because Spark exposes no public expression for sketch probes —
-    // one primitive-typed call per row, off the shuffle's critical path.
+    // when the optimizer's size estimates miss. PEDAGOGICAL BASELINE for
+    // the BUILD side only: the sketch is built through the driver-side
+    // stats API (`stat.bloomFilter` — the sketch bytes round-trip through
+    // the driver) to contrast with join12b, where the build itself is
+    // distributed aggregate state. The PROBE is the same codegen-native
+    // bloom_might_contain on both — the probe runs per fact row (the hot
+    // path), so neither variant may pay a ScalaUDF there (VERDICT r10 #8;
+    // join12b is the production path end to end).
     "join12_bloom_prune" -> ((s, d) => {
       val dim = Tables.part(s, d).filter(col("p_size") === 15)
         .select("p_partkey", "p_brand")
@@ -283,9 +288,12 @@ object Relational extends QueryModule {
           expectedNumItems = 1000000L, fpp = 0.01))
       val prune = bfOpt match {
         case Some(bf) =>
-          val bc = s.sparkContext.broadcast(bf)
-          val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-          mightContain(col("l_partkey"))
+          // serialize once, embed as a binary literal: the builder put raw
+          // long keys, so the native probe sees the same item space
+          val os = new java.io.ByteArrayOutputStream()
+          bf.writeTo(os)
+          call_function("bloom_might_contain",
+            lit(os.toByteArray), col("l_partkey").cast("long"))
         case None => lit(false)
       }
       Tables.lineitem(s, d)
@@ -1205,27 +1213,27 @@ object Relational extends QueryModule {
         .orderBy(col("n").desc, col("l_partkey"))),
 
     // AGG-17b ⚠: Count-Min-Sketch heavy hitters — fixed-size state
-    // (eps=1e-3, conf=0.99 → ~2.7k counters × 5 rows) regardless of key
-    // cardinality; estimates are biased UP only, so every true heavy
+    // (5 × 4096 counters ≈ 160 KB, eps = e/4096 ≈ 6.6e-4) regardless of
+    // key cardinality; estimates are biased UP only, so every true heavy
     // hitter clears the threshold (no false negatives — the property that
-    // matters for a filter stage). Built distributed (treeAggregate under
-    // df.stat); the probe side BROADCASTS the ~50 KB sketch and estimates
-    // executor-side over the candidate-key table (agg17's exact set), so
-    // the candidates never leave the cluster — at 100 TB the candidate set
-    // can itself be millions of rows (VERDICT r9 #2: the driver-collect
-    // variant bounded only by assumption). The probe UDF is sketch-lookup,
-    // which has no built-in expression. Approximate → rows-only +
-    // ApproxSpec bounds (exact <= estimate <= exact + eps·N).
+    // matters for a filter stage). FULLY IN-PLAN (the join12b shape): the
+    // sketch builds as distributed aggregate state (CmsAgg, map-side
+    // combine ships one sketch per task), lands in the probe via a
+    // broadcast 1-row cross join, and cms_estimate runs INSIDE whole-stage
+    // codegen over the candidate-key table (agg17's exact set) — at 100 TB
+    // the candidate set can itself be millions of rows (VERDICT r9 #2), so
+    // the probe is a hot path: a static-kernel codegen expression, not a
+    // ScalaUDF (VERDICT r10 #3; PlanSpec asserts the codegen span).
+    // Approximate → rows-only + ApproxSpec bounds
+    // (exact <= estimate <= exact + eps·N).
     "agg17b_heavy_hitters_cms" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val sketch = li.stat.countMinSketch(
-        col("l_partkey"), eps = 0.001, confidence = 0.99, seed = 42)
-      val bc = s.sparkContext.broadcast(sketch)
-      val estimate =
-        udf((k: Long) => bc.value.estimateCount(java.lang.Long.valueOf(k)))
+      val sk = li.agg(expr("cms_sketch_agg(l_partkey, 5, 4096)").as("sk"))
       li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 45)
-        .select(col("l_partkey"), estimate(col("l_partkey")).as("est_n"))
+        .crossJoin(broadcast(sk))
+        .select(col("l_partkey"),
+          expr("cms_estimate(sk, l_partkey)").as("est_n"))
         .orderBy("l_partkey")
     }),
 

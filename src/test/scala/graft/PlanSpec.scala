@@ -423,6 +423,32 @@ class PlanSpec extends SparkSpec {
       s"the sketch must arrive via scalar subquery:\n$p")
   }
 
+  test("agg17b: CMS probe is a codegen-native expression inside a " +
+      "WholeStageCodegen span — no ScalaUDF (VERDICT r10 #3)") {
+    val df = SparkEntry.queries("agg17b_heavy_hitters_cms")(spark, Sf0001)
+    df.collect() // materialize so AQE finalizes and codegen markers appear
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("UDF("),
+      s"no UDF anywhere in the CMS pipeline:\n$p")
+    assert(p.contains("partial_cms_sketch_agg"),
+      s"sketch must build as map-side-combined aggregate state:\n$p")
+    // the per-candidate probe projection must sit inside a codegen span
+    // (lines of codegen'd operators carry the "*(n)" stage marker)
+    assert(p.linesIterator.exists(l =>
+        l.contains("cms_estimate") && l.contains("*(")),
+      s"cms_estimate must run inside whole-stage codegen:\n$p")
+  }
+
+  test("join12: the pedagogical driver-built sketch still probes through " +
+      "the native codegen expression, not a UDF (VERDICT r10 #8)") {
+    val df = SparkEntry.queries("join12_bloom_prune")(spark, Sf0001)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain("),
+      s"probe must be the native expression:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("UDF("),
+      s"no UDF on the per-fact-row probe path:\n$p")
+  }
+
   test("llm34: benchmark grams broadcast; the excision rewrite is " +
       "codegen'd HOFs, not a UDF") {
     val p = planOf("llm34_span_excise")
