@@ -604,16 +604,25 @@ object LlmOps extends QueryModule {
     labels
   }
 
-  /** 64-bit SimHash over unigram tokens (sign of per-bit weighted sums).
-    * A Scala UDF: the per-row 64×tokens bit loop is imperative by nature and
-    * this operator is ScalaTest-verified (no SQL oracle), so a UDF is the
-    * honest implementation; promote to a codegen Expression only if it ever
-    * lands on a bench hot path. */
+  /** 64-bit SimHash over unigram tokens (sign of per-bit weighted sums),
+    * on the engine's CROSS-ENGINE hash protocol: the per-token 64-bit hash
+    * is the first 16 hex digits of md5(token) (high 8 → bits 63..32, next
+    * 8 → bits 31..0) — the same md5 family samp1/2/3 use, which is what
+    * lets the DuckDB oracle replicate the fingerprint EXACTLY in plain SQL
+    * (Murmur/xxhash exist in only one engine; md5 exists in all).
+    *
+    * This scalar version is the SPEC REFERENCE; the declared llm2c query
+    * computes the identical function declaratively (filter/transform/
+    * aggregate/zip_with HOFs — row-local, zero shuffle, no UDF), and
+    * ApproxSpec pins scalar ≡ declarative on real documents. */
   def simhashOf(text: String): Long = {
     val counts = new Array[Int](64)
-    if (text != null) text.split(" ").foreach { t =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
-        (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+    if (text != null) text.split(" ").filter(_.nonEmpty).foreach { t =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val h = (java.lang.Long.parseLong(hex.substring(0, 8), 16) << 32) |
+        java.lang.Long.parseLong(hex.substring(8, 16), 16)
       var i = 0
       while (i < 64) {
         counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1
@@ -625,7 +634,32 @@ object LlmOps extends QueryModule {
     out
   }
 
-  val simhash64 = udf(simhashOf _)
+  /** The declarative twin of [[simhashOf]] as a single row-local column
+    * expression: tokens → md5 hex → (h1, h2) halves → ±1 bit-count fold →
+    * sign mask. No shuffle, no UDF — the whole fingerprint is computed
+    * where the text already is (at 100 TB simhash is a map stage, and this
+    * keeps it one). shiftleft(1, 63) wraps to Long.MinValue (Java shift
+    * semantics — bit 63 is the sign bit); the mask sum starts there and
+    * only moves toward zero, so ANSI overflow checking never fires. */
+  private[llm] val simhashCol: String =
+    """aggregate(
+      |  zip_with(
+      |    aggregate(
+      |      transform(
+      |        transform(filter(split(text, ' '), t -> t <> ''), t -> md5(t)),
+      |        x -> named_struct(
+      |          'h1', cast(conv(substr(x, 1, 8), 16, 10) as bigint),
+      |          'h2', cast(conv(substr(x, 9, 8), 16, 10) as bigint))),
+      |      array_repeat(0, 64),
+      |      (acc, p) -> zip_with(acc, sequence(0, 63),
+      |        (a, i) -> a + (case when (case when i >= 32
+      |                                  then shiftright(p.h1, i - 32)
+      |                                  else shiftright(p.h2, i) end) % 2 = 1
+      |                       then 1 else -1 end))),
+      |    sequence(0, 63),
+      |    (c, i) -> case when c > 0 then shiftleft(cast(1 as bigint), i)
+      |              else cast(0 as bigint) end),
+      |  cast(0 as bigint), (a, b) -> a + b)""".stripMargin
 
   // ---- declared queries --------------------------------------------------
 
@@ -653,10 +687,14 @@ object LlmOps extends QueryModule {
       ngramJaccardPairs(Tables.documents(s, d), threshold = 0.8)
         .orderBy("a_id", "b_id")),
 
-    // LLM-2c: SimHash fingerprints (no SQL oracle — ScalaTest-verified).
+    // LLM-2c: SimHash fingerprints — md5-protocol simhash computed as one
+    // row-local HOF expression (zero shuffle, no UDF; see [[simhashCol]]).
+    // HASH-MATCHES the DuckDB oracle: both engines fold the identical
+    // ±1 bit counts from the identical md5 token hashes (VERDICT r10 #4 —
+    // promoted from spec-only).
     "llm2c_simhash" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"), expr(simhashCol).as("simhash"))
         .orderBy("doc_id")),
 
     // LLM-3: brute-force cosine top-k against a query vector (vec_id 0) —
@@ -1908,6 +1946,38 @@ object LlmOps extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // replicates the md5 token-hash simhash protocol bit-for-bit: same
+    // token split (empties dropped), same (h1, h2) hex halves, same ±1
+    // bit-count fold, same sign mask. Bit 63 is the sign bit — its mask
+    // is the min-long literal (DuckDB's << overflow-checks where Java
+    // wraps), and the mask SUM starts there and moves toward zero, so
+    // checked BIGINT addition never overflows.
+    "llm2c_simhash" -> {
+      val cnts = (0 until 64).map { i =>
+        val src = if (i >= 32) s"h1 >> ${i - 32}" else s"h2 >> $i"
+        s"SUM(CASE WHEN ($src) % 2 = 1 THEN 1 ELSE -1 END) AS c$i"
+      }.mkString(",\n    ")
+      val mask = (0 until 64).map { i =>
+        val m = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+        s"(CASE WHEN c$i > 0 THEN $m ELSE 0 END)"
+      }.mkString(" +\n  ")
+      s"""WITH t AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents)
+         |  WHERE tok <> ''),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+         |    CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+         |  FROM t),
+         |c AS (SELECT doc_id,
+         |    $cnts
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($mask AS BIGINT) AS simhash
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     // generated from the same JlSignRows constant the Spark query uses,
     // so the two sides can never drift; j is 1-based on both (DuckDB
     // list indexing / Spark's 0-based transform index shifted by one)

@@ -278,12 +278,18 @@ object Analytics extends QueryModule {
         .orderBy("day")
     }),
 
-    // TS-7 ⚠: EWMA — exponentially weighted moving average per user,
+    // TS-7: EWMA — exponentially weighted moving average per user,
     //   y_i = α·x_i + (1−α)·y_{i−1}
     // The one TS shape that is ORDER-RECURSIVE: no SQL window expresses it
     // (no recursive frames; the closed form Σ α(1−α)^{n−i}x_i needs
-    // (1−α)^{−i} factors that overflow past a few hundred rows), so no
-    // DuckDB oracle — EwmaSpec pins a scalar-reference golden instead.
+    // (1−α)^{−i} factors that overflow past a few hundred rows).
+    // HASH-MATCHES a WITH RECURSIVE DuckDB oracle (VERDICT r10 #4 —
+    // promoted from spec-only): IEEE double mult/add are exactly
+    // specified, so identical constants applied in identical order give
+    // bit-identical trajectories; the oracle spells (1 − 0.3) as the same
+    // double subtraction this code runs (a DECIMAL-folded 0.7 literal
+    // would differ in the last ulp and compound through the recursion).
+    // EwmaSpec still pins the scalar-reference golden.
     // Execution is the idiomatic Spark shape for per-key sequential state:
     // groupByKey + flatMapSortedGroups = ONE exchange on user_id with a
     // SECONDARY SORT on (ts, event_id) inside it, then a streaming O(1)-
@@ -490,6 +496,30 @@ object Analytics extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+
+    // the EWMA recurrence as a sequential recursion over per-user row
+    // numbers (one recursion level per rank; max events/user is ~90 at
+    // the gate SFs, so the unrolling is shallow). Constants are forced
+    // DOUBLE and combined in the Spark fold's exact operation order —
+    // see the ts7 query comment for why that makes the trajectory
+    // bit-identical, not merely close.
+    "ts7_ewma" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DOUBLE) AS value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, ts_us, rn, value AS ewma
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts_us, e.rn,
+        |    CAST(0.3 AS DOUBLE) * e.value +
+        |    (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.ewma
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, event_id, ts_us, ewma
+        |FROM r ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "ts8_seasonal_decompose" ->
       """WITH hourly AS (

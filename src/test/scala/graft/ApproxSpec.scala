@@ -65,6 +65,19 @@ class ApproxSpec extends SparkSpec {
     assert(LlmOps.simhashOf(base) === hb, "deterministic")
   }
 
+  test("llm2c: declarative HOF simhash equals the scalar reference") {
+    val got = SparkEntry.queries("llm2c_simhash")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty && got.size === docs.length)
+    docs.foreach { case (id, text) =>
+      assert(got(id) === LlmOps.simhashOf(text),
+        s"doc $id: declarative ${got(id)} vs scalar ${LlmOps.simhashOf(text)}")
+    }
+  }
+
   test("llm3b: ANN recall vs exact cosine top-20") {
     val exact = SparkEntry.queries("llm3_cosine_topk")(spark, Sf0001)
       .collect().map(_.getLong(0)).toSet
