@@ -110,6 +110,19 @@ object Graft {
       // Spark). join12_bloom_prune spells out the same pattern manually
       // for when the optimizer's size estimates miss.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // RocksDB state store for ALL stateful streaming (default is the
+      // JVM-heap HDFSBackedStateStoreProvider). At 100 TB/day stream
+      // rates, keyed state (dedup sets, session windows, top-k counters)
+      // outgrows executor heaps — RocksDB keeps it off-heap and spills to
+      // local disk, and changelog checkpointing ships deltas instead of
+      // full snapshots. It is also the only provider transformWithState
+      // (STRM-18) supports, so one default covers every stateful op the
+      // engine declares. StructuredStreamingSpec asserts this default.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // getOrCreate() silently ignores .config() when a session pre-exists in

@@ -159,11 +159,11 @@ class StructuredStreamingSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     implicit val ctx = s.sqlContext
-    // TWS requires the RocksDB provider; restore the prior provider after
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // RocksDB is the session DEFAULT provider (Graft.session) — TWS needs
+    // it, and at scale every stateful op does; assert nothing overrode it
+    assert(s.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"),
+      "Graft.session must default stateful streaming to RocksDB")
     val input = MemoryStream[StreamOps.UserEvent]
     val counts = StreamOps.userRunningCountsTws(input.toDS())
     val q = counts.toDF().writeStream.format("memory").queryName("tws_t")
@@ -180,13 +180,7 @@ class StructuredStreamingSpec extends SparkSpec {
         .groupBy("user_id").agg(max("n").as("n"), max("last_us").as("last_us"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(finalCounts === Set((1L, 3L, 300L), (2L, 2L, 150L)))
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
-    }
+    } finally q.stop()
   }
 
   test("flatMapGroupsWithState: running user counts accumulate across batches") {
