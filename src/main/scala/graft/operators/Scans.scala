@@ -32,6 +32,18 @@ object Scans extends QueryModule {
       .digest(d.getBytes("UTF-8"))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
 
+  /** SINK-5's write target: s3a:// when the object-store env contract is
+    * present (SPARK_GRAFT_S3A=1 + SPARK_GRAFT_S3_BUCKET; endpoint/creds
+    * resolve via Graft.session's s3a conf and the standard provider
+    * chain), file:// otherwise. One code path, scheme-selected — the
+    * point of Hadoop-FS URIs. */
+  def sink5Target: String =
+    if (sys.env.get("SPARK_GRAFT_S3A").contains("1"))
+      sys.env.get("SPARK_GRAFT_S3_BUCKET")
+        .map(b => s"s3a://$b/graft/sink5_uri")
+        .getOrElse(s"file://$SinkDir/sink5_uri")
+    else s"file://$SinkDir/sink5_uri"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SCAN-1: parquet scan with pushed filter + pruned columns (the explain
@@ -257,11 +269,16 @@ object Scans extends QueryModule {
         .orderBy("n_nationkey")
     }),
 
-    // SINK-5: object-store-style URI sink. Offline there is no S3 endpoint,
-    // so the same Hadoop-FS path-scheme mechanism is exercised via file:// —
-    // on a cluster the identical code takes s3a://bucket/key.
+    // SINK-5: object-store URI sink (reference uploads snapshots to S3,
+    // runcommand.py:463-498). The write path is URI-scheme-driven: with
+    // SPARK_GRAFT_S3A=1 + SPARK_GRAFT_S3_BUCKET set (and Graft.session's
+    // s3a/magic-committer conf applied), the identical write/read-back
+    // takes s3a://bucket/...; offline it exercises the same Hadoop-FS
+    // mechanism via file://. S3aContractSpec drives the s3a branch when an
+    // endpoint is configured and is skipped (canceled) otherwise — the
+    // offline container has neither endpoint nor hadoop-aws jars.
     "sink5_uri" -> ((s, d) => {
-      val out = s"file://$SinkDir/sink5_uri"
+      val out = sink5Target
       Tables.region(s, d).write.mode("overwrite").parquet(out)
       s.read.parquet(out).select("r_regionkey", "r_name").orderBy("r_regionkey")
     }),
