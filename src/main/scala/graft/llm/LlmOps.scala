@@ -697,6 +697,48 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"), expr(simhashCol).as("simhash"))
         .orderBy("doc_id")),
 
+    // LLM-2d: simhash near-dup PAIRS — the dedup consumer of llm2c's
+    // fingerprints, and the third near-dup family beside MinHash-Jaccard
+    // (llm2) and embedding-cosine (llm21b): hamming distance over 64-bit
+    // sign fingerprints. The banding is LOSSLESS, not probabilistic:
+    // 4 bands × 16 bits and threshold k=3 — by pigeonhole any pair with
+    // ≤ 3 differing bits has ≥ 1 intact band, so the band self-join
+    // (n·4 rows of 16-bit keys through the shuffle) finds EVERY
+    // qualifying pair and the O(n²) formulation never runs. Arithmetic-
+    // vs-logical shift never matters: & 65535 keeps only the band's own
+    // bits either way (the same identity the DuckDB oracle relies on).
+    // HASH-MATCHES: the oracle recomputes the md5-protocol simhash from
+    // raw text and brute-forces all pairs — band join ≡ brute force is
+    // exactly the losslessness claim. At 100 TB: a hot band value (many
+    // docs sharing 16 fingerprint bits) is the skew to watch; the llm3d
+    // salting recipe applies unchanged if a corpus degenerates that way.
+    "llm2d_simhash_neardup" -> ((s, d) => {
+      val k = 3
+      // both sides of the self-join read the materialized fingerprints —
+      // without the cut Spark recomputes the full md5 fold per side
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), expr(simhashCol).as("simhash"))
+        .localCheckpoint()
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band_idx"),
+            (shiftright(col("simhash"), i * 16) bitwiseAND lit(65535L))
+              .as("band"))): _*)).as("b"))
+        .select(col("doc_id"), col("simhash"),
+          col("b.band_idx").as("band_idx"), col("b.band").as("band"))
+      val left = bands.select(col("doc_id").as("a_id"),
+        col("simhash").as("a_sh"), col("band_idx"), col("band"))
+      val right = bands.select(col("doc_id").as("b_id"),
+        col("simhash").as("b_sh"), col("band_idx"), col("band"))
+      left.join(right, Seq("band_idx", "band"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("cast(bit_count(a_sh ^ b_sh) as int)").as("hamming"))
+        .filter(col("hamming") <= k)
+        .distinct() // a pair can share several bands
+        .orderBy("a_id", "b_id")
+    }),
+
     // LLM-3: brute-force cosine top-k against a query vector (vec_id 0) —
     // the exact baseline; see llm3b for the LSH-bucketed scale path.
     "llm3_cosine_topk" -> ((s, d) => {
@@ -1945,38 +1987,53 @@ object LlmOps extends QueryModule {
       size(col("toks")).as("n_tok_bpe"))
   }
 
+  /** Shared oracle CTE chain ending in `sh(doc_id, simhash)` — the md5
+    * token-hash simhash protocol replicated bit-for-bit in DuckDB SQL:
+    * same token split (empties dropped), same (h1, h2) hex halves, same
+    * ±1 bit-count fold, same sign mask. Bit 63 is the sign bit — its mask
+    * is the min-long literal (DuckDB's << overflow-checks where Java
+    * wraps), and the mask SUM starts there and moves toward zero, so
+    * checked BIGINT addition never overflows. Composed by the llm2c
+    * (fingerprints) and llm2d (near-dup pairs) oracles. */
+  private def simhashSqlCtes: String = {
+    val cnts = (0 until 64).map { i =>
+      val src = if (i >= 32) s"h1 >> ${i - 32}" else s"h2 >> $i"
+      s"SUM(CASE WHEN ($src) % 2 = 1 THEN 1 ELSE -1 END) AS c$i"
+    }.mkString(",\n    ")
+    val mask = (0 until 64).map { i =>
+      val m = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"(CASE WHEN c$i > 0 THEN $m ELSE 0 END)"
+    }.mkString(" +\n  ")
+    s"""t AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  WHERE tok <> ''),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+       |  FROM t),
+       |c AS (SELECT doc_id,
+       |    $cnts
+       |  FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($mask AS BIGINT) AS simhash FROM c)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
-    // replicates the md5 token-hash simhash protocol bit-for-bit: same
-    // token split (empties dropped), same (h1, h2) hex halves, same ±1
-    // bit-count fold, same sign mask. Bit 63 is the sign bit — its mask
-    // is the min-long literal (DuckDB's << overflow-checks where Java
-    // wraps), and the mask SUM starts there and moves toward zero, so
-    // checked BIGINT addition never overflows.
-    "llm2c_simhash" -> {
-      val cnts = (0 until 64).map { i =>
-        val src = if (i >= 32) s"h1 >> ${i - 32}" else s"h2 >> $i"
-        s"SUM(CASE WHEN ($src) % 2 = 1 THEN 1 ELSE -1 END) AS c$i"
-      }.mkString(",\n    ")
-      val mask = (0 until 64).map { i =>
-        val m = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
-        s"(CASE WHEN c$i > 0 THEN $m ELSE 0 END)"
-      }.mkString(" +\n  ")
-      s"""WITH t AS (
-         |  SELECT doc_id, tok FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |    FROM documents)
-         |  WHERE tok <> ''),
-         |h AS (
-         |  SELECT doc_id,
-         |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
-         |    CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
-         |  FROM t),
-         |c AS (SELECT doc_id,
-         |    $cnts
-         |  FROM h GROUP BY doc_id)
-         |SELECT doc_id, CAST($mask AS BIGINT) AS simhash
-         |FROM c ORDER BY doc_id""".stripMargin
-    },
+    "llm2c_simhash" ->
+      s"WITH $simhashSqlCtes\nSELECT doc_id, simhash FROM sh ORDER BY doc_id",
+
+    // brute-force all-pairs hamming over independently recomputed
+    // fingerprints: band join ≡ brute force IS the losslessness claim
+    // (4×16-bit bands, threshold 3, pigeonhole)
+    "llm2d_simhash_neardup" ->
+      s"""WITH $simhashSqlCtes
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // generated from the same JlSignRows constant the Spark query uses,
     // so the two sides can never drift; j is 1-based on both (DuckDB

@@ -78,6 +78,25 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("llm2d: lossless banding — band join equals brute-force pairs") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val banded = SparkEntry.queries("llm2d_simhash_neardup")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sh = SparkEntry.queries("llm2c_simhash")(spark, Sf0001)
+    val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("cast(bit_count(a_sh ^ b_sh) as int)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pigeonhole: 4 bands × 16 bits, threshold 3 → zero misses possible
+    assert(banded === brute,
+      s"banding must be lossless at k=3: missed ${brute -- banded}, " +
+        s"extra ${banded -- brute}")
+    assert(brute.nonEmpty, "corpus must contain hamming<=3 near-dups")
+  }
+
   test("llm3b: ANN recall vs exact cosine top-20") {
     val exact = SparkEntry.queries("llm3_cosine_topk")(spark, Sf0001)
       .collect().map(_.getLong(0)).toSet
