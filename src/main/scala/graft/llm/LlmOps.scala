@@ -1725,6 +1725,54 @@ object LlmOps extends QueryModule {
     // bucket table → 1-row totals broadcast back → decimal-summed PSI:
     // nothing bigger than the bucket histogram ever moves. PSI > 0.25 is
     // the conventional "investigate" threshold; reported, not enforced.
+    // LLM-35: curriculum binning — split the corpus into 4 equal-count
+    // quality quartiles (quality = stopword density in exact integer ppm;
+    // the llm6 signal) and report per-bin corpus mass, the stage that
+    // orders training data by quality percentile (curriculum learning /
+    // quality-mixed sampling). Global equal-count binning needs a global
+    // rank, NOT a global sort: the sort6 recipe — range-repartition by
+    // (qppm, doc_id), per-partition local row_number, prefix-sum of
+    // partition counts broadcast back — numbers 100 TB without ever
+    // moving it to one partition. The bin formula (rank−1)·4 DIV n is
+    // written explicitly on both sides (SQL NTILE distributes remainders
+    // differently — larger buckets first — so the formula, not NTILE, is
+    // the contract).
+    "llm35_curriculum" -> ((s, d) => {
+      val stops = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it")
+      val docs = Tables.documents(s, d).select(
+          col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(filter(split(col("text"), " "),
+            t => t.isInCollection(stops))).cast("long").as("nstop"))
+        .withColumn("qppm", expr("nstop * 1000000 DIV n_tokens"))
+      val parted = docs
+        .repartitionByRange(32, col("qppm"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint() // offsets AND numbering read the same layout
+      val offs = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(
+          Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("total", sum("cnt").over(
+          Window.orderBy("pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("pid", "off", "total")
+      parted
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy("pid").orderBy("qppm", "doc_id")))
+        .join(broadcast(offs), "pid")
+        .withColumn("rank", col("lrn") + col("off"))
+        .withColumn("bin", expr("(rank - 1) * 4 DIV total + 1"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum("n_tokens").cast("long").as("sum_tokens"),
+          expr("sum(qppm) DIV count(1)").as("avg_qppm"),
+          min("qppm").as("min_qppm"),
+          max("qppm").as("max_qppm"))
+        .orderBy("bin")
+    }),
+
     "llm30_drift_psi" -> ((s, d) => {
       val dd = Tables.documents(s, d)
         .filter(col("source").isin("src0", "src1"))
@@ -2503,6 +2551,28 @@ object LlmOps extends QueryModule {
         |FROM z ORDER BY doc_id""".stripMargin,
 
     // same buckets, same add-half smoothing, same decimal-summed PSI
+    "llm35_curriculum" ->
+      """WITH q AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','an','of','to','and','in','is','it')))
+        |      AS BIGINT) AS nstop
+        |  FROM documents),
+        |r AS (SELECT *, nstop * 1000000 // n_tokens AS qppm FROM q),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY qppm, doc_id) AS rank,
+        |         COUNT(*) OVER () AS total
+        |  FROM r)
+        |SELECT CAST((rank - 1) * 4 // total + 1 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(qppm) // COUNT(*) AS BIGINT) AS avg_qppm,
+        |  CAST(MIN(qppm) AS BIGINT) AS min_qppm,
+        |  CAST(MAX(qppm) AS BIGINT) AS max_qppm
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "llm30_drift_psi" ->
       """WITH d AS (
         |  SELECT source,

@@ -475,6 +475,74 @@ object Analytics extends QueryModule {
         .orderBy("hour_idx")
     }),
 
+    // ER-1: blocked fuzzy entity matching over the part-name dictionary —
+    // the record-linkage primitive (Fellegi–Sunter blocking + edit
+    // distance). The scale-correct shape: resolve the DISTINCT-name
+    // dictionary (64 names at sf0.01, ~constant in data size — dictionaries
+    // grow sublinearly), not the 100 TB fact table; the resulting match map
+    // broadcasts back onto facts for canonicalization. Blocking key = the
+    // name's noun (last token): candidate pairs shrink from |names|² to
+    // Σ block², and the codegen'd native `levenshtein` runs only inside
+    // blocks. Output: cross-name match pairs at edit distance 1–3 with each
+    // name's part count (the evidence weight), totally ordered.
+    "er1_fuzzy_match" -> ((s, d) => {
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", substring_index(col("name"), " ", -1))
+      val a = names.select(col("blk"), col("name").as("name_a"),
+        col("n_parts").as("n_a"))
+      val b = names.select(col("blk"), col("name").as("name_b"),
+        col("n_parts").as("n_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist").between(1, 3))
+        .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
+          col("n_a"), col("n_b"))
+        .orderBy("name_a", "name_b")
+    }),
+
+    // TS-9: offline mean-shift changepoint screening per event_type — the
+    // CUSUM statistic (Page 1954, screening form): with S_i the running
+    // value sum and T/n the series total/count, the deviation
+    // dev_i = S_i − i·T/n peaks at the most likely mean-shift point.
+    // Everything stays EXACT by scaling through n: n·S_i − i·T is pure
+    // decimal arithmetic (no division), so the argmax comparison cannot be
+    // perturbed by float order; the single final ÷n to report magnitude is
+    // one deterministic double op. Plan: one partial+final agg for (T, n)
+    // per type (broadcast back — O(types) rows), one window cumsum per
+    // type; the changepoint row is selected by window max, not a
+    // driver-side loop.
+    "ts9_cusum_changepoint" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          col("value").cast("decimal(18,6)").as("v"))
+      val tot = e.groupBy("event_type")
+        .agg(sum("v").as("t"), count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+      val dev = e.join(broadcast(tot), "event_type")
+        .withColumn("i", row_number().over(w).cast("decimal(18,0)"))
+        .withColumn("s", sum("v").over(w))
+        // n·S_i − i·T: decimal(38,6)-exact, comparison-safe
+        .withColumn("dev_scaled",
+          (col("n").cast("decimal(18,0)") * col("s") - col("i") * col("t"))
+            .cast("decimal(38,6)"))
+      val wmax = Window.partitionBy("event_type")
+      dev
+        .withColumn("max_abs", max(abs(col("dev_scaled"))).over(wmax))
+        .filter(abs(col("dev_scaled")) === col("max_abs"))
+        // several rows can tie at the max: keep the earliest event
+        .groupBy("event_type")
+        .agg(min("event_id").as("cp_event_id"),
+          first("n").as("n"),
+          max(abs(col("dev_scaled"))).as("mx"))
+        .select(col("event_type"), col("cp_event_id"), col("n"),
+          round(col("mx").cast("double") / col("n").cast("double"), 6)
+            .as("max_absdev"))
+        .orderBy("event_type")
+    }),
+
     "ts3_zscore_outliers" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
@@ -496,6 +564,44 @@ object Analytics extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "er1_fuzzy_match" -> """
+      |WITH names AS (
+      |  SELECT p_name AS name, COUNT(*) AS n_parts,
+      |         split_part(p_name, ' ', -1) AS blk
+      |  FROM part GROUP BY 1, 3)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+      |       a.n_parts AS n_a, b.n_parts AS n_b
+      |FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+      |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+      |ORDER BY name_a, name_b""".stripMargin,
+
+    "ts9_cusum_changepoint" -> """
+      |WITH e AS (
+      |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events),
+      |tot AS (SELECT event_type, SUM(v) AS t, COUNT(*) AS n
+      |        FROM e GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, e.event_id, tot.n,
+      |    CAST(CAST(tot.n AS DECIMAL(18,0)) *
+      |           SUM(e.v) OVER (PARTITION BY e.event_type
+      |                          ORDER BY e.event_id) -
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY e.event_type
+      |                                 ORDER BY e.event_id)
+      |              AS DECIMAL(18,0)) * tot.t
+      |         AS DECIMAL(38,6)) AS dev_scaled
+      |  FROM e JOIN tot USING (event_type)),
+      |mx AS (SELECT event_type, MAX(ABS(dev_scaled)) AS m
+      |       FROM dev GROUP BY 1)
+      |SELECT d.event_type, MIN(d.event_id) AS cp_event_id,
+      |       MIN(d.n) AS n,
+      |       ROUND(CAST(MIN(m.m) AS DOUBLE) / CAST(MIN(d.n) AS DOUBLE), 6)
+      |         AS max_absdev
+      |FROM dev d JOIN mx m
+      |  ON d.event_type = m.event_type AND ABS(d.dev_scaled) = m.m
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     // the EWMA recurrence as a sequential recursion over per-user row
     // numbers (one recursion level per rank; max events/user is ~90 at

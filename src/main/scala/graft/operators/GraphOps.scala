@@ -236,6 +236,66 @@ object GraphOps extends QueryModule {
     concat(when(v % 2 === 0, lit("c")).otherwise(lit("s")),
       floor(v / 2).cast("long"))
 
+  /** Co-purchase graph over parts: one undirected edge (x < y) per pair of
+    * parts that ever appear in the same order. Unlike [[purchaseEdges]]
+    * (bipartite — triangle-free by construction) this projection has real
+    * triangle structure, so it carries the triangle/clustering queries.
+    * Same derived-dataset memoization rationale as purchaseEdges; the
+    * per-order self-join fan-out is bounded by basket size² (the agg20
+    * pattern) and the edge set is ONE distinct shuffle on (x, y). */
+  private def partCoPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    graft.StageMemo.frame(s, s"graph.part_edges.$d") {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("x"), col("b.p").as("y"))
+        .distinct()
+    }
+
+  /** Per-vertex degree of an undirected (x < y) edge list. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("x").as("v")).unionByName(edges.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+
+  /** GRAPH-3 core — exact triangle enumeration by degree orientation
+    * (Schank–Wagner node-iterator++, the standard distributed plan:
+    * MapReduce variants in Suri & Vassilvitskii, WWW'11). Each undirected
+    * edge is directed from its (degree, id)-smaller endpoint, making the
+    * oriented graph a DAG whose max out-degree is O(√m); every triangle
+    * survives as exactly one wedge u→v→w closed by u→w, so the wedge join's
+    * fan-out — the term that explodes on power-law graphs if you join on an
+    * arbitrary endpoint — is Σ outdeg² = O(m^1.5) instead of Σ deg²
+    * (unbounded under skew: one celebrity vertex of degree D contributes D²
+    * wedges un-oriented but ≤ m oriented). That bound is the whole 100 TB
+    * story: the wedge join shuffles on the mid vertex, the closure join on
+    * the (u, w) edge key, and no vertex's partition exceeds O(√m) rows no
+    * matter how skewed the degree distribution is. The degree table (≤ one
+    * row per vertex) broadcasts under the same cap as pagerank's rank
+    * vector. Returns one row (ta, tb, tc) per triangle, orientation-ordered.
+    */
+  def triangleRows(edges: DataFrame,
+                   broadcastCap: Long = PagerankBroadcastVertexCap)
+  : DataFrame = {
+    val deg = degrees(edges)
+    val small = deg.count() <= broadcastCap
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // x < y by construction, so the (deg, id) tie-break reduces to dx <= dy.
+    val oriented = edges
+      .join(bc(deg.select(col("v").as("x"), col("deg").as("dx"))), "x")
+      .join(bc(deg.select(col("v").as("y"), col("deg").as("dy"))), "y")
+      .select(
+        when(col("dx") <= col("dy"), col("x")).otherwise(col("y")).as("u"),
+        when(col("dx") <= col("dy"), col("y")).otherwise(col("x")).as("v"))
+      .localCheckpoint() // scanned 3× by the self-joins below
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .join(oriented.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GRAPH-1 ⚠: supplier/customer authority over the purchase graph —
@@ -266,8 +326,65 @@ object GraphOps extends QueryModule {
         .select(vertexLabel(col("v")).as("v"), col("dist"))
         .orderBy(col("dist"), col("v"))
         .limit(30)
+    }),
+
+    // GRAPH-3: global triangle census of the part co-purchase graph —
+    // vertex/edge/wedge/triangle counts + transitivity (3·tri/wedges) as
+    // exact integer ppm. The Spark plan enumerates by degree orientation
+    // (O(m^1.5) wedge bound, skew-proof — see triangleRows); the oracle
+    // counts the same triangles naively as x<y<z closures. Integer
+    // arithmetic end-to-end: no float protocol needed.
+    "graph3_triangle_stats" -> ((s, d) => {
+      val edges = partCoPurchaseEdges(s, d)
+      val vs = degrees(edges).agg(
+        count(lit(1)).as("n_vertices"),
+        expr("sum(deg * (deg - 1) DIV 2)").cast("long").as("n_wedges"))
+      val es = edges.agg(count(lit(1)).as("n_edges"))
+      val tri = triangleRows(edges).agg(count(lit(1)).as("n_triangles"))
+      vs.crossJoin(es).crossJoin(tri).select(
+        col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("n_triangles * 3000000 DIV n_wedges").as("transitivity_ppm"))
+    }),
+
+    // GRAPH-3b: local clustering coefficient — per-part triangle count over
+    // (deg choose 2), exact integer ppm, top 20 by (tri desc, part). The
+    // per-vertex inventory explodes each enumerated triangle to its three
+    // corners (one shuffle on vertex id); parts in no triangle surface via
+    // the left join with lcc 0, so low-clustering vertices are visible, not
+    // silently absent.
+    "graph3b_local_clustering" -> ((s, d) => {
+      val edges = partCoPurchaseEdges(s, d)
+      val perV = triangleRows(edges)
+        .select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("tri"))
+      degrees(edges).join(perV, Seq("v"), "left")
+        .select(col("v").as("p"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"),
+          when(col("deg") < 2, lit(0L)).otherwise(
+            expr("coalesce(tri, 0) * 2000000 DIV (deg * (deg - 1))"))
+            .as("lcc_ppm"))
+        .orderBy(col("tri").desc, col("p"))
+        .limit(20)
     })
   )
+
+  /** Shared oracle CTE prefix: the part co-purchase edge set + degrees +
+    * naive x<y<z triangle closure (counts each triangle exactly once,
+    * like the oriented Spark enumeration). */
+  private val triCte: String = """
+    |WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    |edges AS (
+    |  SELECT DISTINCT a.p AS x, b.p AS y
+    |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+    |deg AS (
+    |  SELECT v, COUNT(*) AS deg FROM
+    |    (SELECT x AS v FROM edges UNION ALL SELECT y FROM edges)
+    |  GROUP BY v),
+    |tr AS (
+    |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+    |  FROM edges e1
+    |  JOIN edges e2 ON e2.x = e1.y
+    |  JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "graph2_sssp" -> """
@@ -299,6 +416,31 @@ object GraphOps extends QueryModule {
       |       (SELECT * FROM d3 UNION ALL SELECT * FROM r4) GROUP BY v)
       |SELECT (CASE WHEN v % 2 = 0 THEN 'c' ELSE 's' END ||
       |        CAST(v // 2 AS VARCHAR)) AS v, dist
-      |FROM d4 ORDER BY dist, v LIMIT 30""".stripMargin
+      |FROM d4 ORDER BY dist, v LIMIT 30""".stripMargin,
+
+    "graph3_triangle_stats" -> (triCte + """
+      |SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_vertices,
+      |       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+      |       CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS BIGINT)
+      |         AS n_wedges,
+      |       CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_triangles,
+      |       CAST((SELECT COUNT(*) FROM tr) * 3000000 //
+      |            (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS BIGINT)
+      |         AS transitivity_ppm""".stripMargin),
+
+    "graph3b_local_clustering" -> (triCte + """
+      |, perv AS (
+      |  SELECT v, COUNT(*) AS tri FROM
+      |    (SELECT a AS v FROM tr UNION ALL
+      |     SELECT b FROM tr UNION ALL
+      |     SELECT c FROM tr)
+      |  GROUP BY v)
+      |SELECT d.v AS p, d.deg AS deg,
+      |       CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+      |       CAST(CASE WHEN d.deg < 2 THEN 0
+      |            ELSE COALESCE(p.tri, 0) * 2000000 //
+      |                 (d.deg * (d.deg - 1)) END AS BIGINT) AS lcc_ppm
+      |FROM deg d LEFT JOIN perv p ON p.v = d.v
+      |ORDER BY tri DESC, p LIMIT 20""".stripMargin)
   )
 }

@@ -226,4 +226,53 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(rerun == rows.map(_.toString).toSeq)
   }
+
+  test("triangles: K4 + pendant golden graph, both join strategies") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (4 triangles) plus pendant edge 4–5.
+    // deg: 1,2,3→3; 4→4; 5→1. wedges = 3·3 + 6 + 0 = 15.
+    // transitivity = 3·4/15 = 0.8.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("x", "y")
+    def tris(cap: Long) =
+      GraphOps.triangleRows(edges, broadcastCap = cap)
+        .collect().map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val exp = Seq(Set(1L, 2L, 3L), Set(1L, 2L, 4L), Set(1L, 3L, 4L),
+      Set(2L, 3L, 4L))
+    // each triangle enumerated exactly once, identically under the
+    // broadcast-degree and shuffle-degree plans
+    val bcast = tris(Long.MaxValue)
+    val shuffled = tris(0L)
+    assert(bcast.length == 4 && bcast.toSet === exp.toSet, bcast)
+    assert(shuffled.length == 4 && shuffled.toSet === exp.toSet, shuffled)
+  }
+
+  test("triangle queries: golden stats + lcc on the K4+pendant graph") {
+    // run the declared queries' arithmetic shape on the tiny graph by
+    // checking the sf0.001 queries return sane, deterministic output
+    val stats = SparkEntry.queries("graph3_triangle_stats")(spark, Sf0001)
+      .collect()
+    assert(stats.length == 1)
+    val r = stats.head
+    val (nv, ne, nw, nt) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nv > 0 && ne > 0 && nw >= ne && nt >= 0, r.toString)
+    assert(r.getLong(4) == nt * 3000000L / nw, "transitivity_ppm formula")
+    val lcc = SparkEntry.queries("graph3b_local_clustering")(spark, Sf0001)
+      .collect()
+    assert(lcc.length == 20)
+    // ordered by tri desc; every lcc_ppm consistent with its own row
+    val tris = lcc.map(_.getLong(2)).toSeq
+    assert(tris == tris.sortBy(-_), "must be ordered by tri desc")
+    lcc.foreach { row =>
+      val (deg, tri, ppm) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      val expect = if (deg < 2) 0L else tri * 2000000L / (deg * (deg - 1))
+      assert(ppm == expect, row.toString)
+    }
+    val rerun = SparkEntry.queries("graph3b_local_clustering")(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    assert(rerun == lcc.map(_.toString).toSeq, "lcc must be deterministic")
+  }
 }
