@@ -1135,6 +1135,54 @@ object Relational extends QueryModule {
         .orderBy("column_name")
     }),
 
+    // PROF-3: key-skew profile — the measurement that justifies (or
+    // forbids) agg11's salting and AQE's skew-join splits: per grouping
+    // key, row count, corpus share, and imbalance vs the uniform
+    // expectation T/K, all in exact integer ppm. One partial+final hash
+    // agg to O(K) rows; the share/skew arithmetic runs on the tiny key
+    // table. At 100 TB this is the cheap pre-flight that tells you whether
+    // a key needs salting BEFORE you burn a shuffle discovering it.
+    "prof3_skew_report" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum("cnt").as("t"), count(lit(1)).as("k"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("key"), col("cnt"),
+          expr("cnt * 1000000 DIV t").as("share_ppm"),
+          expr("cnt * k * 1000000 DIV t").as("skew_x_ppm"))
+        .orderBy(col("cnt").desc, col("key"))
+    }),
+
+    // AGG-26: per-group Pearson correlation + sample covariance between
+    // quantity and price — computed from the five exact decimal moments
+    // (n, Σx, Σy, Σxy, Σx², Σy²), ONE partial+final agg, then a fixed
+    // double expression over the per-group scalars. The moments are exact
+    // decimals (associative — partial-agg order cannot perturb them), so
+    // both engines feed bit-identical doubles into the same closed-form
+    // formula; no corr() built-in is used on either side because built-in
+    // streaming-moment implementations differ across engines in float
+    // order (the same reason Det.dsum exists).
+    "agg26_corr" -> ((s, d) => {
+      val qx = col("l_quantity").cast("decimal(18,6)")
+      val qy = col("l_extendedprice").cast("decimal(18,2)")
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(qx).cast("double").as("sx"),
+          sum(qy).cast("double").as("sy"),
+          sum(qx * qy).cast("double").as("sxy"),
+          sum(qx * qx).cast("double").as("sxx"),
+          sum(qy * qy).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * (col("n") - 1)), 6).as("covar_samp"))
+        .orderBy("l_returnflag")
+    }),
+
     // SAMP-1: deterministic hash sampling — the reproducible-sample
     // primitive a training pipeline needs (TABLESAMPLE/rand() differ per
     // engine, per run, and per partitioning; a content-hash cut is stable
@@ -1650,6 +1698,37 @@ object Relational extends QueryModule {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hr_sum
         |FROM events
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "prof3_skew_report" -> """
+      |WITH counts AS (
+      |  SELECT l_returnflag AS key, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT SUM(cnt) AS t, COUNT(*) AS k FROM counts)
+      |SELECT key, cnt,
+      |       CAST(cnt * 1000000 // t AS BIGINT) AS share_ppm,
+      |       CAST(cnt * k * 1000000 // t AS BIGINT) AS skew_x_ppm
+      |FROM counts, tot
+      |ORDER BY cnt DESC, key""".stripMargin,
+
+    "agg26_corr" -> """
+      |WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) *
+      |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) *
+      |             CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  ROUND((n * sxy - sx * sy) /
+      |        (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+      |    AS corr,
+      |  ROUND((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar_samp
+      |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "prof1_table_stats" -> Seq(
       "l_extendedprice", "l_quantity", "l_returnflag", "l_shipdate").map(c =>

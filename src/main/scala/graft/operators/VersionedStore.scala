@@ -309,8 +309,17 @@ object VersionedStore {
   /** Drop all but the newest `keep` versions. Marker deleted before data so
     * a concurrent reader never resolves a visible version to missing files.
     * Data dirs are reference-counted across markers: a dir still named by
-    * any RETAINED version's manifest (e.g. after [[rollback]]) survives. */
-  def vacuum(root: String, keep: Int): Unit = {
+    * any RETAINED version's manifest (e.g. after [[rollback]]) survives.
+    *
+    * Also sweeps ORPHAN data dirs — attempts never referenced by any
+    * surviving marker (crashed writers, [[commitChecked]] rejections, the
+    * losing side of a commit race). Orphans are age-gated by
+    * `orphanGraceMs` (Delta's VACUUM retention-window analogue): an
+    * in-flight writer's freshly-written dir whose marker is not yet
+    * claimed must never be swept, so only dirs untouched for the grace
+    * window qualify. Pass 0 only when no writer can be live. */
+  def vacuum(root: String, keep: Int,
+             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     val vs = versions(root)
     val dropped = vs.dropRight(keep)
     val retained = vs.takeRight(keep).map(dataDirOf(root, _).getName).toSet
@@ -319,6 +328,12 @@ object VersionedStore {
       marker(root, v).delete(): Unit
       if (!retained.contains(data.getName)) rmTree(data)
     }
+    val now = System.currentTimeMillis()
+    Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("data-") &&
+        !retained.contains(f.getName) &&
+        now - f.lastModified() >= orphanGraceMs)
+      .foreach(rmTree)
   }
 
   /** Recursive delete of a store root (test/sink reset helper). */

@@ -264,4 +264,29 @@ class VersionedStoreSpec extends SparkSpec {
       .filter(col("o_orderstatus") === "F").count()
     assert(viaV1 === expected)
   }
+
+  test("vacuum sweeps aged orphan attempts but never a graced one") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedStore.commit(Seq((1, "a")).toDF("k", "v"), root)
+    // a rejected CHECK commit leaves an unreferenced data dir behind
+    val rejected = VersionedStore.commitChecked(
+      Seq((2, "bad")).toDF("k", "v"), root, col("k") < 0)
+    assert(rejected.isLeft)
+    def orphans() = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("data-")).length -
+      VersionedStore.versions(root).length
+    assert(orphans() === 1, "rejected attempt must leave one orphan dir")
+    // inside the grace window the orphan survives (a live writer's dir
+    // between data write and marker claim must never be swept)
+    VersionedStore.vacuum(root, keep = 10)
+    assert(orphans() === 1)
+    // past the grace window it is physically removed; the committed
+    // version stays readable
+    VersionedStore.vacuum(root, keep = 10, orphanGraceMs = 0L)
+    assert(orphans() === 0)
+    assert(VersionedStore.read(s, root).count() === 1L)
+  }
 }
