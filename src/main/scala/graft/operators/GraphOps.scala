@@ -29,6 +29,11 @@ object GraphOps extends QueryModule {
     * ≈ tens of MB hashed); larger graphs shuffle the join instead. */
   val PagerankBroadcastVertexCap: Long = 1L << 20
 
+  /** Broadcast the oriented edge table into the triangle wedge/closure
+    * probes while it is ≤ this many edges (16 B/row → ~64 MB hashed at the
+    * cap); larger graphs shuffle both joins instead. */
+  val TriangleBroadcastEdgeCap: Long = 4L << 20
+
   /** Weighted PageRank over a directed edge list (src, dst, w) for
     * arbitrary directed graphs — vertices with zero in-edges keep their
     * (1-d)/N teleport mass (the rank vector is rebuilt against the FULL
@@ -276,7 +281,8 @@ object GraphOps extends QueryModule {
     * vector. Returns one row (ta, tb, tc) per triangle, orientation-ordered.
     */
   def triangleRows(edges: DataFrame,
-                   broadcastCap: Long = PagerankBroadcastVertexCap)
+                   broadcastCap: Long = PagerankBroadcastVertexCap,
+                   edgeBroadcastCap: Long = TriangleBroadcastEdgeCap)
   : DataFrame = {
     val deg = degrees(edges)
     val small = deg.count() <= broadcastCap
@@ -289,11 +295,39 @@ object GraphOps extends QueryModule {
         when(col("dx") <= col("dy"), col("x")).otherwise(col("y")).as("u"),
         when(col("dx") <= col("dy"), col("y")).otherwise(col("x")).as("v"))
       .localCheckpoint() // scanned 3× by the self-joins below
-    oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
-      .join(oriented.as("e3"),
-        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+    // The wedge STREAM (Σ outdeg² rows — 72M at sf0.1 from 1.2M edges) is
+    // the big intermediate; the edge TABLE is 16 B/row. While the edges
+    // fit the broadcast budget, hash them into both probes so the wedge
+    // stream never materializes or shuffles: wedge expansion and closure
+    // probe run back-to-back inside one whole-stage-codegen pipeline and
+    // only the final (tiny) aggregate exchanges. Past the cap both joins
+    // fall back to shuffles keyed on the mid vertex / the (u,w) edge —
+    // the only correct plan once the edge table itself is cluster-sized
+    // (same gate philosophy as the pagerank rank vector).
+    val edgeSmall = oriented.count() <= edgeBroadcastCap
+    def bce(df: DataFrame): DataFrame = if (edgeSmall) broadcast(df) else df
+    // The closure probe fires once per WEDGE (83M at sf0.1) — with a
+    // two-column key each probe hashes a generic row. When vertex ids fit
+    // 31 bits, pack (u,v) into ONE long so the build becomes a
+    // LongHashedRelation (dense long-keyed map, the fast path every join
+    // in this file already enjoys) and each probe is a primitive lookup.
+    // One metadata agg decides; ids past 31 bits fall back to the
+    // two-key join unchanged.
+    val bounds = deg.agg(min("v"), max("v")).collect()(0)
+    val packable = bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31)
+    val wedges = oriented.as("e1")
+      .join(bce(oriented.as("e2")), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))
+    if (packable) {
+      val closure = oriented.select(
+        (shiftleft(col("u"), 32) + col("v")).as("pk"))
+      wedges.join(bce(closure),
+          shiftleft(col("ta"), 32) + col("tc") === col("pk"))
+        .select("ta", "tb", "tc")
+    } else
+      wedges.join(bce(oriented.as("e3")),
+        col("ta") === col("e3.u") && col("tc") === col("e3.v"))
+        .select("ta", "tb", "tc")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -236,7 +236,7 @@ class GraphSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (4L, 5L)).toDF("x", "y")
     def tris(cap: Long) =
-      GraphOps.triangleRows(edges, broadcastCap = cap)
+      GraphOps.triangleRows(edges, broadcastCap = cap, edgeBroadcastCap = cap)
         .collect().map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSeq
     val exp = Seq(Set(1L, 2L, 3L), Set(1L, 2L, 4L), Set(1L, 3L, 4L),
