@@ -505,4 +505,30 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
       s"expected >=4 broadcast maintenance joins:\n$p")
   }
+
+  test("graph3: wedge and closure probes broadcast; closure key is packed") {
+    val p = planOf("graph3_triangle_stats")
+    // under the edge cap the 83M-wedge stream must stay pipelined: both
+    // triangle joins are broadcast-hash, never a shuffled sort-merge
+    assert(!p.contains("SortMergeJoin"),
+      s"triangle joins must broadcast under the edge cap:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"expected wedge + closure broadcast joins:\n$p")
+    // the closure probe must use the packed single-long key (fast
+    // LongHashedRelation path), visible as the shiftleft expression
+    assert(p.contains("shiftleft"),
+      s"closure join must probe on the packed (u,v) long key:\n$p")
+  }
+
+  test("llm35: only the O(partitions) offset window is single-partition") {
+    val p = planOf("llm35_curriculum")
+    // the corpus itself is ranked via range partition + local window; the
+    // lone single-partition exchange may only carry the per-partition
+    // count table (downstream of a HashAggregate), never document rows
+    val idx = p.indexOf("Exchange SinglePartition")
+    assert(idx >= 0 && p.substring(idx).contains("HashAggregate"),
+      s"global rank must not collapse the corpus to one task:\n$p")
+    assert(p.contains("rangepartitioning") || p.contains("REPARTITION_BY_NUM"),
+      s"corpus must be range-partitioned for the local rank:\n$p")
+  }
 }
