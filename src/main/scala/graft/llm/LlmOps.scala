@@ -1725,6 +1725,38 @@ object LlmOps extends QueryModule {
     // bucket table → 1-row totals broadcast back → decimal-summed PSI:
     // nothing bigger than the bucket histogram ever moves. PSI > 0.25 is
     // the conventional "investigate" threshold; reported, not enforced.
+    // LLM-36: n-gram novelty scoring — per document, the share of its
+    // 8-gram positions whose gram already appeared in ANY earlier document
+    // (first corpus occurrence at a smaller doc_id). The inverse of
+    // memorization risk: low novelty = the doc is assembled from text the
+    // model has already seen (near-boilerplate, n-gram-level duplication),
+    // the per-DOC rollup of llm32's per-gram inventory and the scoring
+    // side of Lee et al.'s dedup argument. Plan: grams never ride a
+    // shuffle as strings — (xxhash64(gram), doc_id) 16 B rows through ONE
+    // count shuffle; the first-occurrence min is a WINDOW over the same
+    // partitioning (zero extra exchange), then one per-doc rollup. Same
+    // collision caveat as llm32b (~n²/2⁶⁴, deterministic either way).
+    "llm36_novelty" -> ((s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 7),
+          i => concat_ws(" ", slice(col("t"), i, lit(8))))).as("gram"))
+        .groupBy(xxhash64(col("gram")).as("g"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("g")
+      perDoc.withColumn("first_doc", min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_grams"),
+          sum(when(col("first_doc") < col("doc_id"), col("c"))
+            .otherwise(0L)).as("n_seen"))
+        .select(col("doc_id"), col("n_grams"), col("n_seen"),
+          expr("(n_grams - n_seen) * 1000000 DIV n_grams").as("novelty_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // LLM-35: curriculum binning — split the corpus into 4 equal-count
     // quality quartiles (quality = stopword density in exact integer ppm;
     // the llm6 signal) and report per-bin corpus mass, the stage that
@@ -2551,6 +2583,26 @@ object LlmOps extends QueryModule {
         |FROM z ORDER BY doc_id""".stripMargin,
 
     // same buckets, same add-half smoothing, same decimal-summed PSI
+    "llm36_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS g(i)
+        |),
+        |pd AS (SELECT gram, doc_id, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+        |fs AS (SELECT *, MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+        |       FROM pd)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN first_doc < doc_id THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_seen,
+        |  CAST((SUM(c) - SUM(CASE WHEN first_doc < doc_id THEN c ELSE 0 END))
+        |       * 1000000 // SUM(c) AS BIGINT) AS novelty_ppm
+        |FROM fs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "llm35_curriculum" ->
       """WITH q AS (
         |  SELECT doc_id, n_chars,

@@ -154,10 +154,46 @@ object MultimodalOps extends QueryModule {
           decode(substring(col("content"), 5, 1), "UTF-8").cast("int")
             .as("blob_id"),
           length(col("content")).as("n_bytes"))
-        .orderBy("file_name"))
+        .orderBy("file_name")),
+
+    // MM-7: exact media dedup report — the first dedup stage every real
+    // media pipeline runs (byte-identical images/clips are the bulk of
+    // web-scraped duplication) as a per-modality digest rollup: payloads
+    // reduce to 16-byte md5 digests IN the scan projection, so only
+    // digests ever shuffle — the media bytes never move, the llm1
+    // ids-only discipline applied to binary columns. Reports corpus size,
+    // distinct payloads, duplicate-group count and the largest clone
+    // family per modality. Oracle recomputes the digests from the same
+    // deterministic payload derivation (payload = utf8 text bytes, so
+    // DuckDB's md5(text) hashes identical bytes).
+    "mm7_media_dedup" -> ((s, d) =>
+      mediaTable(s, d)
+        .select(col("modality"), md5(col("payload")).as("h"))
+        .groupBy("modality", "h").agg(count(lit(1)).as("n"))
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum("n").as("n_media"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"),
+          max("n").as("max_group"))
+        .orderBy("modality"))
   )
 
   def oracle: Map[String, String] = Map(
+    "mm7_media_dedup" ->
+      """WITH m AS (
+        |  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+        |           AS modality,
+        |         md5(text) AS h
+        |  FROM documents),
+        |g AS (SELECT modality, h, COUNT(*) AS n FROM m GROUP BY 1, 2)
+        |SELECT modality,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(n) AS BIGINT) AS n_media,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_groups,
+        |  CAST(MAX(n) AS BIGINT) AS max_group
+        |FROM g GROUP BY modality ORDER BY modality""".stripMargin,
+
     "mm1_media_catalog" ->
       """SELECT doc_id,
         |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,

@@ -503,6 +503,40 @@ object Analytics extends QueryModule {
         .orderBy("name_a", "name_b")
     }),
 
+    // WIN-14: event-sequence pattern matching (MATCH_RECOGNIZE-lite) —
+    // encode each user's time-ordered event trail as a one-char-per-event
+    // string and count conversion paths (click, any views, purchase) with
+    // ONE regexp scan per user. The standard funnel generalization: win10
+    // counts a fixed ordered subset; a regex expresses arbitrary
+    // quantified patterns. Plan: per-user sequences build as ONE
+    // collect_list agg (shuffle keyed on user — the sessionization
+    // shuffle), sorted ROW-LOCALLY via array_sort on the (ts, id, ch)
+    // struct, so no window and no second exchange; the regex runs
+    // codegen'd over the tiny per-user string. Sequence length per key is
+    // events/user (~90 at gate SFs, bounded by retention at 100 TB) — the
+    // same per-key bound every session op here already carries.
+    "win14_event_regex" -> ((s, d) => {
+      val ch = when(col("event_type") === "click", "c")
+        .when(col("event_type") === "view", "v")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e")
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), ch.as("ch"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("ts_us"), col("event_id"), col("ch")))).as("evs"))
+        .select(col("user_id"),
+          array_join(transform(col("evs"), x => x.getField("ch")), "")
+            .as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast("long").as("seq_len"),
+          size(regexp_extract_all(col("seq"), lit("cv*p"), lit(0)))
+            .cast("long").as("n_conv"))
+        .orderBy("user_id")
+    }),
+
     // TS-9: offline mean-shift changepoint screening per event_type — the
     // CUSUM statistic (Page 1954, screening form): with S_i the running
     // value sum and T/n the series total/count, the deviation
@@ -576,6 +610,20 @@ object Analytics extends QueryModule {
       |FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
       |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
       |ORDER BY name_a, name_b""".stripMargin,
+
+    "win14_event_regex" -> """
+      |WITH seqs AS (
+      |  SELECT user_id,
+      |    string_agg(CASE event_type
+      |                 WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+      |                 WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+      |                 ELSE 'e' END, ''
+      |               ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(length(seq) AS BIGINT) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_conv
+      |FROM seqs ORDER BY user_id""".stripMargin,
 
     "ts9_cusum_changepoint" -> """
       |WITH e AS (
