@@ -175,8 +175,55 @@ object MultimodalOps extends QueryModule {
           sum("n").as("n_media"),
           sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"),
           max("n").as("max_group"))
-        .orderBy("modality"))
+        .orderBy("modality")),
+
+    // MM-8: media NEAR-dup — the perceptual-hash tier above mm7's exact
+    // digests, on an INTEGER feature so the oracle stays exact: each
+    // payload reduces to 8 stripe byte-sums (bytes at position i feed
+    // stripe i mod 8 — the featuresStub signal before its float
+    // normalization, kept in long arithmetic precisely so both engines
+    // agree bit-for-bit; a real deploy swaps this for pHash/dHash the same
+    // way decodeStub swaps for a codec). Pairing is LOSSLESSLY banded, the
+    // llm2d discipline: |Σa − Σb| ≤ Σᵢ|aᵢ − bᵢ| (triangle inequality), so
+    // any pair within L1 threshold T lands in the same or an adjacent
+    // total-byte-mass bucket of width T — the join keys on
+    // (modality, bucket) with one side exploded to its 3 neighbor buckets
+    // and candidates shrink ~20× vs all-pairs-per-modality while the
+    // post-filter keeps the result EXACT (same-oracle as brute force).
+    // Payloads reduce to 64 B vectors in the scan projection: bytes never
+    // join. Threshold 1024 ≈ near-identical byte-mass distribution.
+    "mm8_media_neardup" -> ((s, d) => {
+      val f = mediaTable(s, d)
+        .select(col("doc_id"), col("modality"),
+          stripeSums(col("payload")).as("f"))
+        .withColumn("bk", expr(
+          "aggregate(f, 0L, (acc, v) -> acc + v) DIV 1024"))
+      val a = f.select(col("modality"), col("doc_id").as("id_a"),
+        col("f").as("fa"), col("bk"))
+      val b = f.select(col("modality"), col("doc_id").as("id_b"),
+        col("f").as("fb"),
+        explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("bk"))
+      a.join(b, Seq("modality", "bk")).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(fa, fb, (x, y) -> abs(x - y)), 0L," +
+            " (acc, v) -> acc + v)"))
+        .filter(col("dist") <= 1024)
+        .select(col("modality"), col("id_a"), col("id_b"), col("dist"))
+        .orderBy("modality", "id_a", "id_b")
+    })
   )
+
+  /** Integer stripe byte-sums — mm8's exact-arithmetic feature vector
+    * (stub tier, like [[decodeStub]]/[[featuresStub]]): binary → 8 longs,
+    * partition-local. */
+  val stripeSums = udf { payload: Array[Byte] =>
+    val out = new Array[Long](8)
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) { out(i % 8) += payload(i) & 0xff; i += 1 }
+    }
+    out
+  }
 
   def oracle: Map[String, String] = Map(
     "mm7_media_dedup" ->
@@ -193,6 +240,25 @@ object MultimodalOps extends QueryModule {
         |    AS dup_groups,
         |  CAST(MAX(n) AS BIGINT) AS max_group
         |FROM g GROUP BY modality ORDER BY modality""".stripMargin,
+
+    "mm8_media_neardup" ->
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 3 AS mod3,
+        |         (i - 1) % 8 AS stripe,
+        |         ord(substr(text, CAST(i AS INT), 1)) AS byte
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS r(i)),
+        |f AS (SELECT doc_id, mod3, stripe, SUM(byte) AS sv
+        |      FROM b GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT a.mod3, a.doc_id AS id_a, b.doc_id AS id_b,
+        |         SUM(ABS(a.sv - b.sv)) AS dist
+        |  FROM f a JOIN f b ON a.mod3 = b.mod3 AND a.stripe = b.stripe
+        |                   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT ['image','audio','video'][CAST(mod3 AS INT) + 1] AS modality,
+        |       id_a, id_b, CAST(dist AS BIGINT) AS dist
+        |FROM p WHERE dist <= 1024
+        |ORDER BY modality, id_a, id_b""".stripMargin,
 
     "mm1_media_catalog" ->
       """SELECT doc_id,
