@@ -314,7 +314,9 @@ object GraphOps extends QueryModule {
     // One metadata agg decides; ids past 31 bits fall back to the
     // two-key join unchanged.
     val bounds = deg.agg(min("v"), max("v")).collect()(0)
-    val packable = bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31)
+    // empty graph → NULL bounds → fall through to the two-key join
+    val packable = !bounds.isNullAt(0) &&
+      bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31)
     val wedges = oriented.as("e1")
       .join(bce(oriented.as("e2")), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("ta"), col("e1.v").as("tb"), col("e2.v").as("tc"))

@@ -151,6 +151,67 @@ object Incremental extends QueryModule {
     ()
   }
 
+  /** IVM-3 — maintain per-group COUNT(DISTINCT value) under a change feed.
+    *
+    * DISTINCT is not distributive, so the maintained state is the classic
+    * SUPPORT table (group, value) → multiplicity: a feed row adjusts the
+    * pair's multiplicity ±1, and the distinct count changes only on ZERO
+    * CROSSINGS — a pair born (0→n) adds one, a pair dying (n→0) removes
+    * one. Both state tables update with churn-proportional work: the delta
+    * agg touches changed rows, the support merge touches changed PAIRS,
+    * the count merge touches changed GROUPS (an update that keeps the
+    * value cancels to dn=0 and is dropped before any join). With the
+    * support table hash-partitioned by (group, value) the merge is
+    * co-located at 100 TB; the feed side is churn-sized. Returns
+    * (newSupport, newCounts) — both exact, bit-identical to a recompute.
+    */
+  def maintainDistinctCount(oldSupport: DataFrame, oldCnt: DataFrame,
+                            feed: DataFrame, groupCol: String,
+                            valueCol: String): (DataFrame, DataFrame) = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val delta = feed.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(sign).as("dn")).filter(col("dn") =!= 0)
+      .localCheckpoint() // churn-sized; feeds both merges below
+    val merged = oldSupport
+      .join(delta, Seq(groupCol, valueCol), "full_outer")
+      .select(col(groupCol), col(valueCol),
+        coalesce(col("n"), lit(0L)).as("n_old"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_new"))
+      .localCheckpoint() // support + crossings both read it
+    val newSupport = merged.filter(col("n_new") > 0)
+      .select(col(groupCol), col(valueCol), col("n_new").as("n"))
+    val crossings = merged
+      // born (0 → n) XOR died (n → 0); pairs stable on either side drop out
+      .filter((col("n_old") === 0) =!= (col("n_new") <= 0))
+      .groupBy(col(groupCol))
+      .agg(sum(when(col("n_old") === 0, 1L).otherwise(-1L)).as("dcnt"))
+    val newCnt = oldCnt.join(crossings, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+          .as("cnt"))
+      .filter(col("cnt") > 0)
+    (newSupport, newCnt)
+  }
+
+  /** Store evolution for IVM-3: like ivm1's but keeping o_custkey, and v2
+    * additionally REASSIGNS the customer on ≡0 (mod 7) — so the distinct
+    * customer set per priority sees births, deaths, and no-op updates
+    * (price-only churn cancels in the support delta). */
+  def buildDistinctStore(s: SparkSession, d: String, root: String): Unit = {
+    VersionedStore.destroy(root)
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    VersionedStore.commit(o.filter(col("o_orderkey") % 3 =!= 0), root)
+    VersionedStore.commit(
+      o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1)
+            .otherwise(col("o_custkey"))), root)
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVM-1: the v2 aggregate produced WITHOUT reading v2's base table —
     // v1's aggregate plus the v1→v2 change feed. The oracle recomputes
@@ -200,6 +261,26 @@ object Incremental extends QueryModule {
         Seq("c_custkey"))
       maintainJoinView(vOld, oOld, oFeed, cFeed, cOld)
         .orderBy("o_orderkey")
+    }),
+
+    // IVM-3: the v2 distinct-customer count per priority produced from
+    // v1's support table + the change feed — v2's base is never read. The
+    // oracle recomputes COUNT(DISTINCT) from the source expression; the
+    // zero-crossing algebra makes the maintained counts identical.
+    "ivm3_incremental_distinct" -> ((s, d) => {
+      val root = graft.StageMemo.value(s, s"ivm3.store.$d") {
+        val r = s"${Scans.SinkDir}/ivm3_store_${Scans.dirTag(d)}"
+        buildDistinctStore(s, d, r)
+        r
+      }
+      val feed = VersionedStore.changeFeed(s, root, 1L, 2L, Seq("o_orderkey"))
+      val sup1 = VersionedStore.read(s, root, 1L)
+        .groupBy("o_orderpriority", "o_custkey").agg(count(lit(1)).as("n"))
+      val cnt1 = sup1.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val (_, cnt2) = maintainDistinctCount(sup1, cnt1, feed,
+        "o_orderpriority", "o_custkey")
+      cnt2.select(col("o_orderpriority"), col("cnt").as("n_distinct_cust"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -222,6 +303,15 @@ object Incremental extends QueryModule {
         |       ELSE c.c_mktsegment END AS c_mktsegment
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey % 5 <> 0 AND c.c_custkey % 6 <> 0
-        |ORDER BY o.o_orderkey""".stripMargin
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "ivm3_incremental_distinct" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 7 = 0
+        |                           THEN o_custkey + 1
+        |                           ELSE o_custkey END) AS BIGINT)
+        |    AS n_distinct_cust
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -112,4 +112,42 @@ class IncrementalSpec extends SparkSpec {
       .join(maintained, Seq("o_orderkey"), "left_anti").count() === 0,
       "maintained view must contain the resurrected rows")
   }
+
+  test("ivm3: maintained distinct counts == recompute; zero-crossing " +
+      "algebra handles birth, death, and cancelling updates") {
+    val s = spark
+    import s.implicits._
+    // hand-built support: group g1 has values {1, 2 (mult 2)}, g2 has {9}
+    val sup1 = Seq(("g1", 1L, 1L), ("g1", 2L, 2L), ("g2", 9L, 1L))
+      .toDF("g", "v", "n")
+    val cnt1 = Seq(("g1", 2L), ("g2", 1L)).toDF("g", "cnt")
+    // feed: delete one of g1's v=2 copies (no crossing), delete g1 v=1
+    // (death), insert g1 v=3 (birth), delete g2 v=9 (group dies),
+    // update g1 v=2 price-style no-op (pre+post same v — cancels)
+    val feed = Seq(
+      ("delete", "g1", 2L), ("delete", "g1", 1L), ("insert", "g1", 3L),
+      ("delete", "g2", 9L),
+      ("update_preimage", "g1", 2L), ("update_postimage", "g1", 2L))
+      .toDF("_change_type", "g", "v")
+    val (sup2, cnt2) = Incremental.maintainDistinctCount(
+      sup1, cnt1, feed, "g", "v")
+    val gotSup = sup2.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSup === Set(("g1", 2L, 1L), ("g1", 3L, 1L)), gotSup)
+    val gotCnt = cnt2.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // g1: {2,3} → 2 distinct; g2 died entirely → absent, not zero
+    assert(gotCnt === Set(("g1", 2L)), gotCnt)
+    // end-to-end: the declared query equals a direct v2 recompute
+    val maintained = SparkEntry.queries("ivm3_incremental_distinct")(s, Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val root = s"${graft.operators.Scans.SinkDir}/ivm3_spec_store"
+    Incremental.buildDistinctStore(s, Sf0001, root)
+    val recomputed = VersionedStore.read(s, root, 2L)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(maintained === recomputed)
+  }
 }
