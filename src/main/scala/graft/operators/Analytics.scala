@@ -496,7 +496,11 @@ object Analytics extends QueryModule {
         col("n_parts").as("n_b"))
       a.join(b, Seq("blk"))
         .filter(col("name_a") < col("name_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        // thresholded variant: the DP early-exits once a row of the edit
+        // matrix exceeds 3 (returns -1 past the bound) — at 100 TB the
+        // candidate pairs dominate, so capping per-pair work matters more
+        // than the blocked count
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
         .filter(col("dist").between(1, 3))
         .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
           col("n_a"), col("n_b"))

@@ -285,6 +285,44 @@ object StreamOps extends QueryModule {
   def upsertState(s: SparkSession, stateDir: String): DataFrame =
     graft.operators.VersionedStore.read(s, stateDir)
 
+  /** STRM-19: streaming MATERIALIZED AGGREGATE VIEW over a CDC feed — the
+    * streaming form of ivm1. Micro-batches carry change rows (insert /
+    * delete / update_preimage / update_postimage, the changeFeed contract);
+    * each batch maintains the stored (count, decimal-sum) aggregate through
+    * [[graft.operators.Incremental.maintainSumCount]] and commits it as the
+    * next store version. Unlike strm6/strm15 (append/upsert-only), this
+    * absorbs streamed DELETEs and UPDATEs exactly: per batch the work is
+    * churn-proportional (delta agg over the batch, merge join over changed
+    * groups), history is never re-aggregated, and the decimal algebra keeps
+    * the view bit-identical to a from-scratch aggregate of the net rows —
+    * which is what the spec asserts across batches. */
+  def runMaterializedAggStream(feed: DataFrame, stateDir: String,
+                               checkpointDir: String, groupCol: String,
+                               valueCol: String,
+                               retainVersions: Int = 24): Unit = {
+    import graft.operators.{Incremental, VersionedStore}
+    val q = feed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val old = VersionedStore.latestVersion(stateDir) match {
+          case Some(_) => VersionedStore.read(spark, stateDir)
+          case None => batch.select(col(groupCol)).limit(0)
+            .withColumn("n", lit(0L))
+            .withColumn("sum_dec", lit(0).cast("decimal(18,2)"))
+        }
+        VersionedStore.commit(
+          Incremental.maintainSumCount(old, batch, Seq(groupCol), valueCol),
+          stateDir)
+        VersionedStore.vacuum(stateDir, keep = retainVersions)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** STRM-15 per-batch body (exposed so the declared query and the spec can
     * simulate a crash-replay): merge this batch's per-user event counts
     * into the running totals and commit under (appId, batchId). Because the

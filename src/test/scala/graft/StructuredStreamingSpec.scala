@@ -340,6 +340,43 @@ class StructuredStreamingSpec extends SparkSpec {
       (3L, "signup", 0.0, nanosAt(700) / 1000)))
   }
 
+  test("materialized agg view stream: CDC deletes/updates maintain the " +
+      "stored aggregate exactly; zeroed groups vanish") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mav").toString
+    val input = MemoryStream[(String, String, Double)]
+    def run() = StreamOps.runMaterializedAggStream(
+      input.toDF().toDF("_change_type", "g", "v"),
+      s"$tmp/state", s"$tmp/ck", "g", "v")
+    // batch 1: plain inserts
+    input.addData(("insert", "a", 10.0), ("insert", "a", 5.0),
+      ("insert", "b", 7.0))
+    run()
+    // batch 2: delete one of a's rows, reprice the other (pre+post pair),
+    // and delete b entirely — the update/delete path strm6/15 cannot take
+    input.addData(("delete", "a", 10.0),
+      ("update_preimage", "a", 5.0), ("update_postimage", "a", 8.0),
+      ("delete", "b", 7.0))
+    run()
+    val got = graft.operators.VersionedStore.read(s, s"$tmp/state")
+      .select(col("g"), col("n"), col("sum_dec").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // net rows: a → {8.0}; b → gone (absent, not a zero row)
+    assert(got === Set(("a", 1L, 8.0)), got)
+    // each micro-batch committed one atomic version; batch-1 state is
+    // still readable (time travel) and shows the pre-churn aggregate
+    val vs = graft.operators.VersionedStore.versions(s"$tmp/state")
+    assert(vs.size === 2, s"one version per micro-batch, got $vs")
+    val v1 = graft.operators.VersionedStore.read(s, s"$tmp/state", vs.head)
+      .select(col("g"), col("n"), col("sum_dec").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(v1 === Set(("a", 2L, 15.0), ("b", 1L, 7.0)), v1)
+  }
+
   test("incremental corpus dedup: history and in-stream dupes drop, new docs pass") {
     val s = spark
     import s.implicits._
