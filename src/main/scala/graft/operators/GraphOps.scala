@@ -332,6 +332,46 @@ object GraphOps extends QueryModule {
         .select("ta", "tb", "tc")
   }
 
+  /** GRAPH-4 core — k-core extraction by synchronous peeling, bounded at
+    * `maxRounds` rounds (the sssp bounded-iteration contract: the result
+    * is well-defined at any bound, and once a round drops nothing it IS
+    * the true k-core — at both gate SFs k=80 converges in 5 rounds, so
+    * the 6-round bound returns the exact core and the unrolled SQL oracle
+    * hash-matches). Per round: ONE degree aggregate over the surviving
+    * edges + two anti-joins against the dropped-vertex set (broadcast —
+    * the drop set is ≤ vertices, dimension-sized under the pagerank cap),
+    * rounds cut eagerly via [[RoundCheckpointer]]. The peel is monotone
+    * (edges only shrink), so per-round cost falls as the core tightens;
+    * at 100 TB each round is a map-side-combined agg + broadcast anti-join
+    * over an edge table partitioned by x — no vertex ever sees more than
+    * its own adjacency. */
+  def kcore(edges0: DataFrame, k: Int, maxRounds: Int = 6,
+            broadcastCap: Long = PagerankBroadcastVertexCap): DataFrame = {
+    val rc = new RoundCheckpointer
+    // one-time broadcast gate: the per-round drop set is ≤ the vertex count
+    val small = degrees(edges0).count() <= broadcastCap
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var edges = edges0
+    var i = 0
+    var converged = false
+    while (i < maxRounds && !converged) {
+      i += 1
+      // materialize the (small) drop set once per round — the degree agg
+      // would otherwise recompute for the isEmpty probe AND each anti-join
+      val drop = degrees(edges).filter(col("deg") < k).select("v")
+        .localCheckpoint()
+      if (drop.isEmpty) converged = true
+      else {
+        val next = edges
+          .join(bc(drop.withColumnRenamed("v", "x")), Seq("x"), "left_anti")
+          .join(bc(drop.withColumnRenamed("v", "y")), Seq("y"), "left_anti")
+          .select("x", "y")
+        edges = rc.step(next)
+      }
+    }
+    edges
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GRAPH-1 ⚠: supplier/customer authority over the purchase graph —
@@ -401,18 +441,39 @@ object GraphOps extends QueryModule {
             .as("lcc_ppm"))
         .orderBy(col("tri").desc, col("p"))
         .limit(20)
+    }),
+
+    // GRAPH-4: k-core census of the part co-purchase graph — the dense
+    // backbone left after iteratively peeling vertices of degree < 80
+    // (community cores, spam-farm detection, graph sparsification). One
+    // summary row: core size in vertices/edges + the minimum in-core
+    // degree (≥ k iff the peel converged — it does at both gate SFs,
+    // round 6 is a no-op). Integer end-to-end; the oracle unrolls the
+    // same 6 synchronous rounds as plain SQL.
+    "graph4_kcore" -> ((s, d) => {
+      // kcore's rounds are checkpointed; `core` is already materialized
+      val core = kcore(partCoPurchaseEdges(s, d), k = 80)
+      val fin = degrees(core)
+      fin.agg(
+          count(lit(1)).as("n_core_vertices"),
+          coalesce(min("deg"), lit(0L)).as("min_core_deg"))
+        .crossJoin(core.agg(count(lit(1)).as("n_core_edges")))
+        .select(lit(80L).as("k"), col("n_core_vertices"),
+          col("n_core_edges"), col("min_core_deg"))
     })
   )
 
-  /** Shared oracle CTE prefix: the part co-purchase edge set + degrees +
-    * naive x<y<z triangle closure (counts each triangle exactly once,
-    * like the oriented Spark enumeration). */
-  private val triCte: String = """
+  /** Shared oracle CTE prefix: the part co-purchase edge set (x < y). */
+  private val edgeCte: String = """
     |WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     |edges AS (
     |  SELECT DISTINCT a.p AS x, b.p AS y
-    |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
-    |deg AS (
+    |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)""".stripMargin
+
+  /** [[edgeCte]] + degrees + naive x<y<z triangle closure (counts each
+    * triangle exactly once, like the oriented Spark enumeration). */
+  private val triCte: String = edgeCte + """
+    |, deg AS (
     |  SELECT v, COUNT(*) AS deg FROM
     |    (SELECT x AS v FROM edges UNION ALL SELECT y FROM edges)
     |  GROUP BY v),
@@ -421,6 +482,42 @@ object GraphOps extends QueryModule {
     |  FROM edges e1
     |  JOIN edges e2 ON e2.x = e1.y
     |  JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y)""".stripMargin
+
+  /** The [[kcore]] recursion unrolled to `rounds` synchronous peels in
+    * plain SQL — one (degree, filter, edge-restrict) CTE triple per round,
+    * mechanical mirror of the Spark loop. Every per-round edge set is
+    * MATERIALIZED: each round references its predecessor three times
+    * (two degree unions + the restrict), so inlined CTEs would expand the
+    * scan tree 3^rounds-fold (DuckDB actually exhausts file handles). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(edgeCte
+      .replace("edges AS (", "edges AS MATERIALIZED ("))
+    var prev = "edges"
+    for (i <- 1 to rounds) {
+      sb ++= s"""
+        |, d$i AS (
+        |  SELECT v, COUNT(*) AS deg FROM
+        |    (SELECT x AS v FROM $prev UNION ALL SELECT y FROM $prev)
+        |  GROUP BY v),
+        |a$i AS (SELECT v FROM d$i WHERE deg >= $k),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.x, e.y FROM $prev e
+        |  JOIN a$i ax ON e.x = ax.v
+        |  JOIN a$i ay ON e.y = ay.v)""".stripMargin
+      prev = s"e$i"
+    }
+    sb ++= s"""
+      |, fin AS (
+      |  SELECT v, COUNT(*) AS deg FROM
+      |    (SELECT x AS v FROM $prev UNION ALL SELECT y FROM $prev)
+      |  GROUP BY v)
+      |SELECT CAST($k AS BIGINT) AS k,
+      |  CAST((SELECT COUNT(*) FROM fin) AS BIGINT) AS n_core_vertices,
+      |  CAST((SELECT COUNT(*) FROM $prev) AS BIGINT) AS n_core_edges,
+      |  CAST((SELECT COALESCE(MIN(deg), 0) FROM fin) AS BIGINT)
+      |    AS min_core_deg""".stripMargin
+    sb.toString
+  }
 
   def oracle: Map[String, String] = Map(
     "graph2_sssp" -> """
@@ -477,6 +574,8 @@ object GraphOps extends QueryModule {
       |            ELSE COALESCE(p.tri, 0) * 2000000 //
       |                 (d.deg * (d.deg - 1)) END AS BIGINT) AS lcc_ppm
       |FROM deg d LEFT JOIN perv p ON p.v = d.v
-      |ORDER BY tri DESC, p LIMIT 20""".stripMargin)
+      |ORDER BY tri DESC, p LIMIT 20""".stripMargin),
+
+    "graph4_kcore" -> kcoreSql(k = 80, rounds = 6)
   )
 }

@@ -275,4 +275,27 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(rerun == lcc.map(_.toString).toSeq, "lcc must be deterministic")
   }
+
+  test("kcore: cascading peel converges to the dense core, both plans") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} (deg 2 in-core) + pendant path 3–4–5: peeling at
+    // k=2 must CASCADE — 5 (deg 1) drops in round 1, which exposes 4
+    // (deg 1 after losing 5) in round 2 — leaving exactly the triangle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("x", "y")
+    def core(cap: Long) = GraphOps.kcore(edges, k = 2, broadcastCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(core(Long.MaxValue) === exp)
+    assert(core(0L) === exp, "shuffle-join fallback must peel identically")
+    // k above the max degree empties the graph without error
+    assert(GraphOps.kcore(edges, k = 10).isEmpty)
+    // declared query: one summary row, internally consistent
+    val r = SparkEntry.queries("graph4_kcore")(spark, Sf0001).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 80L)
+    val (nv, ne, md) = (r.head.getLong(1), r.head.getLong(2), r.head.getLong(3))
+    assert(ne >= 0 && nv >= 0 && (nv == 0 || md >= 0), r.head.toString)
+  }
 }
