@@ -261,6 +261,51 @@ case class LshBuckets(child: Expression, tables: Int, k: Int)
   * hash), so reorderings fingerprint differently; a native expression
   * because wrapping multiply is an ANSI-mode overflow error in SQL
   * arithmetic. Deterministic; FingerprintSpec pins the contract. */
+/** EXPR-5 — `stripe_sums(binary) -> array<bigint>`: the mm8 media feature
+  * (byte at position i feeds stripe i mod 8) as a codegen'd expression —
+  * one primitive loop over the payload inside whole-stage codegen, no UDF
+  * ser/de on the scan projection. Integer arithmetic end-to-end, so the
+  * DuckDB oracle's per-byte SQL recomputation matches exactly. */
+case class StripeSums(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes() =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"stripe_sums expects binary, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val sums = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) { sums(i % 8) += bytes(i) & 0xff; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(sums)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val sums = ctx.freshName("sums")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $sums = new long[8];
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $sums[$i % 8] += $b[$i] & 0xff;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($sums);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): StripeSums =
+    copy(child = c)
+}
+
 case class RollingHash64(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -313,6 +358,10 @@ object VectorExtensions {
       new FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
       (children: Seq[Expression]) => RollingHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("stripe_sums"),
+      new ExpressionInfo(classOf[StripeSums].getName, "stripe_sums"),
+      (children: Seq[Expression]) => StripeSums(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

@@ -193,9 +193,12 @@ object MultimodalOps extends QueryModule {
     // Payloads reduce to 64 B vectors in the scan projection: bytes never
     // join. Threshold 1024 ≈ near-identical byte-mass distribution.
     "mm8_media_neardup" -> ((s, d) => {
+      // stripe_sums is the native codegen'd EXPR-5 (functions/
+      // VectorExpressions.scala) — the feature projection runs inside
+      // whole-stage codegen, no UDF ser/de per payload
       val f = mediaTable(s, d)
         .select(col("doc_id"), col("modality"),
-          stripeSums(col("payload")).as("f"))
+          expr("stripe_sums(payload)").as("f"))
         .withColumn("bk", expr(
           "aggregate(f, 0L, (acc, v) -> acc + v) DIV 1024"))
       val a = f.select(col("modality"), col("doc_id").as("id_a"),
@@ -213,17 +216,6 @@ object MultimodalOps extends QueryModule {
     })
   )
 
-  /** Integer stripe byte-sums — mm8's exact-arithmetic feature vector
-    * (stub tier, like [[decodeStub]]/[[featuresStub]]): binary → 8 longs,
-    * partition-local. */
-  val stripeSums = udf { payload: Array[Byte] =>
-    val out = new Array[Long](8)
-    if (payload != null) {
-      var i = 0
-      while (i < payload.length) { out(i % 8) += payload(i) & 0xff; i += 1 }
-    }
-    out
-  }
 
   def oracle: Map[String, String] = Map(
     "mm7_media_dedup" ->

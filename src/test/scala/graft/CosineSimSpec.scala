@@ -72,4 +72,33 @@ class CosineSimSpec extends SparkSpec {
         "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c").head.getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("stripe_sums: codegen == interpreted == reference; edge cases") {
+    val s = spark
+    import s.implicits._
+    // codegen path over a real dataframe
+    val got = Seq("abcdefghij", "", "x")
+      .toDF("t").selectExpr("stripe_sums(CAST(t AS BINARY)) AS f")
+      .collect().map(_.getSeq[Long](0).toList)
+    def ref(str: String): List[Long] = {
+      val sums = new Array[Long](8)
+      str.getBytes("UTF-8").zipWithIndex.foreach { case (b, i) =>
+        sums(i % 8) += b & 0xff }
+      sums.toList
+    }
+    assert(got(0) === ref("abcdefghij"))
+    assert(got(1) === List.fill(8)(0L), "empty payload → zero vector")
+    assert(got(2) === ref("x"))
+    // interpreted eval matches codegen
+    val interp = graft.functions.StripeSums(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "abcdefghij".getBytes("UTF-8"),
+        org.apache.spark.sql.types.BinaryType)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toList
+    assert(interp === ref("abcdefghij"))
+    // null payload → null (nullSafeEval contract)
+    assert(Seq((Option.empty[Array[Byte]], 1)).toDF("p", "i")
+      .selectExpr("stripe_sums(p) AS f").head.isNullAt(0))
+  }
 }
