@@ -507,6 +507,38 @@ object Analytics extends QueryModule {
         .orderBy("name_a", "name_b")
     }),
 
+    // TS-10: interval union (gaps-and-islands merge) — give each event a
+    // 5-minute activity interval and merge overlaps per user into islands,
+    // reporting island count and total covered time: the classic coverage
+    // question (billed-time union, uptime stitching, session coverage)
+    // that naive SUM(duration) double-counts. One user-keyed window pass:
+    // an island opens where ts exceeds the running max of prior interval
+    // ends (strictly-greater: touching intervals merge), island id = the
+    // running count of opens, then two hash aggs roll islands up. Exact
+    // integer µs end-to-end; per-key window length = events/user, the
+    // standard sessionization bound.
+    "ts10_interval_union" -> ((s, d) => {
+      val span = 300000000L // 5 min in µs
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"))
+        .withColumn("end_us", col("ts_us") + span)
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val prevMax = max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      e.withColumn("opens",
+          when(col("ts_us") > coalesce(prevMax, lit(Long.MinValue)), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("opens").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(min("ts_us").as("start_us"), max("end_us").as("stop_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("stop_us") - col("start_us")).as("covered_us"))
+        .orderBy("user_id")
+    }),
+
     // WIN-14: event-sequence pattern matching (MATCH_RECOGNIZE-lite) —
     // encode each user's time-ordered event trail as a one-char-per-event
     // string and count conversion paths (click, any views, purchase) with
@@ -614,6 +646,33 @@ object Analytics extends QueryModule {
       |FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
       |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
       |ORDER BY name_a, name_b""".stripMargin,
+
+    "ts10_interval_union" -> """
+      |WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |         epoch_us(ts) + 300000000 AS end_us
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, ts_us, end_us, event_id,
+      |    CASE WHEN ts_us > COALESCE(
+      |           MAX(end_us) OVER (PARTITION BY user_id
+      |                             ORDER BY ts_us, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                      AND 1 PRECEDING),
+      |           -9223372036854775808) THEN 1 ELSE 0 END AS opens
+      |  FROM e),
+      |islands AS (
+      |  SELECT user_id, end_us, ts_us,
+      |    SUM(opens) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING
+      |                              AND CURRENT ROW) AS island
+      |  FROM marked),
+      |agg AS (
+      |  SELECT user_id, island, MIN(ts_us) AS start_us, MAX(end_us) AS stop_us
+      |  FROM islands GROUP BY 1, 2)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |       CAST(SUM(stop_us - start_us) AS BIGINT) AS covered_us
+      |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "win14_event_regex" -> """
       |WITH seqs AS (

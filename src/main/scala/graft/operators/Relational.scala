@@ -1135,6 +1135,23 @@ object Relational extends QueryModule {
         .orderBy("column_name")
     }),
 
+    // AGG-27: exact mode per group — most frequent integer value bucket
+    // per event type, smallest-value tie-break. Two stacked hash aggs, no
+    // window: value counts collapse to O(distinct) rows, then the
+    // agg3_argmax struct-max trick ((cnt, −v) lexicographic max = highest
+    // count, then lowest v) runs as one partial+final aggregate — the
+    // shuffle carries one struct per group per task, never a sorted
+    // partition.
+    "agg27_mode" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+        .groupBy("event_type")
+        .agg(max(struct(col("cnt"), (-col("v")).as("nv"))).as("m"))
+        .select(col("event_type"), (-col("m.nv")).as("mode_v"),
+          col("m.cnt").as("n"))
+        .orderBy("event_type")),
+
     // PROF-3: key-skew profile — the measurement that justifies (or
     // forbids) agg11's salting and AQE's skew-join splits: per grouping
     // key, row count, corpus share, and imbalance vs the uniform
@@ -1698,6 +1715,19 @@ object Relational extends QueryModule {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hr_sum
         |FROM events
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "agg27_mode" -> """
+      |WITH c AS (
+      |  SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS v,
+      |         COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, v, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |                       ORDER BY cnt DESC, v) AS rn
+      |  FROM c)
+      |SELECT event_type, v AS mode_v, cnt AS n
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "prof3_skew_report" -> """
       |WITH counts AS (
