@@ -150,4 +150,41 @@ class IncrementalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(maintained === recomputed)
   }
+
+  test("ivm3: randomized delete/insert feeds — maintained support and " +
+      "counts always equal a recompute of the net rows") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val groups = Vector("g1", "g2", "g3")
+    for (_ <- 1 to 8) {
+      val base = Seq.fill(rnd.nextInt(20) + 1)(
+        (groups(rnd.nextInt(3)), rnd.nextInt(5).toLong))
+      val toDelete = base.filter(_ => rnd.nextBoolean())
+      val inserts = Seq.fill(rnd.nextInt(10))(
+        (groups(rnd.nextInt(3)), rnd.nextInt(5).toLong))
+      val net = inserts.foldLeft(base.diff(toDelete))(_ :+ _)
+      val sup1 = base.groupBy(identity).toSeq
+        .map { case ((g, v), rows) => (g, v, rows.size.toLong) }
+        .toDF("g", "v", "n")
+      val cnt1 = base.distinct.groupBy(_._1).toSeq
+        .map { case (g, vs) => (g, vs.map(_._2).distinct.size.toLong) }
+        .toDF("g", "cnt")
+      val feed = (toDelete.map { case (g, v) => ("delete", g, v) } ++
+        inserts.map { case (g, v) => ("insert", g, v) })
+        .toDF("_change_type", "g", "v")
+      val (sup2, cnt2) = Incremental.maintainDistinctCount(
+        sup1, cnt1, feed, "g", "v")
+      val gotSup = sup2.collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expSup = net.groupBy(identity)
+        .map { case (k, rows) => k -> rows.size.toLong }
+      assert(gotSup === expSup, s"support mismatch; base=$base feed=$feed")
+      val gotCnt = cnt2.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expCnt = net.distinct.groupBy(_._1)
+        .map { case (g, vs) => g -> vs.map(_._2).distinct.size.toLong }
+      assert(gotCnt === expCnt, s"count mismatch; base=$base feed=$feed")
+    }
+  }
 }
