@@ -83,6 +83,8 @@ object Graft {
       .withExtensions(graft.functions.SpaceSavingExtensions.apply)
       // Spark's internal bloom build/probe surfaced (join12b)
       .withExtensions(graft.functions.BloomNativeExtensions.apply)
+      // exact bitmap distinct-set aggregate + set algebra (agg28)
+      .withExtensions(graft.functions.BitmapExtensions.apply)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

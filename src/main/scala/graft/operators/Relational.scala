@@ -1135,6 +1135,39 @@ object Relational extends QueryModule {
         .orderBy("column_name")
     }),
 
+    // AGG-28: EXACT distinct counts from bitmap aggregate state
+    // (functions/BitmapSketch.scala) — the third point on the distinct
+    // curve: count_distinct expands rows through the shuffle; HLL (agg16)
+    // is KB-sized but approximate; the bitmap is fixed-size (32 KB at the
+    // declared 2^18 key domain) AND exact, with bitwise-OR merge so
+    // map-side combine ships one bitmap per task. Oracle is the plain
+    // COUNT(DISTINCT) — equality, not a bound.
+    "agg28_bitmap_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(expr("bitmap_cardinality(bitmap_agg(o_custkey, 262144))")
+          .as("n_distinct_cust"))
+        .orderBy("o_orderpriority")),
+
+    // AGG-28b: exact distinct-set INTERSECTION from one pass — the query
+    // HLL fundamentally cannot answer exactly (agg19's inclusion–
+    // exclusion carries compounded error; here it is zero-error): both
+    // priority classes' customer bitmaps build in a single scan via
+    // conditional keys, and the final 1-row stage intersects them
+    // bitwise. The segment-overlap question every audience/cohort tool
+    // asks at 100 TB.
+    "agg28b_bitmap_intersection" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(
+          expr("bitmap_agg(CASE WHEN o_orderpriority = '1-URGENT' " +
+            "THEN o_custkey END, 262144)").as("bu"),
+          expr("bitmap_agg(CASE WHEN o_orderpriority = '2-HIGH' " +
+            "THEN o_custkey END, 262144)").as("bh"))
+        .select(
+          expr("bitmap_cardinality(bu)").as("n_urgent"),
+          expr("bitmap_cardinality(bh)").as("n_high"),
+          expr("bitmap_and_cardinality(bu, bh)").as("n_both"))),
+
     // AGG-27: exact mode per group — most frequent integer value bucket
     // per event type, smallest-value tie-break. Two stacked hash aggs, no
     // window: value counts collapse to O(distinct) rows, then the
@@ -1715,6 +1748,25 @@ object Relational extends QueryModule {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hr_sum
         |FROM events
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "agg28_bitmap_distinct" -> """
+      |SELECT o_orderpriority,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+
+    "agg28b_bitmap_intersection" -> """
+      |SELECT
+      |  CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders
+      |        WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+      |  CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders
+      |        WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+      |  CAST((SELECT COUNT(*) FROM (
+      |        SELECT DISTINCT o_custkey FROM orders
+      |        WHERE o_orderpriority = '1-URGENT'
+      |        INTERSECT
+      |        SELECT DISTINCT o_custkey FROM orders
+      |        WHERE o_orderpriority = '2-HIGH')) AS BIGINT) AS n_both""".stripMargin,
 
     "agg27_mode" -> """
       |WITH c AS (

@@ -285,4 +285,32 @@ class ApproxSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh === exact)
   }
+
+  test("agg28: bitmap distinct is partitioning-invariant and exact; " +
+      "set algebra and domain guard behave") {
+    val s = spark
+    import s.implicits._
+    val keys = Seq(1L, 5L, 5L, 64L, 65L, 100L, 1L, 200L)
+    def card(df: org.apache.spark.sql.DataFrame): Long =
+      df.selectExpr("bitmap_cardinality(bitmap_agg(k, 1024)) AS n")
+        .head.getLong(0)
+    val one = card(keys.toDF("k").coalesce(1))
+    val many = card(keys.toDF("k").repartition(7))
+    assert(one === keys.distinct.size.toLong && one === many,
+      s"merge across partitions must equal single-pass: $one vs $many")
+    // exact intersection on hand sets: {1,2,3} ∩ {2,3,4} = {2,3}
+    val r = Seq((1L, "a"), (2L, "a"), (3L, "a"), (2L, "b"), (3L, "b"),
+      (4L, "b")).toDF("k", "side")
+      .selectExpr(
+        "bitmap_agg(CASE WHEN side = 'a' THEN k END, 1024) AS ba",
+        "bitmap_agg(CASE WHEN side = 'b' THEN k END, 1024) AS bb")
+      .selectExpr("bitmap_and_cardinality(ba, bb) AS n").head.getLong(0)
+    assert(r === 2L)
+    // out-of-domain keys fail loudly, never silently drop
+    val ex = intercept[Exception] {
+      Seq(5000L).toDF("k")
+        .selectExpr("bitmap_cardinality(bitmap_agg(k, 1024))").head
+    }
+    assert(ex.getMessage != null)
+  }
 }
