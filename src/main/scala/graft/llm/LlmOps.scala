@@ -1725,6 +1725,51 @@ object LlmOps extends QueryModule {
     // bucket table → 1-row totals broadcast back → decimal-summed PSI:
     // nothing bigger than the bucket histogram ever moves. PSI > 0.25 is
     // the conventional "investigate" threshold; reported, not enforced.
+    // LLM-37: pipeline funnel — corpus mass surviving each curation stage
+    // (raw → quality gate → exact dedup → decontamination), in documents
+    // AND tokens: the observability report every real data pipeline ships
+    // with, answering "where did my tokens go" before a training run.
+    // Stages reuse the declared semantics of llm6 (gate), llm1/llm9
+    // (first-doc-wins exact dedup) and llm16 (benchmark 8-gram
+    // contamination); the corpus base materializes once and each stage is
+    // a filter + one partial+final agg over it. Four 1-row aggregates
+    // union into the funnel — stage costs are independent, no stage
+    // re-derives another's work.
+    "llm37_pipeline_funnel" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .localCheckpoint() // all four stages + the gram stream scan it
+      val gated = base.filter(col("n_chars") >= 100 && col("n_tokens") >= 20)
+      val keepIds = gated
+        .groupBy(lower(trim(col("text"))).as("k"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val deduped = gated.join(keepIds, Seq("doc_id"), "left_semi")
+      val grams = base
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("w")) - 7),
+            i => concat_ws(" ", slice(col("w"), i, lit(8))))).as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select("gram").distinct()
+      val contamIds = grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "gram").select("doc_id").distinct()
+      val clean = deduped.filter(col("doc_id") % 50 =!= 0)
+        .join(contamIds, Seq("doc_id"), "left_anti")
+      def stage(i: Int, name: String,
+                df: org.apache.spark.sql.DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      stage(0, "raw", base)
+        .unionByName(stage(1, "gated", gated))
+        .unionByName(stage(2, "exact_dedup", deduped))
+        .unionByName(stage(3, "decontaminated", clean))
+        .orderBy("stage")
+    }),
+
     // LLM-36: n-gram novelty scoring — per document, the share of its
     // 8-gram positions whose gram already appeared in ANY earlier document
     // (first corpus occurrence at a smaller doc_id). The inverse of
@@ -2583,6 +2628,46 @@ object LlmOps extends QueryModule {
         |FROM z ORDER BY doc_id""".stripMargin,
 
     // same buckets, same add-half smoothing, same decimal-summed PSI
+    "llm37_pipeline_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |gated AS (SELECT * FROM base
+        |          WHERE n_chars >= 100 AND n_tokens >= 20),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM gated
+        |         GROUP BY lower(trim(text))),
+        |deduped AS (SELECT g.* FROM gated g JOIN keep k USING (doc_id)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM base),
+        |ng AS (SELECT doc_id,
+        |         unnest([array_to_string(wd[i:i+7], ' ')
+        |                 for i in range(1, len(wd) - 6)]) AS gram
+        |       FROM w WHERE len(wd) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 50 = 0),
+        |contam AS (SELECT DISTINCT t.doc_id
+        |           FROM ng t JOIN bench b ON t.gram = b.gram
+        |           WHERE t.doc_id % 50 <> 0),
+        |clean AS (SELECT * FROM deduped
+        |          WHERE doc_id % 50 <> 0
+        |            AND doc_id NOT IN (SELECT doc_id FROM contam))
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 1, 'gated', COUNT(*), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+        |  FROM gated
+        |  UNION ALL
+        |  SELECT 2, 'exact_dedup', COUNT(*),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+        |  FROM deduped
+        |  UNION ALL
+        |  SELECT 3, 'decontaminated', COUNT(*),
+        |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+        |  FROM clean)
+        |ORDER BY stage""".stripMargin,
+
     "llm36_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -507,6 +507,43 @@ object Analytics extends QueryModule {
         .orderBy("name_a", "name_b")
     }),
 
+    // TS-11: autocorrelation function of the hourly series, lags 1–12 —
+    // the seasonality detector behind ts8's decomposition (a daily cycle
+    // shows as a lag-24 peak; here 12 lags bound the output). Standard
+    // estimator r_L = Σ(y_h−ȳ)(y_{h+L}−ȳ) / Σ(y_h−ȳ)². Exactness by the
+    // ts9 n-scaling trick, taken to integer units: c_h = (n·y_h − T)·10⁶
+    // is an exact integral decimal(19,0), products are decimal(38,0)
+    // (≤ 32 digits — exact, no precision-loss rounding on either engine),
+    // and the single final num/den division is one deterministic double
+    // op. Plan: one scan → O(hours) rollup; the lag join explodes each
+    // hour to its 12 (lag, h+L) probes and joins the rollup to itself —
+    // all downstream work is metadata-sized (ts8's argument: hours don't
+    // grow with data).
+    "ts11_acf" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(expr("ts div 3600000000000").as("h"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("y"))
+      val tot = hourly.agg(count(lit(1)).cast("decimal(10,0)").as("n"),
+        sum("y").as("t"))
+      val c = hourly.crossJoin(broadcast(tot))
+        .select(col("h"),
+          ((col("n") * col("y") - col("t")) * lit(1000000))
+            .cast("decimal(19,0)").as("c"))
+        .localCheckpoint() // both sides of the lag join + the denominator
+      val den = c.agg(sum(col("c") * col("c")).as("den"))
+      val lagged = c.select(col("h"), col("c").as("ca"),
+          explode(sequence(lit(1), lit(12))).as("lag"))
+        .withColumn("h2", col("h") + col("lag"))
+        .join(c.select(col("h").as("h2"), col("c").as("cb")), Seq("h2"))
+        .groupBy("lag")
+        .agg(sum(col("ca") * col("cb")).as("num"))
+      lagged.crossJoin(broadcast(den))
+        .select(col("lag").cast("long").as("lag"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("acf"))
+        .orderBy("lag")
+    }),
+
     // TS-10: interval union (gaps-and-islands merge) — give each event a
     // 5-minute activity interval and merge overlaps per user into islands,
     // reporting island count and total covered time: the classic coverage
@@ -646,6 +683,28 @@ object Analytics extends QueryModule {
       |FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
       |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
       |ORDER BY name_a, name_b""".stripMargin,
+
+    "ts11_acf" -> """
+      |WITH hourly AS (
+      |  SELECT ts_ns // 3600000000000 AS h,
+      |         SUM(CAST(value AS DECIMAL(18,6))) AS y
+      |  FROM (SELECT epoch_us(ts) * 1000 AS ts_ns, value FROM events)
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n, SUM(y) AS t
+      |        FROM hourly),
+      |c AS (
+      |  SELECT h, CAST((n * y - t) * 1000000 AS DECIMAL(19,0)) AS c
+      |  FROM hourly, tot),
+      |den AS (SELECT SUM(c * c) AS den FROM c),
+      |num AS (
+      |  SELECT l.lag, SUM(a.c * b.c) AS num
+      |  FROM c a, unnest(range(1, 13)) AS l(lag)
+      |  JOIN c b ON b.h = a.h + l.lag
+      |  GROUP BY 1)
+      |SELECT CAST(num.lag AS BIGINT) AS lag,
+      |       ROUND(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+      |         AS acf
+      |FROM num, den ORDER BY lag""".stripMargin,
 
     "ts10_interval_union" -> """
       |WITH e AS (
