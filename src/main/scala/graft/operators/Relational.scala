@@ -1204,6 +1204,69 @@ object Relational extends QueryModule {
         .orderBy(col("cnt").desc, col("key"))
     }),
 
+    // PROF-4: functional-dependency profile — does A determine B? The
+    // data-quality question behind key discovery, normalization audits,
+    // and "is this join key actually unique" pre-flights (the reference's
+    // QA report asks the per-class flavor of it: one id → one object).
+    // Per candidate FD: distinct LHS count, LHS groups with >1 distinct
+    // RHS (violations), violation rate in exact integer ppm, and the
+    // worst group's RHS fan-out. Shape per FD: groupBy(lhs, rhs) →
+    // groupBy(lhs) → 1-row rollup — stacked hash aggs with map-side
+    // combine, the same O(distinct)-collapse discipline as agg27; the
+    // four 1-row results union into the report. At 100 TB each FD is one
+    // pair-collapse shuffle (no countDistinct row explosion, no window),
+    // and independent FDs pipeline as independent stages.
+    "prof4_fd_profile" -> ((s, d) => {
+      def fd(df: DataFrame, name: String, lhs: String, rhs: String) = {
+        val perLhs = df.select(col(lhs).as("a"), col(rhs).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .groupBy("a").agg(count(lit(1)).as("nrhs"))
+        perLhs.agg(
+          count(lit(1)).as("n_lhs"),
+          count(when(col("nrhs") > 1, 1)).as("n_viol"),
+          max(col("nrhs")).as("max_fanout"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_viol"),
+            expr("n_viol * 1000000 DIV n_lhs").as("viol_ppm"),
+            col("max_fanout"))
+      }
+      val li = Tables.lineitem(s, d)
+      fd(Tables.orders(s, d), "o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionAll(fd(li, "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
+        .unionAll(fd(li, "l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+        .unionAll(fd(li, "l_suppkey->l_partkey", "l_suppkey", "l_partkey"))
+        .orderBy("fd")
+    }),
+
+    // AGG-29: exact weighted median — the quantity-weighted middle price
+    // per return flag (each row votes with its weight, the robust center
+    // a plain median of line rows gets wrong when quantities skew).
+    // Lower weighted median: smallest v with cumWeight(<=v) >= W/2, all
+    // in exact decimal so the 2*cum >= tot comparison is float-proof on
+    // both engines. Plan: collapse to distinct (flag, value) rows by ONE
+    // hash agg (map-side combine does the heavy lifting), then the
+    // cumulative and total sums ride a single per-flag window exchange
+    // over the collapsed O(distinct) rows — the same two-tier discipline
+    // as agg10_percentile; at 100 TB the window's partition is bounded by
+    // distinct prices per flag, not row count (and a DDSketch tier —
+    // agg23 — covers the unbounded-cardinality case approximately).
+    "agg29_weighted_median" -> ((s, d) => {
+      val vals = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("v"),
+          col("l_quantity").cast("decimal(18,2)").as("w"))
+        .groupBy("l_returnflag", "v").agg(sum("w").as("wv"))
+      val cumW = Window.partitionBy("l_returnflag").orderBy("v")
+      val totW = Window.partitionBy("l_returnflag")
+      vals
+        .withColumn("cum", sum("wv").over(cumW))
+        .withColumn("tot", sum("wv").over(totW))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min("v").cast("double").as("weighted_median"),
+          max("tot").cast("double").as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
     // AGG-26: per-group Pearson correlation + sample covariance between
     // quantity and price — computed from the five exact decimal moments
     // (n, Σx, Σy, Σxy, Σx², Σy²), ONE partial+final agg, then a fixed
@@ -1780,6 +1843,37 @@ object Relational extends QueryModule {
       |  FROM c)
       |SELECT event_type, v AS mode_v, cnt AS n
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "prof4_fd_profile" -> Seq(
+      ("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+      ("l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+      ("l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+      ("l_suppkey->l_partkey", "lineitem", "l_suppkey", "l_partkey"))
+      .map { case (name, tbl, lhs, rhs) =>
+        s"""SELECT '$name' AS fd, COUNT(*) AS n_lhs,
+           |  COUNT(*) FILTER (WHERE nrhs > 1) AS n_viol,
+           |  CAST(COUNT(*) FILTER (WHERE nrhs > 1) * 1000000
+           |       // COUNT(*) AS BIGINT) AS viol_ppm,
+           |  MAX(nrhs) AS max_fanout
+           |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS nrhs
+           |      FROM $tbl GROUP BY 1)""".stripMargin }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd"),
+
+    "agg29_weighted_median" -> """
+      |WITH vals AS (
+      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS wv
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, v,
+      |    SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+      |    SUM(wv) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM vals)
+      |SELECT l_returnflag,
+      |  CAST(MIN(v) AS DOUBLE) AS weighted_median,
+      |  CAST(MAX(tot) AS DOUBLE) AS total_weight
+      |FROM c WHERE cum * 2 >= tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "prof3_skew_report" -> """
       |WITH counts AS (
