@@ -1770,6 +1770,54 @@ object LlmOps extends QueryModule {
         .orderBy("stage")
     }),
 
+    // LLM-38: DSIR-style importance scoring — data selection via
+    // importance resampling (Xie et al., NeurIPS 2023): score every doc
+    // by how much more likely its hashed-token stream is under a TARGET
+    // domain LM (here the src0 slice, standing in for the wiki-quality
+    // target) than under the raw-corpus LM, log w(doc) = Σ ln(p_t(b) /
+    // p_r(b)) over hashed feature buckets b with add-1 smoothing. Top
+    // scores = the docs selection keeps. The bucket hash is md5-derived
+    // (samp1/samp3's cross-engine primitive) so the DuckDB oracle buckets
+    // identically; a deploy swaps xxhash64 for the md5 the way decodeStub
+    // swaps for a codec. Plan: tokens reduce to (doc_id, bucket) ints in
+    // the scan projection — text never shuffles; both LMs are B=1024-row
+    // count tables (two map-side-combined aggs of the same checkpointed
+    // stream); the log-ratio table broadcasts onto the per-doc bucket
+    // profile; per-doc sum rides the decimal-cast protocol. At 100 TB the
+    // only wide ops are the two O(B)-output aggs and the per-doc profile
+    // agg — no join ever carries more than doc_id + 2 ints.
+    "llm38_dsir" -> ((s, d) => {
+      val B = 1024
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(
+          filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+          .as("tok"))
+        .select(col("doc_id"), col("source"),
+          pmod(conv(substring(md5(col("tok").cast("binary")), 1, 8),
+            16, 10).cast("long"), lit(B)).as("b"))
+        .localCheckpoint()
+      val rc = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tc = toks.filter(col("source") === "src0")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val nr = toks.agg(count(lit(1)).cast("double").as("n_r"))
+      val nt = toks.filter(col("source") === "src0")
+        .agg(count(lit(1)).cast("double").as("n_t"))
+      val lw = rc.join(tc, Seq("b"), "left").na.fill(0L, Seq("ct"))
+        .crossJoin(nt).crossJoin(nr)
+        .select(col("b"),
+          (log((col("ct") + lit(1.0)) / (col("n_t") + lit(B.toDouble))) -
+           log((col("cr") + lit(1.0)) / (col("n_r") + lit(B.toDouble))))
+            .as("w"))
+      toks.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .join(broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tok"),
+          round(sum((col("c") * col("w")).cast("decimal(28,12)"))
+            .cast("double"), 6).as("dsir_logw"))
+        .orderBy(col("dsir_logw").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // LLM-36: n-gram novelty scoring — per document, the share of its
     // 8-gram positions whose gram already appeared in ANY earlier document
     // (first corpus occurrence at a smaller doc_id). The inverse of
@@ -2687,6 +2735,34 @@ object LlmOps extends QueryModule {
         |  CAST((SUM(c) - SUM(CASE WHEN first_doc < doc_id THEN c ELSE 0 END))
         |       * 1000000 // SUM(c) AS BIGINT) AS novelty_ppm
         |FROM fs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm38_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |t2 AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM toks WHERE tok <> ''),
+        |rc AS (SELECT b, COUNT(*) AS cr FROM t2 GROUP BY 1),
+        |tc AS (SELECT b, COUNT(*) AS ct FROM t2 WHERE source = 'src0'
+        |       GROUP BY 1),
+        |nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_r FROM t2),
+        |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_t FROM t2
+        |       WHERE source = 'src0'),
+        |lw AS (
+        |  SELECT rc.b,
+        |    LN((COALESCE(ct, 0) + 1.0) / (n_t + 1024.0)) -
+        |    LN((cr + 1.0) / (n_r + 1024.0)) AS w
+        |  FROM rc LEFT JOIN tc USING (b), nt, nr),
+        |pd AS (SELECT doc_id, b, COUNT(*) AS c FROM t2 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |  ROUND(CAST(SUM(CAST(c * w AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |    AS dsir_logw
+        |FROM pd JOIN lw USING (b)
+        |GROUP BY doc_id
+        |ORDER BY dsir_logw DESC, doc_id LIMIT 20""".stripMargin,
 
     "llm35_curriculum" ->
       """WITH q AS (
