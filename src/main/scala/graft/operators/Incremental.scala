@@ -195,6 +195,93 @@ object Incremental extends QueryModule {
     (newSupport, newCnt)
   }
 
+  /** IVM-4 — maintain a per-group TOP-K view under a change feed.
+    *
+    * Top-k is NOT self-maintainable: a delete inside the top-k needs the
+    * (k+1)-th member, which the view no longer has. The maintained state
+    * is therefore the full per-(group, member) score SUPPORT table (the
+    * ivm3 lesson applied to ranking), kept exact by the ivm1 decimal
+    * algebra; the VIEW re-derives only for groups the delta touched:
+    *
+    *   V_new = V_old ∖ changedGroups  ∪  topK(support_new ⋉ changedGroups)
+    *
+    * Cost: delta agg touches changed rows, support merge changed pairs
+    * (co-located when the support table is hash-partitioned by (group,
+    * member)), and the re-rank window runs ONLY over changed groups'
+    * support rows — churn-proportional everywhere; untouched groups'
+    * view rows are carried bytes, not recomputed. changedGroups is
+    * churn-sized → both the anti-join and the semi-join broadcast.
+    * A cancelling update (dn=0 AND dsum=0) drops before the group is
+    * marked changed, so no-op churn re-ranks nothing. */
+  def maintainTopK(vOld: DataFrame, oldSupport: DataFrame, feed: DataFrame,
+                   groupCol: String, memberCol: String, valueCol: String,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sign = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val delta = feed.groupBy(col(groupCol), col(memberCol))
+      .agg(sum(sign).as("dn"),
+        sum(col(valueCol).cast("decimal(18,2)") * sign).as("dsum"))
+      .filter(col("dn") =!= 0 ||
+        col("dsum") =!= lit(0).cast("decimal(18,2)"))
+      .localCheckpoint() // churn-sized; feeds the merge AND changedGroups
+    val newSupport = oldSupport
+      .join(delta, Seq(groupCol, memberCol), "full_outer")
+      .select(col(groupCol), col(memberCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("sum_dec"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("dsum"), lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("sum_dec"))
+      .filter(col("n") > 0)
+    val changed = delta.select(groupCol).distinct()
+    val untouched = vOld.join(broadcast(changed), Seq(groupCol), "left_anti")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("sum_dec").desc, col(memberCol))
+    val rebuilt = newSupport.join(broadcast(changed), Seq(groupCol))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("rnk"), col(memberCol), col("sum_dec"))
+    untouched.unionByName(rebuilt)
+  }
+
+  /** Per-(group, member) support + its top-k view of one store version. */
+  def topkStateOf(s: SparkSession, root: String, version: Long,
+                  k: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sup = VersionedStore.read(s, root, version)
+      .groupBy("o_orderpriority", "o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_dec"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("sum_dec").desc, col("o_custkey"))
+    val view = sup.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("o_orderpriority"), col("rnk"), col("o_custkey"),
+        col("sum_dec"))
+    (sup, view)
+  }
+
+  /** Store evolution for IVM-4: v2 drops ≡0 (mod 5), doubles the price on
+    * ≡0 (mod 7) (score churn), and REASSIGNS the customer on ≡0 (mod 11)
+    * (member churn) — deletes, score updates, and member moves all hit
+    * the ranking. */
+  def buildTopkStore(s: SparkSession, d: String, root: String): Unit = {
+    VersionedStore.destroy(root)
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice")
+    VersionedStore.commit(o.filter(col("o_orderkey") % 3 =!= 0), root)
+    VersionedStore.commit(
+      o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 11 === 0, col("o_custkey") + 1)
+            .otherwise(col("o_custkey"))), root)
+    ()
+  }
+
   /** Store evolution for IVM-3: like ivm1's but keeping o_custkey, and v2
     * additionally REASSIGNS the customer on ≡0 (mod 7) — so the distinct
     * customer set per priority sees births, deaths, and no-op updates
@@ -281,6 +368,26 @@ object Incremental extends QueryModule {
         "o_orderpriority", "o_custkey")
       cnt2.select(col("o_orderpriority"), col("cnt").as("n_distinct_cust"))
         .orderBy("o_orderpriority")
+    }),
+
+    // IVM-4: the v2 top-3 spenders per priority produced from v1's view +
+    // support table + the change feed — v2's base is never read, and only
+    // groups the churn touched re-rank. The oracle recomputes the v2
+    // ranking from the source expression; exact-decimal scores make the
+    // maintained view bit-identical.
+    "ivm4_incremental_topk" -> ((s, d) => {
+      val root = graft.StageMemo.value(s, s"ivm4.store.$d") {
+        val r = s"${Scans.SinkDir}/ivm4_store_${Scans.dirTag(d)}"
+        buildTopkStore(s, d, r)
+        r
+      }
+      val feed = VersionedStore.changeFeed(s, root, 1L, 2L, Seq("o_orderkey"))
+      val (sup1, v1) = topkStateOf(s, root, 1L, k = 3)
+      maintainTopK(v1, sup1, feed,
+        "o_orderpriority", "o_custkey", "o_totalprice", k = 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_custkey"),
+          col("sum_dec").cast("double").as("spend"))
+        .orderBy("o_orderpriority", "rnk")
     })
   )
 
@@ -312,6 +419,25 @@ object Incremental extends QueryModule {
         |                           ELSE o_custkey END) AS BIGINT)
         |    AS n_distinct_cust
         |FROM orders WHERE o_orderkey % 5 <> 0
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "ivm4_incremental_topk" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1
+        |         ELSE o_custkey END AS o_custkey,
+        |    CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |sup AS (
+        |  SELECT o_orderpriority, o_custkey, SUM(p) AS s
+        |  FROM base GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                               ORDER BY s DESC, o_custkey) AS rnk
+        |  FROM sup)
+        |SELECT o_orderpriority, rnk, o_custkey, CAST(s AS DOUBLE) AS spend
+        |FROM r WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin
   )
 }

@@ -187,4 +187,55 @@ class IncrementalSpec extends SparkSpec {
       assert(gotCnt === expCnt, s"count mismatch; base=$base feed=$feed")
     }
   }
+
+  test("ivm4: maintained top-k view == full recompute of v2") {
+    val root4 = "/root/repo/target/tmp-sinks/ivm4_spec_store"
+    Incremental.buildTopkStore(spark, Sf0001, root4)
+    val feed = VersionedStore.changeFeed(spark, root4, 1L, 2L, Seq("o_orderkey"))
+    val (sup1, v1) = Incremental.topkStateOf(spark, root4, 1L, k = 3)
+    val maintained = Incremental.maintainTopK(v1, sup1, feed,
+      "o_orderpriority", "o_custkey", "o_totalprice", k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDecimal(3))).toSet
+    val (_, v2) = Incremental.topkStateOf(spark, root4, 2L, k = 3)
+    val recomputed = v2.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getDecimal(3))).toSet
+    assert(maintained === recomputed)
+  }
+
+  test("ivm4: in-top-k death promotes the successor; untouched groups " +
+      "carry over; cancelling churn re-ranks nothing") {
+    val s = spark
+    import s.implicits._
+    // g1: a=30 > b=20 > c=10 > d=5; g2 untouched by the feed
+    val sup1 = Seq(
+      ("g1", 1L, 1L, "30.00"), ("g1", 2L, 1L, "20.00"),
+      ("g1", 3L, 1L, "10.00"), ("g1", 4L, 1L, "5.00"),
+      ("g2", 9L, 1L, "7.00"))
+      .toDF("g", "m", "n", "sd")
+      .select(col("g"), col("m"), col("n"),
+        col("sd").cast("decimal(18,2)").as("sum_dec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("sum_dec").desc, col("m"))
+    val v1 = sup1.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("g"), col("rnk"), col("m"), col("sum_dec"))
+    // delete g1's #2 member (b): c must be promoted into the view even
+    // though v1 never contained it — only the support table knows c
+    val feed = Seq(("delete", "g1", 2L, 20.0))
+      .toDF("_change_type", "g", "m", "v")
+    val got = Incremental.maintainTopK(v1, sup1, feed, "g", "m", "v", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)).toSet
+    assert(got === Set(
+      ("g1", 1, 1L, "30.00"), ("g1", 2, 3L, "10.00"),
+      ("g2", 1, 9L, "7.00")))
+    // a cancelling update (pre+post identical) must mark NO group changed:
+    // the rebuilt branch contributes zero rows and v1 passes through
+    val noop = Seq(("update_preimage", "g1", 1L, 30.0),
+      ("update_postimage", "g1", 1L, 30.0))
+      .toDF("_change_type", "g", "m", "v")
+    val stable = Incremental.maintainTopK(v1, sup1, noop, "g", "m", "v", k = 2)
+    assert(stable.collect().toSet === v1.collect().toSet)
+  }
 }
