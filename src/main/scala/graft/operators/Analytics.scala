@@ -544,6 +544,52 @@ object Analytics extends QueryModule {
         .orderBy("lag")
     }),
 
+    // TS-12: Holt's linear-trend smoothing — the forecasting step above
+    // ts7's EWMA (which cannot track a trending series: it lags a ramp
+    // forever). Level + trend recurrences over the hourly aggregate
+    // series (the ts8/ts11 rollup), l_i = αy_i + (1−α)(l_{i−1}+b_{i−1}),
+    // b_i = β(l_i−l_{i−1}) + (1−β)b_{i−1}, one-step forecast l+b. The
+    // recurrence is inherently sequential, so it runs AFTER the rollup on
+    // the O(hours) metadata-sized series (one sorted-group pass — the ts4
+    // single-partition justification); the heavy work, the hourly
+    // aggregation, stays a map-side-combined distributed agg. The oracle
+    // replays the identical IEEE arithmetic as a recursive CTE (the ts7
+    // recipe), so doubles match bit-for-bit before the final display
+    // rounding.
+    "ts12_holt" -> ((s, d) => {
+      import s.implicits._
+      val (alpha, beta) = (0.5, 0.3)
+      val hourly = Tables.events(s, d)
+        .groupBy(expr("ts div 3600000000000").as("hour_idx"))
+        .agg(sum(col("value").cast("decimal(28,12)")).as("y_dec"))
+        .select(col("hour_idx"), col("y_dec").cast("double").as("y"))
+        .as[(Long, Double)]
+      hourly.groupByKey(_ => true)
+        .flatMapSortedGroups($"hour_idx") { (_, rows) =>
+          var l = Double.NaN
+          var tr = 0.0
+          rows.map { case (h, y) =>
+            if (l.isNaN) { l = y; tr = 0.0 }
+            else {
+              val lNew = alpha * y + (1 - alpha) * (l + tr)
+              tr = beta * (lNew - l) + (1 - beta) * tr
+              l = lNew
+            }
+            (h, y, l, tr, l + tr)
+          }
+        }
+        .toDF("hour_idx", "y", "level", "trend", "forecast_next")
+        .select(col("hour_idx"),
+          (round(col("y") * lit(1000000.0)) / lit(1000000.0)).as("y"),
+          (round(col("level") * lit(1000000.0)) / lit(1000000.0))
+            .as("level"),
+          (round(col("trend") * lit(1000000.0)) / lit(1000000.0))
+            .as("trend"),
+          (round(col("forecast_next") * lit(1000000.0)) / lit(1000000.0))
+            .as("forecast_next"))
+        .orderBy("hour_idx")
+    }),
+
     // TS-10: interval union (gaps-and-islands merge) — give each event a
     // 5-minute activity interval and merge overlaps per user into islands,
     // reporting island count and total covered time: the classic coverage
@@ -779,6 +825,38 @@ object Analytics extends QueryModule {
     // DOUBLE and combined in the Spark fold's exact operation order —
     // see the ts7 query comment for why that makes the trajectory
     // bit-identical, not merely close.
+    // same IEEE arithmetic, same order, as the sorted-group pass: l_new
+    // appears twice in the b-recurrence but is the same deterministic
+    // expression, so its value is identical
+    "ts12_holt" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1),
+        |e AS (
+        |  SELECT hour_idx, y,
+        |    ROW_NUMBER() OVER (ORDER BY hour_idx) AS rn
+        |  FROM hourly),
+        |r AS (
+        |  SELECT hour_idx, y, rn, y AS l, CAST(0 AS DOUBLE) AS tr
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.hour_idx, e.y, e.rn,
+        |    CAST(0.5 AS DOUBLE) * e.y +
+        |      (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (r.l + r.tr),
+        |    CAST(0.3 AS DOUBLE) *
+        |      ((CAST(0.5 AS DOUBLE) * e.y +
+        |        (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (r.l + r.tr))
+        |       - r.l) +
+        |      (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.tr
+        |  FROM r JOIN e ON e.rn = r.rn + 1)
+        |SELECT hour_idx,
+        |  ROUND(y * 1000000.0) / 1000000.0 AS y,
+        |  ROUND(l * 1000000.0) / 1000000.0 AS level,
+        |  ROUND(tr * 1000000.0) / 1000000.0 AS trend,
+        |  ROUND((l + tr) * 1000000.0) / 1000000.0 AS forecast_next
+        |FROM r ORDER BY hour_idx""".stripMargin,
+
     "ts7_ewma" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
