@@ -531,4 +531,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("rangepartitioning") || p.contains("REPARTITION_BY_NUM"),
       s"corpus must be range-partitioned for the local rank:\n$p")
   }
+
+  test("llm38: the log-ratio LM table broadcasts; text never shuffles") {
+    val p = planOf("llm38_dsir")
+    // per-doc bucket profiles join the B=1024-row weight table via
+    // broadcast — a shuffled join here would move the whole token stream
+    assert(p.contains("BroadcastHashJoin"),
+      s"LM weight table must broadcast onto the doc profiles:\n$p")
+    // no exchange may carry the raw token string: after the checkpointed
+    // (doc_id, source, bucket) projection only ints move
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exIdx >= 0 && !p.substring(exIdx).contains("tok#"),
+      s"token strings must not ride any exchange:\n$p")
+  }
+
+  test("ivm4: view maintenance joins are broadcast-only; re-rank window " +
+      "sees only changed groups") {
+    val df = SparkEntry.queries("ivm4_incremental_topk")(spark, Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // untouched-group anti-join + changed-group rebuild join must both
+    // probe the broadcast churn-sized key set; the ONLY sort-merge join
+    // allowed is the support merge itself — a FULL OUTER (Spark cannot
+    // broadcast full-outer), which at deploy runs exchange-free with the
+    // support table hash-partitioned by (group, member)
+    val smj = "SortMergeJoin .*FullOuter".r.findAllIn(p).length
+    assert(smj === 1 && "SortMergeJoin".r.findAllIn(p).length === 1,
+      s"only the full-outer support merge may sort-merge:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"expected anti + rebuild broadcast joins:\n$p")
+  }
+
+  test("agg29: cum and total weight share ONE per-flag window exchange " +
+      "over the collapsed value table") {
+    val p = planOf("agg29_weighted_median")
+    // distinct-value collapse first (partial+final agg), then both window
+    // sums over the same hashpartitioning(l_returnflag) exchange — two
+    // Window nodes, but only one exchange between agg and windows
+    // regex pins the PER-FLAG exchange (flag alone, 32 buckets); the
+    // (flag, value) pair-collapse exchange upstream is a different match
+    assert("Exchange hashpartitioning\\(l_returnflag#\\d+, 32".r
+      .findAllIn(p).length === 1,
+      s"both window passes must reuse one per-flag exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"weighted median must never collapse to one task:\n$p")
+  }
 }
