@@ -377,6 +377,59 @@ class StructuredStreamingSpec extends SparkSpec {
     assert(v1 === Set(("a", 2L, 15.0), ("b", 1L, 7.0)), v1)
   }
 
+  test("materialized join view stream: two-sided CDC maintains the view " +
+      "exactly; a late dim insert resurrects earlier fact rows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mjv").toString
+    // tagged CDC rows — None for the other table's columns
+    val input = MemoryStream[Cdc]
+    def o(ct: String, k: Long, c: Long, p: Double) =
+      Cdc("orders", ct, Some(k), Some(c), Some(p), None, None)
+    def c(ct: String, k: Long, seg: String) =
+      Cdc("customer", ct, None, None, None, Some(k), Some(seg))
+    def run() = StreamOps.runMaterializedJoinStream(
+      input.toDF(), s"$tmp/view", s"$tmp/orders", s"$tmp/cust", s"$tmp/ck")
+    def view(): Set[(Long, Long, Double, String)] =
+      graft.operators.VersionedStore.read(s, s"$tmp/view")
+        .collect().map(r => (r.getAs[Long]("o_orderkey"),
+          r.getAs[Long]("o_custkey"), r.getAs[Double]("o_totalprice"),
+          r.getAs[String]("c_mktsegment"))).toSet
+    // batch 1: two orders for cust 1 (exists), one for cust 2 (does NOT
+    // exist yet — the inner view must not contain it)
+    input.addData(
+      o("insert", 101L, 1L, 10.0),
+      o("insert", 102L, 1L, 20.0),
+      o("insert", 103L, 2L, 30.0),
+      c("insert", 1L, "AUTO"))
+    run()
+    assert(view() === Set((101L, 1L, 10.0, "AUTO"), (102L, 1L, 20.0, "AUTO")))
+    // batch 2: cust 2 appears — order 103, streamed a batch AGO, must
+    // surface (the O_old re-probe the view alone cannot serve); cust 1
+    // re-segments; order 102 is deleted
+    input.addData(
+      c("insert", 2L, "BIKE"),
+      c("update_preimage", 1L, "AUTO"),
+      c("update_postimage", 1L, "MOTO"),
+      o("delete", 102L, 1L, 20.0))
+    run()
+    assert(view() === Set((101L, 1L, 10.0, "MOTO"), (103L, 2L, 30.0, "BIKE")))
+    // batch 3: cust 1 leaves entirely — its fact rows drop from the view
+    input.addData(c("delete", 1L, "MOTO"))
+    run()
+    assert(view() === Set((103L, 2L, 30.0, "BIKE")))
+    // the maintained view equals a from-scratch join of the shadow bases
+    val recomputed = graft.operators.VersionedStore
+      .read(s, s"$tmp/orders")
+      .join(graft.operators.VersionedStore.read(s, s"$tmp/cust"),
+        col("o_custkey") === col("c_custkey"))
+      .collect().map(r => (r.getAs[Long]("o_orderkey"),
+        r.getAs[Long]("o_custkey"), r.getAs[Double]("o_totalprice"),
+        r.getAs[String]("c_mktsegment"))).toSet
+    assert(view() === recomputed)
+  }
+
   test("incremental corpus dedup: history and in-stream dupes drop, new docs pass") {
     val s = spark
     import s.implicits._
@@ -465,3 +518,9 @@ class StructuredStreamingSpec extends SparkSpec {
 
 /** documents-shaped record for the corpus-dedup stream. */
 case class Doc(doc_id: Long, text: String)
+
+/** Tagged two-sided CDC row for the strm20 join-view stream. */
+case class Cdc(tbl: String, _change_type: String,
+               o_orderkey: Option[Long], o_custkey: Option[Long],
+               o_totalprice: Option[Double],
+               c_custkey: Option[Long], c_mktsegment: Option[String])
