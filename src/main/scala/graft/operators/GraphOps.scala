@@ -372,6 +372,41 @@ object GraphOps extends QueryModule {
     edges
   }
 
+  /** GRAPH-5 — synchronous label propagation (Raghavan et al. 2007) over
+    * an undirected (x < y) edge list, made DETERMINISTIC: a vertex's next
+    * label is the most frequent label among its neighbors with smallest-
+    * label tie-break (the agg27 struct-max trick — no per-vertex sort),
+    * and updates are synchronous over a FIXED round count, so both
+    * engines unroll the identical recursion (asynchronous/randomized LPA
+    * — the usual formulation — is irreproducible by construction; the
+    * synchronous fixed-round form is the price of an exact oracle).
+    * Per round: ONE join of the neighbor list against the label table
+    * (broadcast under the pagerank vertex cap, shuffle-join above it) and
+    * two stacked hash aggs; rounds are [[RoundCheckpointer]]-bounded so
+    * plan depth stays O(1). The neighbor list materializes once. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       broadcastCap: Long = PagerankBroadcastVertexCap)
+  : DataFrame = {
+    val rc = new RoundCheckpointer
+    val nb = edges.select(col("x").as("v"), col("y").as("u"))
+      .unionByName(edges.select(col("y").as("v"), col("x").as("u")))
+      .localCheckpoint() // scanned every round
+    var labels = nb.select(col("v")).distinct().withColumn("lbl", col("v"))
+    val small = labels.count() <= broadcastCap
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    for (_ <- 1 to rounds) {
+      val next = nb
+        .join(bc(labels.withColumnRenamed("v", "u")
+          .withColumnRenamed("lbl", "ulbl")), Seq("u"))
+        .groupBy("v", "ulbl").agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(max(struct(col("c"), (-col("ulbl")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("lbl"))
+      labels = rc.step(next)
+    }
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GRAPH-1 ⚠: supplier/customer authority over the purchase graph —
@@ -450,6 +485,20 @@ object GraphOps extends QueryModule {
     // degree (≥ k iff the peel converged — it does at both gate SFs,
     // round 6 is a no-op). Integer end-to-end; the oracle unrolls the
     // same 6 synchronous rounds as plain SQL.
+    // GRAPH-5: community inventory after 4 synchronous LPA rounds on the
+    // part co-purchase graph — top-10 communities by size plus the total
+    // community count. Top-10 is TakeOrdered over the O(communities)
+    // rollup, never a global sort.
+    "graph5_label_communities" -> ((s, d) => {
+      val labels = labelPropagation(partCoPurchaseEdges(s, d), rounds = 4)
+      val comm = labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("csize"))
+      val ncomm = comm.agg(count(lit(1)).as("n_communities"))
+      comm.crossJoin(broadcast(ncomm))
+        .orderBy(col("csize").desc, col("community"))
+        .limit(10)
+    }),
+
     "graph4_kcore" -> ((s, d) => {
       // kcore's rounds are checkpointed; `core` is already materialized
       val core = kcore(partCoPurchaseEdges(s, d), k = 80)
@@ -519,7 +568,45 @@ object GraphOps extends QueryModule {
     sb.toString
   }
 
+  /** The [[labelPropagation]] recursion unrolled to `rounds` synchronous
+    * updates in plain SQL — per round one neighbor-label count + one
+    * smallest-label-tie-break argmax, the mechanical mirror of the Spark
+    * loop. Label tables MATERIALIZED for the kcoreSql reason (each is
+    * referenced by the next round's join; DuckDB would otherwise inline
+    * the whole unrolled tree into every reference). */
+  private def lpaSql(rounds: Int): String = {
+    val sb = new StringBuilder(edgeCte)
+    sb ++= """
+      |, verts AS (SELECT x AS v FROM edges UNION SELECT y FROM edges),
+      |nb AS MATERIALIZED (
+      |  SELECT x AS v, y AS u FROM edges
+      |  UNION ALL SELECT y AS v, x AS u FROM edges),
+      |l0 AS (SELECT v, v AS lbl FROM verts)""".stripMargin
+    var prev = "l0"
+    for (i <- 1 to rounds) {
+      sb ++= s"""
+        |, c$i AS (
+        |  SELECT nb.v AS v, l.lbl, COUNT(*) AS c
+        |  FROM nb JOIN $prev l ON nb.u = l.v GROUP BY 1, 2),
+        |l$i AS MATERIALIZED (
+        |  SELECT v, lbl FROM (
+        |    SELECT v, lbl,
+        |      ROW_NUMBER() OVER (PARTITION BY v
+        |                         ORDER BY c DESC, lbl) AS rn
+        |    FROM c$i) WHERE rn = 1)""".stripMargin
+      prev = s"l$i"
+    }
+    sb ++= s"""
+      |, comm AS (SELECT lbl AS community, COUNT(*) AS csize
+      |           FROM $prev GROUP BY 1)
+      |SELECT community, csize,
+      |  CAST((SELECT COUNT(*) FROM comm) AS BIGINT) AS n_communities
+      |FROM comm ORDER BY csize DESC, community LIMIT 10""".stripMargin
+    sb.toString
+  }
+
   def oracle: Map[String, String] = Map(
+    "graph5_label_communities" -> lpaSql(rounds = 4),
     "graph2_sssp" -> """
       |WITH pairs AS (
       |  SELECT o_custkey * 2 AS cid, l_suppkey * 2 + 1 AS sid,
