@@ -507,6 +507,56 @@ object Analytics extends QueryModule {
         .orderBy("name_a", "name_b")
     }),
 
+    // ER-2: entity clusters — the step after er1's pairwise matching:
+    // matched name pairs merge into ENTITIES by transitive closure
+    // (a~b, b~c ⇒ {a,b,c}), then each cluster elects its lexicographic-min
+    // name as canonical — the survivorship step of every record-linkage
+    // pipeline. Closure = 6 synchronous hash-to-min rounds over the pair
+    // graph (the llm12 connected-components algebra on string labels):
+    // per round ONE neighbor⋈label join + a min agg, RoundCheckpointer-
+    // bounded. 6 rounds cover diameter-6 name chains and BOTH engines
+    // unroll the same recursion, so the result is exact regardless of
+    // convergence. The name dictionary is DISTINCT names (sublinear in
+    // facts — the er1 discipline); the pair graph is smaller still.
+    "er2_entity_clusters" -> ((s, d) => {
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", substring_index(col("name"), " ", -1))
+        .localCheckpoint() // pair join + final rollup both read it
+      val a = names.select(col("blk"), col("name").as("name_a"))
+      val b = names.select(col("blk"), col("name").as("name_b"))
+      val pairs = a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
+        .filter(col("dist").between(1, 3))
+        .select("name_a", "name_b")
+      val nb = pairs.select(col("name_a").as("v"), col("name_b").as("u"))
+        .unionByName(
+          pairs.select(col("name_b").as("v"), col("name_a").as("u")))
+        .localCheckpoint() // scanned every round
+      val rc = new graft.RoundCheckpointer
+      var lbl = nb.select("v").distinct().withColumn("lbl", col("v"))
+      for (_ <- 1 to 6) {
+        val next = nb
+          .join(lbl.withColumnRenamed("v", "u")
+            .withColumnRenamed("lbl", "ulbl"), Seq("u"))
+          .select(col("v"), col("ulbl").as("cand"))
+          .unionByName(lbl.select(col("v"), col("lbl").as("cand")))
+          .groupBy("v").agg(min("cand").as("lbl"))
+        lbl = rc.step(next)
+      }
+      val clusters = lbl.join(names.select("name", "n_parts"),
+          col("v") === col("name"))
+        .groupBy(col("lbl").as("canonical"))
+        .agg(count(lit(1)).as("n_members"),
+          sum("n_parts").as("n_parts_total"))
+      clusters
+        .crossJoin(broadcast(clusters.agg(count(lit(1)).as("n_clusters"))))
+        .orderBy(col("n_members").desc, col("canonical"))
+        .limit(10)
+    }),
+
     // TS-11: autocorrelation function of the hourly series, lags 1–12 —
     // the seasonality detector behind ts8's decomposition (a daily cycle
     // shows as a lag-24 peak; here 12 lags bound the output). Standard
@@ -716,7 +766,48 @@ object Analytics extends QueryModule {
     })
   )
 
+  /** er2's hash-to-min closure unrolled to `rounds` synchronous updates —
+    * the mechanical SQL mirror of the Spark loop (GraphOps.lpaSql
+    * rationale: label CTEs MATERIALIZED because each feeds the next
+    * round's join). */
+  private def er2Sql(rounds: Int): String = {
+    val sb = new StringBuilder("""
+      |WITH names AS (
+      |  SELECT p_name AS name, COUNT(*) AS n_parts,
+      |         split_part(p_name, ' ', -1) AS blk
+      |  FROM part GROUP BY 1, 3),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.name AS name_a, b.name AS name_b
+      |  FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+      |  WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3),
+      |nb AS MATERIALIZED (
+      |  SELECT name_a AS v, name_b AS u FROM pairs
+      |  UNION ALL SELECT name_b AS v, name_a AS u FROM pairs),
+      |l0 AS (SELECT DISTINCT v, v AS lbl FROM nb)""".stripMargin)
+    var prev = "l0"
+    for (i <- 1 to rounds) {
+      sb ++= s"""
+        |, l$i AS MATERIALIZED (
+        |  SELECT v, MIN(cand) AS lbl FROM (
+        |    SELECT nb.v AS v, l.lbl AS cand
+        |    FROM nb JOIN $prev l ON nb.u = l.v
+        |    UNION ALL SELECT v, lbl FROM $prev)
+        |  GROUP BY v)""".stripMargin
+      prev = s"l$i"
+    }
+    sb ++= s"""
+      |, cl AS (
+      |  SELECT l.lbl AS canonical, COUNT(*) AS n_members,
+      |         CAST(SUM(n.n_parts) AS BIGINT) AS n_parts_total
+      |  FROM $prev l JOIN names n ON l.v = n.name GROUP BY 1)
+      |SELECT canonical, n_members, n_parts_total,
+      |  CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS n_clusters
+      |FROM cl ORDER BY n_members DESC, canonical LIMIT 10""".stripMargin
+    sb.toString
+  }
+
   def oracle: Map[String, String] = Map(
+    "er2_entity_clusters" -> er2Sql(rounds = 6),
 
     "er1_fuzzy_match" -> """
       |WITH names AS (

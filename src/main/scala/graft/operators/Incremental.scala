@@ -309,7 +309,9 @@ object Incremental extends QueryModule {
       // operation — build it once per (session, sf-dir) (StageMemo); the
       // query itself is the change-feed read + algebraic maintenance
       val root = graft.StageMemo.value(s, s"ivm1.store.$d") {
-        val r = s"${Scans.SinkDir}/ivm1_store"
+        // dir-tagged like ivm2/ivm3 (ADVICE r10): one JVM touching two
+        // lakes must not rebuild the same store path under a second memo
+        val r = s"${Scans.SinkDir}/ivm1_store_${Scans.dirTag(d)}"
         buildStore(s, d, r)
         r
       }
@@ -388,6 +390,43 @@ object Incremental extends QueryModule {
         .select(col("o_orderpriority"), col("rnk"), col("o_custkey"),
           col("sum_dec").cast("double").as("spend"))
         .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // PROF-5: table-diff report — the data-reconciliation summary between
+    // two versions of a table (the reference's QA report compares two
+    // whole DATABASES the same way: per-class object deltas,
+    // runcommand.py:38-60): row churn by kind plus, for updates, WHICH
+    // columns actually changed and how often. Everything derives from the
+    // keyed change feed (churn-sized — never a full-table compare): the
+    // pre/post join is per updated key, and each report row is one count
+    // over it. The oracle recomputes the expected churn from the store's
+    // source expressions.
+    "prof5_table_diff" -> ((s, d) => {
+      val root = graft.StageMemo.value(s, s"ivm1.store.$d") {
+        val r = s"${Scans.SinkDir}/ivm1_store_${Scans.dirTag(d)}"
+        buildStore(s, d, r)
+        r
+      }
+      val feed = VersionedStore.changeFeed(s, root, 1L, 2L,
+        Seq("o_orderkey")).localCheckpoint()
+      def kind(ct: String, label: String) =
+        feed.filter(col("_change_type") === ct)
+          .agg(count(lit(1)).as("n"))
+          .select(lit(label).as("column_name"), col("n"))
+      val pre = feed.filter(col("_change_type") === "update_preimage")
+        .select(col("o_orderkey"), col("o_orderpriority").as("p1"),
+          col("o_totalprice").as("v1"))
+      val post = feed.filter(col("_change_type") === "update_postimage")
+        .select(col("o_orderkey"), col("o_orderpriority").as("p2"),
+          col("o_totalprice").as("v2"))
+      val upd = pre.join(post, "o_orderkey")
+      kind("delete", "_deleted")
+        .unionByName(kind("insert", "_inserted"))
+        .unionByName(upd.agg(count(when(col("p1") =!= col("p2"), 1)).as("n"))
+          .select(lit("o_orderpriority").as("column_name"), col("n")))
+        .unionByName(upd.agg(count(when(col("v1") =!= col("v2"), 1)).as("n"))
+          .select(lit("o_totalprice").as("column_name"), col("n")))
+        .orderBy("column_name")
     })
   )
 
@@ -438,6 +477,29 @@ object Incremental extends QueryModule {
         |  FROM sup)
         |SELECT o_orderpriority, rnk, o_custkey, CAST(s AS DOUBLE) AS spend
         |FROM r WHERE rnk <= 3
-        |ORDER BY o_orderpriority, rnk""".stripMargin
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    // expected churn from the ivm1 store rules: v1 = %3≠0, v2 = %5≠0 with
+    // price doubled on %7=0; priority never changes, and the feed emits
+    // update pairs only for keys in BOTH versions whose row changed
+    "prof5_table_diff" ->
+      """SELECT '_deleted' AS column_name,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 <> 0
+        |                          AND o_orderkey % 5 = 0) AS BIGINT) AS n
+        |FROM orders
+        |UNION ALL
+        |SELECT '_inserted',
+        |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 0
+        |                          AND o_orderkey % 5 <> 0) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'o_totalprice',
+        |  CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 <> 0
+        |                          AND o_orderkey % 5 <> 0
+        |                          AND o_orderkey % 7 = 0) AS BIGINT)
+        |FROM orders
+        |ORDER BY column_name""".stripMargin
   )
 }
