@@ -374,5 +374,8 @@ object VectorExtensions {
     // PLAN-1: the custom top-k-per-group physical operator (heap-based,
     // map-side pruned) — see graft.plans.TopKPerGroup
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // RULE-1: auto-rewrite of the row_number()<=k window pattern into
+    // PLAN-1, so the idiomatic formulation gets the heap plan for free
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

@@ -135,8 +135,13 @@ class PlanSpec extends SparkSpec {
 
   test("samp2: stratified cap is two-phase salted — no raw window over ~20 sources") {
     val p = planOf("samp2_stratified")
-    assert("Window ".r.findAllIn(p).size >= 2,
-      s"expected the salted phase-1 window AND the final window:\n$p")
+    // RULE-1 rewrites the salted phase-1 rank-filter into the heap
+    // operator (no per-bucket sort at all); the final per-source rank
+    // keeps sample_rank in the output, so it stays a Window
+    assert(p.contains("TopKPerGroup"),
+      s"expected the salted phase-1 heap pass:\n$p")
+    assert("Window ".r.findAllIn(p).size >= 1,
+      s"expected the final ranking window:\n$p")
     assert(p.contains("salt"), s"phase 1 must partition by (source, salt):\n$p")
   }
 
@@ -574,5 +579,101 @@ class PlanSpec extends SparkSpec {
       s"both window passes must reuse one per-flag exchange:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"weighted median must never collapse to one task:\n$p")
+  }
+
+  // ---- RULE-1: TopKRewrite (plans/TopKRewrite.scala) ----
+
+  private def withRewrite[A](on: Boolean)(body: => A): A = {
+    val prev = spark.conf.getOption(plans.TopKRewrite.ConfKey)
+    spark.conf.set(plans.TopKRewrite.ConfKey, on.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(plans.TopKRewrite.ConfKey, v)
+      case None => spark.conf.unset(plans.TopKRewrite.ConfKey)
+    }
+  }
+
+  private def topkPattern(k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, Sf0001)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("user_id", "ts", "event_type")
+  }
+
+  test("RULE-1: row_number<=k filter-then-drop rewrites to the heap " +
+      "operator and drops the Window/Sort pair") {
+    val (planOn, rowsOn) = withRewrite(on = true) {
+      val df = topkPattern(3)
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(_.toString).sorted.toSeq)
+    }
+    assert(planOn.contains("TopKPerGroup"),
+      s"expected the heap operator in:\n$planOn")
+    assert(!planOn.contains("Window") && !planOn.contains("Sort "),
+      s"the Window/Sort pair must be gone:\n$planOn")
+    val (planOff, rowsOff) = withRewrite(on = false) {
+      val df = topkPattern(3)
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(_.toString).sorted.toSeq)
+    }
+    assert(planOff.contains("Window") && !planOff.contains("TopKPerGroup"),
+      s"conf-off must keep the window formulation:\n$planOff")
+    // (ts desc, event_id desc) is total per user — identical rows required
+    assert(rowsOn === rowsOff, "rewrite changed the result set")
+  }
+
+  test("RULE-1: does not fire when the rank column survives, on rank(), " +
+      "or on an unpartitioned window") {
+    import org.apache.spark.sql.expressions.Window
+    withRewrite(on = true) {
+      val e = Tables.events(spark, Sf0001)
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
+      val kept = e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      assert(!kept.queryExecution.optimizedPlan.toString
+        .contains("TopKPerGroup"), "rank column kept -> positions needed")
+      val rk = e.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+        .select("user_id", "ts")
+      assert(!rk.queryExecution.optimizedPlan.toString
+        .contains("TopKPerGroup"), "rank() admits ties past k")
+      val glob = e.withColumn("rn",
+          row_number().over(Window.orderBy(col("ts"))))
+        .filter(col("rn") <= 3).select("user_id", "ts")
+      assert(!glob.queryExecution.optimizedPlan.toString
+        .contains("TopKPerGroup"), "global top-k stays TakeOrdered's job")
+    }
+  }
+
+  test("RULE-1: null sort keys keep window semantics (asc nulls-first, " +
+      "desc nulls-last)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq(("a", Some(3L), 1), ("a", None, 2), ("a", Some(1L), 3),
+      ("a", Some(2L), 4), ("b", None, 5), ("b", Some(9L), 6))
+      .toDF("g", "v", "id")
+    def run(c: org.apache.spark.sql.Column) = {
+      val w = Window.partitionBy("g").orderBy(c, col("id"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select("g", "id")
+    }
+    for (c <- Seq(col("v").asc, col("v").desc)) {
+      val (on, off) = (
+        withRewrite(on = true) {
+          val q = run(c)
+          assert(q.queryExecution.optimizedPlan.toString
+            .contains("TopKPerGroup"), s"rewrite must fire for $c")
+          q.collect().map(_.toString).sorted.toSeq
+        },
+        withRewrite(on = false)(run(c).collect().map(_.toString).sorted.toSeq))
+      assert(on === off, s"null ordering diverged for $c")
+    }
+  }
+
+  test("RULE-1: win6_top1_per_group now plans through the heap operator") {
+    val p = planOf("win6_top1_per_group")
+    assert(p.contains("TopKPerGroup"),
+      s"declared query must pick up the rewrite:\n$p")
   }
 }
