@@ -687,6 +687,39 @@ object LlmOps extends QueryModule {
       ngramJaccardPairs(Tables.documents(s, d), threshold = 0.8)
         .orderBy("a_id", "b_id")),
 
+    // LLM-2e: asymmetric CONTAINMENT near-dup — C(A→B) = |A∩B| / |A| over
+    // 3-gram sets. Symmetric Jaccard (llm2b) misses the quote/superset
+    // case: a short doc wholly embedded in a long one has tiny Jaccard but
+    // containment 1.0 — exactly the "page wrapped in boilerplate" and
+    // "quoted excerpt" dups a crawl corpus is full of (Broder's original
+    // resemblance/containment pair, syntactic clustering of the web).
+    // Same bucketed shape as llm2b: grams join ids-only, one count agg per
+    // DIRECTED pair, divide by |A| — exact int/int division, no float
+    // accumulation. Min-size floor (5 grams) keeps trivially-contained
+    // snippets out; the df cap is llm2b's scale guard and does not bind at
+    // gate SFs (ApproxSpec's capped==uncapped argument covers this corpus).
+    "llm2e_containment" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+        .localCheckpoint() // feeds sizes + df filter + both join sides
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df_docs"))
+        .filter(col("df_docs") <= 1000).select("shingle")
+      val capped = sh.join(keep, "shingle")
+      val a = capped.select(col("shingle"), col("doc_id").as("a_id"))
+      val b = capped.select(col("shingle"), col("doc_id").as("b_id"))
+      a.join(b, "shingle").filter(col("a_id") =!= col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
+          "a_id")
+        .filter(col("n_a") >= 5)
+        .withColumn("containment",
+          col("n_common").cast("double") / col("n_a"))
+        .filter(col("containment") >= 0.9)
+        .select("a_id", "b_id", "containment")
+        .orderBy("a_id", "b_id")
+    }),
+
     // LLM-2c: SimHash fingerprints — md5-protocol simhash computed as one
     // row-local HOF expression (zero shuffle, no UDF; see [[simhashCol]]).
     // HASH-MATCHES the DuckDB oracle: both engines fold the identical
@@ -2259,6 +2292,21 @@ object LlmOps extends QueryModule {
 
     "llm2_minhash_lsh" -> exactJaccardSql(0.8),
     "llm2b_ngram_jaccard" -> exactJaccardSql(0.8),
+
+    "llm2e_containment" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w) - 1)]) AS ws
+        |       FROM d WHERE len(w) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws)
+        |    AS containment
+        |FROM sh a, sh b
+        |WHERE a.doc_id <> b.doc_id AND len(a.ws) >= 5
+        |  AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws)
+        |        >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "llm3_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0)

@@ -640,6 +640,37 @@ object Analytics extends QueryModule {
         .orderBy("hour_idx")
     }),
 
+    // TS-13: Theil–Sen robust trend — the median of all pairwise slopes
+    // (y_j − y_i)/(h_j − h_i) over the ts12 hourly series. OLS (agg30)
+    // shatters under a single corrupted hour; the pairwise-slope median
+    // has a 29% breakdown point (Sen 1968) and is the standard robust
+    // trend for noisy telemetry. Heavy work stays the distributed hourly
+    // rollup; the O(hours²) pair set is metadata-sized BY CONSTRUCTION
+    // (hours, not rows — the same 720² pairs at sf0.01 and at 100 TB), so
+    // the non-equi self-join and the k-smallest selection (TakeOrdered
+    // heap, k = lower-median rank) are bounded regardless of data scale.
+    // Slope division is exact-decimal difference → one IEEE double
+    // division, identical in both engines; the median is an order
+    // statistic of that identical value set — deterministic, hash-match.
+    "ts13_theil_sen" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(expr("ts div 3600000000000").as("h"))
+        .agg(sum(col("value").cast("decimal(28,12)")).as("y"))
+        .localCheckpoint() // both join sides + the count scalar
+      val n = hourly.count() // O(hours) scalar, metadata-sized
+      val m = n * (n - 1) / 2
+      val k = ((m + 1) / 2).toInt // lower median, 1-indexed k-th smallest
+      val a = hourly.select(col("h").as("hi"), col("y").as("yi"))
+      val b = hourly.select(col("h").as("hj"), col("y").as("yj"))
+      a.join(b, col("hi") < col("hj"))
+        .select(((col("yj") - col("yi")).cast("double") /
+          (col("hj") - col("hi")).cast("double")).as("slope"))
+        .orderBy("slope").limit(k)
+        .agg(round(max("slope"), 6).as("theil_sen_slope"))
+        .withColumn("n_hours", lit(n))
+        .withColumn("n_pairs", lit(m))
+    }),
+
     // TS-10: interval union (gaps-and-islands merge) — give each event a
     // 5-minute activity interval and merge overlaps per user into islands,
     // reporting island count and total covered time: the classic coverage
@@ -965,6 +996,23 @@ object Analytics extends QueryModule {
         |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
         |SELECT user_id, event_id, ts_us, ewma
         |FROM r ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "ts13_theil_sen" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h,
+        |    SUM(CAST(value AS DECIMAL(28,12))) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.h - a.h AS DOUBLE)
+        |    AS slope
+        |  FROM hourly a JOIN hourly b ON a.h < b.h),
+        |st AS (SELECT (SELECT COUNT(*) FROM hourly) AS n,
+        |              (SELECT COUNT(*) FROM s) AS m)
+        |SELECT ROUND(MAX(slope), 6) AS theil_sen_slope,
+        |  (SELECT CAST(n AS BIGINT) FROM st) AS n_hours,
+        |  (SELECT CAST(m AS BIGINT) FROM st) AS n_pairs
+        |FROM (SELECT slope FROM s ORDER BY slope
+        |      LIMIT (SELECT (m + 1) // 2 FROM st))""".stripMargin,
 
     "ts8_seasonal_decompose" ->
       """WITH hourly AS (

@@ -509,6 +509,38 @@ object GraphOps extends QueryModule {
         .crossJoin(core.agg(count(lit(1)).as("n_core_edges")))
         .select(lit(80L).as("k"), col("n_core_vertices"),
           col("n_core_edges"), col("min_core_deg"))
+    }),
+
+    // GRAPH-6: link prediction by neighbor-set Jaccard — "parts likely to
+    // be co-purchased next" (Liben-Nowell & Kleinberg's common-neighbors
+    // family; Jaccard chosen over Adamic–Adar because 1/ln(deg) weights
+    // are float-order-dependent while |N(a)∩N(b)| / |N(a)∪N(b)| is exact
+    // int/int). Candidates come from the wedge join (only pairs with ≥1
+    // common neighbor — never the O(V²) cross), existing edges drop via
+    // one anti-join, top-20 by (jaccard desc, a, b) is TakeOrdered over
+    // the O(candidate) rollup. The wedge fan-out is Σ deg(z)² — bounded
+    // here by basket sizes; at 100 TB hub vertices get the graph3
+    // treatment (degree-ordered orientation or an explicit hub cap, which
+    // Adamic-Adar-style downweighting would approximate anyway).
+    "graph6_link_prediction" -> ((s, d) => {
+      val e = partCoPurchaseEdges(s, d).localCheckpoint()
+      val adj = e.select(col("x").as("v"), col("y").as("u"))
+        .unionByName(e.select(col("y").as("v"), col("x").as("u")))
+      val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+      val l = adj.select(col("v").as("a"), col("u").as("z"))
+      val r = adj.select(col("v").as("b"), col("u").as("z"))
+      val common = l.join(r, "z").filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      common
+        .join(e.select(col("x").as("a"), col("y").as("b")),
+          Seq("a", "b"), "left_anti")
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (col("da") + col("db") - col("n_common")))
+        .select("a", "b", "n_common", "jaccard")
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(20)
     })
   )
 
@@ -663,6 +695,24 @@ object GraphOps extends QueryModule {
       |FROM deg d LEFT JOIN perv p ON p.v = d.v
       |ORDER BY tri DESC, p LIMIT 20""".stripMargin),
 
-    "graph4_kcore" -> kcoreSql(k = 80, rounds = 6)
+    "graph4_kcore" -> kcoreSql(k = 80, rounds = 6),
+
+    "graph6_link_prediction" -> (edgeCte + """
+      |, adj AS (SELECT x AS v, y AS u FROM edges
+      |          UNION ALL SELECT y, x FROM edges),
+      |deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+      |cmn AS (
+      |  SELECT l.v AS a, r.v AS b, COUNT(*) AS n_common
+      |  FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT * FROM cmn WHERE NOT EXISTS (
+      |    SELECT 1 FROM edges e WHERE e.x = cmn.a AND e.y = cmn.b))
+      |SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+      |  CAST(c.n_common AS BIGINT) AS n_common,
+      |  CAST(c.n_common AS DOUBLE) / (da.deg + db.deg - c.n_common)
+      |    AS jaccard
+      |FROM cand c JOIN deg da ON c.a = da.v JOIN deg db ON c.b = db.v
+      |ORDER BY jaccard DESC, a, b LIMIT 20""").stripMargin
   )
 }

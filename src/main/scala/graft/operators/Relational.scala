@@ -871,6 +871,21 @@ object Relational extends QueryModule {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // WIN-15: relative standing — percent_rank (rank−1)/(n−1) and
+    // cume_dist (rows ≤ current)/n per user, ordered by (value, event_id)
+    // so the rank order is total and both statistics are exact int/int
+    // divisions (no float accumulation). One window exchange serves both.
+    "win15_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy("user_id", "value", "event_id")
+    }),
+
     // AGG-15: approximate percentile (Greenwald-Khanna sketch). The exact
     // agg10 buffers every value per group (ObjectHashAggregate, O(rows)
     // state); this sketch holds O(1/accuracy) state per group and merges
@@ -1293,6 +1308,37 @@ object Relational extends QueryModule {
             .as("corr"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * (col("n") - 1)), 6).as("covar_samp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // AGG-30: per-group ordinary least squares (regr_slope / regr_intercept
+    // / r²) — the trend-fit primitive behind "is price drifting with
+    // quantity" per segment. Same exact-decimal-moments protocol as agg26
+    // (built-in regr_* are float-order-dependent streaming forms): the
+    // five sums are exact decimals from ONE partial+final agg, each
+    // statistic is a fixed closed form over them — intercept written
+    // moment-only ((sy·sxx − sx·sxy)/D, never via the slope intermediate)
+    // so both engines evaluate the identical expression tree.
+    "agg30_regr" -> ((s, d) => {
+      val qx = col("l_quantity").cast("decimal(18,6)")
+      val qy = col("l_extendedprice").cast("decimal(18,2)")
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(qx).cast("double").as("sx"),
+          sum(qy).cast("double").as("sy"),
+          sum(qx * qy).cast("double").as("sxy"),
+          sum(qx * qx).cast("double").as("sxx"),
+          sum(qy * qy).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("intercept"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
         .orderBy("l_returnflag")
     }),
 
@@ -1812,6 +1858,15 @@ object Relational extends QueryModule {
         |FROM events
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
+    "win15_percent_rank" ->
+      """SELECT user_id, event_id, value,
+        |  percent_rank() OVER (PARTITION BY user_id
+        |    ORDER BY value, event_id) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY user_id
+        |    ORDER BY value, event_id) AS cume
+        |FROM events WHERE value IS NOT NULL
+        |ORDER BY user_id, value, event_id""".stripMargin,
+
     "agg28_bitmap_distinct" -> """
       |SELECT o_orderpriority,
       |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
@@ -1904,6 +1959,26 @@ object Relational extends QueryModule {
       |        (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
       |    AS corr,
       |  ROUND((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar_samp
+      |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "agg30_regr" -> """
+      |WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) *
+      |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) *
+      |             CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
+      |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
       |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "prof1_table_stats" -> Seq(
