@@ -123,6 +123,53 @@ object Incremental extends QueryModule {
     untouched.unionByName(fromChangedOrders).unionByName(fromChangedCust)
   }
 
+  /** IVM-5 support — the v1→v2 change feed OF THE JOIN VIEW ITSELF,
+    * derived from the two base feeds without re-running the full join:
+    * 'delete' rows are V_old ⋉ changed-keys (either side), 'insert' rows
+    * are the two churn terms of [[maintainJoinView]]. The identity this
+    * buys (IncrementalSpec pins it):
+    *
+    *   aggregate ∘ maintainJoinView  ≡  maintainSumCount ∘ joinViewDelta
+    *
+    * i.e. a JOIN→AGG view composes: the join's delta feed drives the
+    * aggregate's maintenance, so the materialized state can be the TINY
+    * aggregate (O(groups)) instead of the full join view — the standard
+    * delta-rule chaining of Griffin/Libkin-style IVM. A same-value update
+    * appears as a delete+insert pair and cancels inside the sum algebra;
+    * a segment-changing update moves its mass between groups because the
+    * delete carries the OLD segment and the insert the new one. All terms
+    * stay churn-proportional; every probe broadcasts only changed keys. */
+  def joinViewDelta(vOld: DataFrame, oOld: DataFrame,
+                    ordersFeed0: DataFrame, custFeed0: DataFrame,
+                    custOld: DataFrame): DataFrame = {
+    val ordersFeed = ordersFeed0.localCheckpoint()
+    val custFeed = custFeed0.localCheckpoint()
+    val post = col("_change_type").isin("insert", "update_postimage")
+    val oKeys = ordersFeed.select("o_orderkey").distinct()
+    val cKeys = custFeed.select("c_custkey").distinct()
+    val oPost = ordersFeed.filter(post)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cPost = custFeed.filter(post).select("c_custkey", "c_mktsegment")
+    val cNew = custOld.select("c_custkey", "c_mktsegment")
+      .join(broadcast(cKeys), Seq("c_custkey"), "left_anti")
+      .unionByName(cPost)
+    val removed = vOld
+      .join(broadcast(oKeys), Seq("o_orderkey"), "left_semi")
+      .unionByName(vOld
+        .join(broadcast(oKeys), Seq("o_orderkey"), "left_anti")
+        .join(broadcast(cKeys), col("o_custkey") === col("c_custkey"),
+          "left_semi"))
+    val added = oPost
+      .join(broadcast(cNew), col("o_custkey") === col("c_custkey"))
+      .drop("c_custkey")
+      .unionByName(oOld
+        .join(broadcast(oKeys), Seq("o_orderkey"), "left_anti")
+        .join(broadcast(cPost), col("o_custkey") === col("c_custkey"))
+        .drop("c_custkey"))
+    removed.withColumn("_change_type", lit("delete"))
+      .unionByName(added.withColumn("_change_type", lit("insert")))
+  }
+
   /** Two-sided store evolution for IVM-2: orders evolve as in ivm1 (keeping
     * o_custkey this time); customer v1 drops ≡0 (mod 4), v2 instead drops
     * ≡0 (mod 6) and rewrites the segment on ≡0 (mod 9) — so the dim sees
@@ -401,6 +448,42 @@ object Incremental extends QueryModule {
     // pre/post join is per updated key, and each report row is one count
     // over it. The oracle recomputes the expected churn from the store's
     // source expressions.
+    // IVM-5: maintain a JOIN→AGG view (revenue + order count per market
+    // segment over orders ⋈ customer) under CDC on BOTH bases — the
+    // composite every real materialized view is. The maintained state is
+    // the O(segments) aggregate, not the join view: the join's delta feed
+    // ([[joinViewDelta]]) drives [[maintainSumCount]], so v2's bases are
+    // never re-joined and never re-aggregated. The oracle recomputes the
+    // v2 join+agg from the source expressions; exact-decimal maintenance
+    // makes the two bit-identical.
+    "ivm5_incremental_join_agg" -> ((s, d) => {
+      val (oRoot, cRoot) =
+        graft.StageMemo.value(s, s"ivm2.stores.$d") {
+          val tag = Scans.dirTag(d)
+          val o = s"${Scans.SinkDir}/ivm2_orders_$tag"
+          val c = s"${Scans.SinkDir}/ivm2_cust_$tag"
+          buildJoinStores(s, d, o, c)
+          (o, c)
+        }
+      val oOld = VersionedStore.read(s, oRoot, 1L)
+      val cOld = VersionedStore.read(s, cRoot, 1L)
+      val vOld = oOld.join(cOld,
+        oOld("o_custkey") === cOld("c_custkey")).drop("c_custkey")
+      val aggOld = vOld.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_dec"))
+      val oFeed = VersionedStore.changeFeed(s, oRoot, 1L, 2L,
+        Seq("o_orderkey"))
+      val cFeed = VersionedStore.changeFeed(s, cRoot, 1L, 2L,
+        Seq("c_custkey"))
+      maintainSumCount(aggOld,
+        joinViewDelta(vOld, oOld, oFeed, cFeed, cOld),
+        Seq("c_mktsegment"), "o_totalprice")
+        .select(col("c_mktsegment"), col("n"),
+          col("sum_dec").cast("double").as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     "prof5_table_diff" -> ((s, d) => {
       val root = graft.StageMemo.value(s, s"ivm1.store.$d") {
         val r = s"${Scans.SinkDir}/ivm1_store_${Scans.dirTag(d)}"
@@ -450,6 +533,21 @@ object Incremental extends QueryModule {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey % 5 <> 0 AND c.c_custkey % 6 <> 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // the v2 join+agg recomputed from the source expressions (segment
+    // rewrite moves mass between groups; the feed's delete/insert pairs
+    // must land it in the right one)
+    "ivm5_incremental_join_agg" ->
+      """SELECT CASE WHEN c.c_custkey % 9 = 0 THEN 'X-' || c.c_mktsegment
+        |            ELSE c.c_mktsegment END AS c_mktsegment,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN o.o_orderkey % 7 = 0
+        |                     THEN o.o_totalprice * 2
+        |                     ELSE o.o_totalprice END AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 5 <> 0 AND c.c_custkey % 6 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ivm3_incremental_distinct" ->
       """SELECT o_orderpriority,

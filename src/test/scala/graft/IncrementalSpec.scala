@@ -86,6 +86,33 @@ class IncrementalSpec extends SparkSpec {
     assert(recomputed.exceptAll(maintained).count() === 0, "missing rows")
   }
 
+  test("ivm5: delta-rule chaining — aggregate∘maintainJoinView equals " +
+      "maintainSumCount∘joinViewDelta") {
+    Incremental.buildJoinStores(spark, Sf0001, oRoot, cRoot)
+    val oOld = VersionedStore.read(spark, oRoot, 1L)
+    val cOld = VersionedStore.read(spark, cRoot, 1L)
+    val vOld = joinOf(1L)
+    def aggOf(v: org.apache.spark.sql.DataFrame) =
+      v.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_dec"))
+    def oFeed = VersionedStore.changeFeed(spark, oRoot, 1L, 2L,
+      Seq("o_orderkey"))
+    def cFeed = VersionedStore.changeFeed(spark, cRoot, 1L, 2L,
+      Seq("c_custkey"))
+    val viaView = aggOf(Incremental.maintainJoinView(
+      vOld, oOld, oFeed, cFeed, cOld))
+    val viaDelta = Incremental.maintainSumCount(aggOf(vOld),
+      Incremental.joinViewDelta(vOld, oOld, oFeed, cFeed, cOld),
+      Seq("c_mktsegment"), "o_totalprice")
+    val a = viaView.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDecimal(2).toPlainString)).toSet
+    val b = viaDelta.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDecimal(2).toPlainString)).toSet
+    assert(a === b, "the two maintenance orders must commute exactly")
+    assert(a.nonEmpty)
+  }
+
   test("ivm2: a customer INSERT resurrects unchanged orders the old view " +
       "never contained (the O_old re-probe case)") {
     Incremental.buildJoinStores(spark, Sf0001, oRoot, cRoot)

@@ -671,6 +671,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("RULE-1: fuzzed on/off parity across directions, null orders, k") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible
+    for (round <- 1 to 8) {
+      val n = 30 + rnd.nextInt(120)
+      val rows = Seq.fill(n)((
+        "g" + rnd.nextInt(5),
+        if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(12).toLong),
+        rnd.nextInt(10000)))
+      val df = rows.toDF("g", "v", "id")
+      val k = 1 + rnd.nextInt(4)
+      val dirs = Seq(col("v").asc, col("v").desc,
+        col("v").asc_nulls_last, col("v").desc_nulls_first)
+      val c = dirs(rnd.nextInt(dirs.length))
+      val w = Window.partitionBy("g").orderBy(c, col("id"))
+      def q = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("g", "v", "id")
+      val on = withRewrite(on = true) {
+        assert(q.queryExecution.optimizedPlan.toString
+          .contains("TopKPerGroup"), s"round $round: rewrite must fire")
+        q.collect().map(_.toString).sorted.toSeq
+      }
+      val off =
+        withRewrite(on = false)(q.collect().map(_.toString).sorted.toSeq)
+      assert(on === off, s"round $round k=$k dir=$c diverged")
+    }
+  }
+
   test("RULE-1: win6_top1_per_group now plans through the heap operator") {
     val p = planOf("win6_top1_per_group")
     assert(p.contains("TopKPerGroup"),
