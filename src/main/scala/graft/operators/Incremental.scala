@@ -262,7 +262,18 @@ object Incremental extends QueryModule {
     * marked changed, so no-op churn re-ranks nothing. */
   def maintainTopK(vOld: DataFrame, oldSupport: DataFrame, feed: DataFrame,
                    groupCol: String, memberCol: String, valueCol: String,
-                   k: Int): DataFrame = {
+                   k: Int): DataFrame =
+    maintainTopKState(vOld, oldSupport, feed, groupCol, memberCol,
+      valueCol, k)._2
+
+  /** [[maintainTopK]] returning BOTH state tables (newSupport, newView) —
+    * the streaming form (STRM-21) must persist the support alongside the
+    * view, because the next batch's in-top-k death can only promote a
+    * successor the support table knows. */
+  def maintainTopKState(vOld: DataFrame, oldSupport: DataFrame,
+                        feed: DataFrame, groupCol: String, memberCol: String,
+                        valueCol: String, k: Int)
+  : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
@@ -289,7 +300,7 @@ object Incremental extends QueryModule {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col(groupCol), col("rnk"), col(memberCol), col("sum_dec"))
-    untouched.unionByName(rebuilt)
+    (newSupport, untouched.unionByName(rebuilt))
   }
 
   /** Per-(group, member) support + its top-k view of one store version. */

@@ -388,6 +388,52 @@ object StreamOps extends QueryModule {
     q.stop()
   }
 
+  /** STRM-21: streaming MATERIALIZED TOP-K VIEW over a CDC feed — the
+    * streaming form of ivm4, completing the IVM ladder (strm19 agg,
+    * strm20 join, this top-k). Top-k is not self-maintainable (an
+    * in-top-k delete needs the k+1-th member), so the state is TWO
+    * stores: the view plus the full (group, member) score support table;
+    * each micro-batch runs [[graft.operators.Incremental
+    * .maintainTopKState]] (churn-proportional: only groups the batch
+    * touched re-rank) and commits one atomic version of each
+    * (vacuum-bounded, per-batch time travel). A successor promotion whose
+    * member the view NEVER HELD — only the support knows it — works
+    * across batch boundaries, which is what the spec pins. */
+  def runMaterializedTopKStream(feed: DataFrame, viewDir: String,
+                                supDir: String, checkpointDir: String,
+                                groupCol: String, memberCol: String,
+                                valueCol: String, k: Int,
+                                retainVersions: Int = 24): Unit = {
+    import graft.operators.{Incremental, VersionedStore}
+    val q = feed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        def stored(dir: String, empty: => DataFrame): DataFrame =
+          VersionedStore.latestVersion(dir) match {
+            case Some(_) => VersionedStore.read(spark, dir)
+            case None    => empty
+          }
+        val emptySup = batch.select(col(groupCol), col(memberCol)).limit(0)
+          .withColumn("n", lit(0L))
+          .withColumn("sum_dec", lit(0).cast("decimal(18,2)"))
+        val emptyView = emptySup.select(col(groupCol),
+          lit(0).cast("int").as("rnk"), col(memberCol), col("sum_dec"))
+        val (supNew, vNew) = Incremental.maintainTopKState(
+          stored(viewDir, emptyView), stored(supDir, emptySup), batch,
+          groupCol, memberCol, valueCol, k)
+        VersionedStore.commit(vNew, viewDir)
+        VersionedStore.commit(supNew, supDir)
+        Seq(viewDir, supDir)
+          .foreach(dir => VersionedStore.vacuum(dir, keep = retainVersions))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** STRM-15 per-batch body (exposed so the declared query and the spec can
     * simulate a crash-replay): merge this batch's per-user event counts
     * into the running totals and commit under (appId, batchId). Because the

@@ -430,6 +430,49 @@ class StructuredStreamingSpec extends SparkSpec {
     assert(view() === recomputed)
   }
 
+  test("materialized top-k view stream: cross-batch successor promotion " +
+      "from the persisted support table") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mtk").toString
+    val input = MemoryStream[(String, String, Long, Double)]
+    def run() = StreamOps.runMaterializedTopKStream(
+      input.toDF().toDF("_change_type", "g", "m", "v"),
+      s"$tmp/view", s"$tmp/sup", s"$tmp/ck", "g", "m", "v", k = 2)
+    def view(): Set[(String, Int, Long, String)] =
+      graft.operators.VersionedStore.read(s, s"$tmp/view")
+        .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("rnk"),
+          r.getAs[Long]("m"), r.getAs[java.math.BigDecimal]("sum_dec")
+            .toPlainString)).toSet
+    // batch 1: g1 has three members (30, 20, 10) — view holds top-2;
+    // member 3 exists ONLY in the support store
+    input.addData(("insert", "g1", 1L, 30.0), ("insert", "g1", 2L, 20.0),
+      ("insert", "g1", 3L, 10.0), ("insert", "g2", 9L, 7.0))
+    run()
+    assert(view() === Set(("g1", 1, 1L, "30.00"), ("g1", 2, 2L, "20.00"),
+      ("g2", 1, 9L, "7.00")))
+    // batch 2: delete g1's #2 — member 3, never in any committed view,
+    // must be promoted from the support store; g2 is untouched
+    input.addData(("delete", "g1", 2L, 20.0))
+    run()
+    assert(view() === Set(("g1", 1, 1L, "30.00"), ("g1", 2, 3L, "10.00"),
+      ("g2", 1, 9L, "7.00")))
+    // batch 3: score churn re-ranks g1 (member 3 overtakes member 1)
+    input.addData(("insert", "g1", 3L, 25.0))
+    run()
+    assert(view() === Set(("g1", 1, 3L, "35.00"), ("g1", 2, 1L, "30.00"),
+      ("g2", 1, 9L, "7.00")))
+    // per-batch time travel: batch-1 view is still readable
+    val vs = graft.operators.VersionedStore.versions(s"$tmp/view")
+    assert(vs.size === 3, s"one version per micro-batch, got $vs")
+    val v1 = graft.operators.VersionedStore
+      .read(s, s"$tmp/view", vs.head)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("m"))).toSet
+    assert(v1 === Set(("g1", 1, 1L), ("g1", 2, 2L), ("g2", 1, 9L)))
+  }
+
   test("incremental corpus dedup: history and in-stream dupes drop, new docs pass") {
     val s = spark
     import s.implicits._
