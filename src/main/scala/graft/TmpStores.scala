@@ -20,9 +20,15 @@ object TmpStores {
 
   val Root = "/root/repo/target/tmp-sinks"
 
-  /** UUID-suffixed scratch dirs only — named sinks (sink1_csv …,
-    * mig6b_homol_store) are session-stable by design and never swept. */
-  private val ScratchName = "^[A-Za-z0-9_]+_[0-9a-f]{8}$".r.pattern
+  /** Scratch dirs only, recognized by the `_scr<8hex>` marker [[scratch]]
+    * stamps — named sinks (sink1_csv …, mig6b_homol_store) AND the
+    * dirTag-suffixed memoized stores (ivm1_store_<8hex> …) are
+    * session-stable by design and never swept. The old pattern was any
+    * trailing 8-hex suffix, which ALSO matched the dirTag stores: a
+    * concurrently-starting Verify/Bench JVM would sweep a running JVM's
+    * live ivm stores mid-query ("version 1 not committed" in the r11
+    * sf0.1 bench). The marker makes scratch-ness explicit in the name. */
+  private val ScratchName = "^[A-Za-z0-9_]+_scr[0-9a-f]{8}$".r.pattern
 
   private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -34,21 +40,31 @@ object TmpStores {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         created.forEach(p => deleteRecursively(Paths.get(p)))
       }, "tmpstores-cleanup"))
-    val dir = s"$Root/${prefix}_${java.util.UUID.randomUUID.toString.take(8)}"
+    val dir =
+      s"$Root/${prefix}_scr${java.util.UUID.randomUUID.toString.take(8)}"
     created.add(dir)
     dir
   }
 
-  /** Delete leftover scratch dirs (UUID-suffixed only) from previous JVMs.
-    * Safe only BEFORE any query of this JVM runs — a swept dir must have
-    * no live reader. */
-  def sweep(): Unit = {
+  /** Delete leftover scratch dirs (`_scr<8hex>`-marked only) from DEAD
+    * JVMs. A name pattern alone cannot distinguish a crashed JVM's
+    * leftovers from a concurrently-RUNNING JVM's live dirs (the r11 suite
+    * lost its llm28d index to a concurrent Verify's sweep), so the sweep
+    * is additionally AGE-GATED, the VersionedStore.vacuum orphan-grace
+    * discipline: a dir is only swept once it is older than any plausible
+    * live run (2 h). Young crashed leftovers survive one extra round —
+    * bounded disk, never a torn live read. */
+  private val SweepGraceMs = 2L * 3600 * 1000
+
+  def sweep(graceMs: Long = SweepGraceMs): Unit = {
     val root = Paths.get(Root)
     if (Files.isDirectory(root)) {
+      val cutoff = System.currentTimeMillis() - graceMs
       val it = Files.list(root)
       try it.forEach { p =>
         if (ScratchName.matcher(p.getFileName.toString).matches
-            && !created.contains(p.toString))
+            && !created.contains(p.toString)
+            && Files.getLastModifiedTime(p).toMillis < cutoff)
           deleteRecursively(p)
       } finally it.close()
     }

@@ -1087,6 +1087,41 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // LLM-39: dup-cluster SURVIVORSHIP — the policy step after llm12's
+    // clustering: real pipelines don't keep an arbitrary member, they keep
+    // the best one (here: longest text, the common keep-longest rule —
+    // an exact integer key, so the argmax is the agg3 struct-max trick
+    // with no float compare) and report what dedup will discard per
+    // cluster (members and bytes — the "how much am I about to delete"
+    // pre-flight). One extra hash agg over llm12's labels; singleton
+    // clusters are filtered (nothing to discard).
+    "llm39_cluster_survivor" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = minhashNearDupPairs(docs, threshold = 0.8)
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint()
+      val labels = connectedComponents(edges)
+      docs.select(col("doc_id"), length(col("text")).as("n_chars"))
+        .join(labels.select(col("node").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+            .as("best"),
+          count(lit(1)).as("n_members"),
+          sum(col("n_chars").cast("long")).as("chars_total"))
+        .filter(col("n_members") > 1)
+        .select(col("cluster_id"),
+          (-col("best.neg_id")).as("survivor_id"),
+          col("best.n_chars").as("survivor_chars"),
+          col("n_members"),
+          (col("n_members") - 1).as("n_dropped"),
+          (col("chars_total") - col("best.n_chars")).as("chars_dropped"))
+        .orderBy("cluster_id")
+    }),
+
     // LLM-13: sequence packing — assign llm11's chunks to fixed 512-token
     // context windows ("bins"). Deterministic offset packing: a chunk goes
     // to bin floor(tokens_before_it / 512) within its pack group. The
@@ -2466,6 +2501,47 @@ object LlmOps extends QueryModule {
         |       (COALESCE(c.cluster_id, d2.doc_id) = d2.doc_id) AS is_canonical
         |FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.node
         |ORDER BY doc_id""".stripMargin,
+
+    // llm12's closure, then keep-longest survivorship per dup cluster
+    "llm39_cluster_survivor" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w) - 1)]) AS ws
+        |       FROM d WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
+        |         FROM reach GROUP BY src),
+        |lbl AS (
+        |  SELECT d2.doc_id, COALESCE(c.cluster_id, d2.doc_id) AS cluster_id,
+        |         length(d2.text) AS n_chars
+        |  FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.node),
+        |agg AS (
+        |  SELECT cluster_id, COUNT(*) AS n_members,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |    MAX(n_chars) AS max_chars
+        |  FROM lbl GROUP BY 1),
+        |surv AS (
+        |  SELECT l.cluster_id, MIN(l.doc_id) AS survivor_id
+        |  FROM lbl l JOIN agg a
+        |    ON l.cluster_id = a.cluster_id AND l.n_chars = a.max_chars
+        |  GROUP BY 1)
+        |SELECT a.cluster_id, s.survivor_id, a.max_chars AS survivor_chars,
+        |  a.n_members, a.n_members - 1 AS n_dropped,
+        |  a.chars_total - a.max_chars AS chars_dropped
+        |FROM agg a JOIN surv s USING (cluster_id)
+        |WHERE a.n_members > 1 ORDER BY cluster_id""".stripMargin,
 
     // same chunking as llm11, same per-group running sum (1-PRECEDING
     // frame == "tokens before this chunk")

@@ -213,6 +213,36 @@ object MultimodalOps extends QueryModule {
         .filter(col("dist") <= 1024)
         .select(col("modality"), col("id_a"), col("id_b"), col("dist"))
         .orderBy("modality", "id_a", "id_b")
+    }),
+
+    // MM-9: cross-video duplicate SEGMENTS — re-upload/clip detection,
+    // the sub-payload tier below mm7's whole-file digests: mm4's sampled
+    // frames fingerprint ROW-LOCALLY (md5 of the frame's byte window,
+    // codegen'd substring on the binary payload — a deploy swaps in a
+    // keyframe perceptual hash exactly like decodeStub), then videos
+    // sharing fingerprints pair via an ids-only digest join. Frame BYTES
+    // never shuffle — only 16 B digests (llm1/mm7 discipline at frame
+    // granularity); per-video digest dedup kills within-video repetition
+    // before the pair fan-out; evidence floor ≥3 shared frames.
+    "mm9_cross_video_dup" -> ((s, d) => {
+      val fp = mediaTable(s, d)
+        .filter(col("modality") === "video" && col("meta.duration_ms") > 0)
+        .select(col("doc_id"), col("payload"),
+          posexplode(sequence(lit(0L), col("meta.duration_ms") - 1,
+            lit(1000L))))
+        // 1 s frame stride = 100 payload bytes (100 B/s synth rate); the
+        // frame window is the next 100 bytes — sized to the synth corpus
+        // (~300 B payloads) the way a real pipeline sizes keyframe rate
+        .select(col("doc_id"), expr(
+          "md5(substring(payload, CAST(col DIV 10 + 1 AS INT), 100))")
+          .as("fp"))
+        .distinct()
+      val a = fp.select(col("fp"), col("doc_id").as("a_id"))
+      val b = fp.select(col("fp"), col("doc_id").as("b_id"))
+      a.join(b, "fp").filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))
     })
   )
 
@@ -251,6 +281,26 @@ object MultimodalOps extends QueryModule {
         |       id_a, id_b, CAST(dist AS BIGINT) AS dist
         |FROM p WHERE dist <= 1024
         |ORDER BY modality, id_a, id_b""".stripMargin,
+
+    // same frame tiling as mm4 (range == sequence stride), fingerprints
+    // recomputed from the deterministic payload derivation; ASCII text →
+    // char offsets equal byte offsets and md5(substr) matches the binary
+    "mm9_cross_video_dup" ->
+      """WITH v AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 3 = 2 AND length(text) > 0),
+        |fr AS (
+        |  SELECT doc_id,
+        |    md5(substr(text, CAST((u.i - 1) * 100 + 1 AS INT), 100)) AS fp
+        |  FROM v, unnest(range(1,
+        |    CAST(ceil(length(text) * 10 / 1000.0) AS BIGINT) + 1)) AS u(i)),
+        |fd AS (SELECT DISTINCT doc_id, fp FROM fr),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+        |  FROM fd a JOIN fd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM p WHERE n_shared >= 3
+        |ORDER BY n_shared DESC, a_id, b_id""".stripMargin,
 
     "mm1_media_catalog" ->
       """SELECT doc_id,
