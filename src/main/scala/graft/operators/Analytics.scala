@@ -245,6 +245,53 @@ object Analytics extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // DIM-2b: as-of in ALL THREE directions (pandas merge_asof's
+    // backward / forward / nearest) in ONE pass — each purchase probe
+    // gets the latest priced click at-or-before, the earliest at-or-after,
+    // and whichever is closer (ties → backward, merge_asof's rule). Same
+    // sorted-merge shape as dim2 (union + last(ignoreNulls) carry): both
+    // windows partition by user_id, so ONE exchange serves two in-partition
+    // sorts (asc for backward, desc for forward) — no fan-out, hot users
+    // safe. Anchor value and anchor ts ride the same carry, so the
+    // (value, ts) pair always comes from the SAME anchor row; anchors
+    // with NULL value are excluded up front (declared: latest PRICED
+    // anchor) to keep the pair consistent.
+    "dim2b_pit_directions" -> ((s, d) => {
+      val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val anchors = e
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), col("ts_us"), lit(0).as("src"),
+          col("event_id"), col("value").as("a_val"),
+          col("ts_us").as("a_ts"))
+      val probes = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("src"),
+          col("event_id"), lit(null).cast("double").as("a_val"),
+          lit(null).cast("long").as("a_ts"))
+      // src 0 < 1 puts anchors before probes at EQUAL ts in both
+      // traversals, so at-or-before and at-or-after both include ties
+      val wb = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("src"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("src"), col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      anchors.unionByName(probes)
+        .withColumn("b_val", last(col("a_val"), ignoreNulls = true).over(wb))
+        .withColumn("b_ts", last(col("a_ts"), ignoreNulls = true).over(wb))
+        .withColumn("f_val", last(col("a_val"), ignoreNulls = true).over(wf))
+        .withColumn("f_ts", last(col("a_ts"), ignoreNulls = true).over(wf))
+        .filter(col("src") === 1)
+        .withColumn("nearest_val",
+          when(col("b_ts").isNull, col("f_val"))
+            .when(col("f_ts").isNull, col("b_val"))
+            .when(col("f_ts") - col("ts_us") < col("ts_us") - col("b_ts"),
+              col("f_val"))
+            .otherwise(col("b_val")))
+        .select("event_id", "user_id", "ts_us", "b_val", "f_val",
+          "nearest_val")
+        .orderBy("event_id")
+    }),
+
     // TS-4: peak concurrent sessions per day — the interval-overlap
     // maximum, computed WITHOUT a global-sort window: session spans emit
     // ±1 deltas; a per-hour-bucket window computes local running sums
@@ -1158,6 +1205,29 @@ object Analytics extends QueryModule {
         |          (CAST(hour_us - hp AS DOUBLE) / (hn - hp)) END
         |        * 1000000.0) / 1000000.0 AS v_interp
         |FROM a ORDER BY user_id, hour_us""".stripMargin,
+
+    "dim2b_pit_directions" ->
+      """WITH a AS (SELECT user_id, epoch_us(ts) ts_us, event_id, value
+        |           FROM events
+        |           WHERE event_type = 'click' AND value IS NOT NULL),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  b.value AS b_val, f.value AS f_val,
+        |  CASE WHEN b.ts_us IS NULL THEN f.value
+        |       WHEN f.ts_us IS NULL THEN b.value
+        |       WHEN f.ts_us - p.ts_us < p.ts_us - b.ts_us THEN f.value
+        |       ELSE b.value END AS nearest_val
+        |FROM p
+        |LEFT JOIN LATERAL (
+        |  SELECT a.value, a.ts_us FROM a
+        |  WHERE a.user_id = p.user_id AND a.ts_us <= p.ts_us
+        |  ORDER BY a.ts_us DESC, a.event_id DESC LIMIT 1) b ON true
+        |LEFT JOIN LATERAL (
+        |  SELECT a.value, a.ts_us FROM a
+        |  WHERE a.user_id = p.user_id AND a.ts_us >= p.ts_us
+        |  ORDER BY a.ts_us ASC, a.event_id ASC LIMIT 1) f ON true
+        |ORDER BY p.event_id""".stripMargin,
 
     "dim2_pit_join" ->
       """WITH a AS (SELECT user_id, epoch_us(ts) ts_us, event_id, value

@@ -151,6 +151,20 @@ object Funcs extends QueryModule {
           col("c_custkey"), xxhash64(col("c_name")).as("name_xx64"))
         .orderBy("c_custkey")),
 
+    // FUNC-bit: bitwise family — mask/extract/shift/popcount, the id- and
+    // flag-packing primitives (llm33's JL signs and llm2c's simhash fold
+    // use the same ops inside HOFs); all codegen'd comparisons, no UDF.
+    "func_bit" -> ((s, d) =>
+      Tables.orders(s, d).select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("lo8"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xor_ck"),
+          col("o_orderkey").bitwiseOR(lit(1L)).as("or1"),
+          expr("shiftleft(o_orderkey, 3)").as("shl3"),
+          expr("shiftright(o_orderkey, 2)").as("shr2"),
+          bit_count(col("o_orderkey")).as("popcnt"))
+        .orderBy("o_orderkey")),
+
     "func_format" -> ((s, d) =>
       // report-rendering paddings (util.py:96 rjust analogue)
       Tables.nation(s, d).select(
@@ -248,6 +262,18 @@ object Funcs extends QueryModule {
 
     "func_format" ->
       """SELECT n_nationkey, lpad(n_name, 20, ' ') AS rjust, rpad(n_name, 20, '.') AS ljust
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // Spark shiftleft wraps in 64-bit two's complement; DuckDB << on
+    // BIGINT matches. bit_count is INT on the Spark side — cast DuckDB's.
+    "func_bit" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS lo8,
+        |  xor(o_orderkey, o_custkey) AS xor_ck,
+        |  o_orderkey | 1 AS or1,
+        |  o_orderkey << 3 AS shl3,
+        |  o_orderkey >> 2 AS shr2,
+        |  CAST(bit_count(o_orderkey) AS INT) AS popcnt
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
