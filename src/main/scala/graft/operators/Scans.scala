@@ -255,6 +255,24 @@ object Scans extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // SCAN-12: hive-partitioned read-back with PARTITION PRUNING — the
+    // static half of join14's DPP story: a filter on the partition column
+    // must resolve to directory pruning at planning time (the scan's
+    // PartitionFilters carries it, zero data files of other partitions
+    // open — at 100 TB the difference between reading one l_returnflag
+    // directory and all of them). Write reuses sink3's partitioned store;
+    // PlanSpec pins PartitionFilters + the pushed-down quantity filter.
+    "scan12_partition_pruned" -> ((s, d) => {
+      val out = s"$SinkDir/sink3_part"
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      s.read.schema(src.schema).parquet(out)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // SINK-4: compressed text sink (gzip of dumps, runcommand.py:114-131)
     "sink4_compressed" -> ((s, d) => {
       val out = s"$SinkDir/sink4_gz"
@@ -579,6 +597,12 @@ object Scans extends QueryModule {
     "sink3_partitioned" ->
       s"""SELECT l_returnflag, count(*) AS n, ${Det.dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scan12_partition_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "sink4_compressed" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",

@@ -581,6 +581,17 @@ class PlanSpec extends SparkSpec {
       s"weighted median must never collapse to one task:\n$p")
   }
 
+  test("scan12: partition filter prunes directories, data filter pushes " +
+      "to parquet") {
+    val p = planOf("scan12_partition_pruned")
+    assert("PartitionFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p)
+      .isDefined, s"partition filter must prune directories:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45"),
+      s"quantity filter must reach the parquet scan:\n$p")
+    assert(!"ReadSchema: [^\\n]*l_returnflag".r.findFirstIn(p).isDefined,
+      s"the partition column must not be read from data files:\n$p")
+  }
+
   // ---- RULE-1: TopKRewrite (plans/TopKRewrite.scala) ----
 
   private def withRewrite[A](on: Boolean)(body: => A): A = {
