@@ -257,16 +257,16 @@ class PlanSpec extends SparkSpec {
     import graft.plans.TopKPerGroup
     val baseline = SparkEntry.queries("win13_topk_native")(spark, Sf0001)
       .collect().map(_.toString).toSeq
-    val saved = TopKPerGroup.MaxPartialGroups
     try {
       // cap far below the distinct-user count: most rows must ride the
-      // shuffle unpruned, and the final phase must still be exact
-      TopKPerGroup.MaxPartialGroups = 3
+      // shuffle unpruned, and the final phase must still be exact —
+      // via the conf key, the same override path a cluster uses
+      spark.conf.set(TopKPerGroup.MaxPartialGroupsKey, "3")
       val capped = SparkEntry.queries("win13_topk_native")(spark, Sf0001)
         .collect().map(_.toString).toSeq
       assert(capped == baseline,
         "capped partial phase changed the result set")
-    } finally TopKPerGroup.MaxPartialGroups = saved
+    } finally spark.conf.unset(TopKPerGroup.MaxPartialGroupsKey)
   }
 
   test("join14: dim filter prunes fact partitions at runtime (DPP)") {
