@@ -85,6 +85,8 @@ object Graft {
       .withExtensions(graft.functions.BloomNativeExtensions.apply)
       // exact bitmap distinct-set aggregate + set algebra (agg28)
       .withExtensions(graft.functions.BitmapExtensions.apply)
+      // native Jaro-Winkler similarity (er3)
+      .withExtensions(graft.functions.StringSimilarityExtensions.apply)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -554,6 +554,30 @@ object Analytics extends QueryModule {
         .orderBy("name_a", "name_b")
     }),
 
+    // ER-3: ranked fuzzy matching by JARO-WINKLER score — er1 thresholds
+    // edit DISTANCE (cheap binary gate); this ranks by the [0,1] prefix-
+    // weighted SIMILARITY census-style linkage actually orders by
+    // (Winkler 1990). jaro_winkler is EXPR-6, a native codegen'd
+    // expression (functions/StringSimilarity.scala) semantics-matched to
+    // DuckDB's jaro_winkler_similarity so the oracle is an exact hash
+    // check at round-6; same dictionary+blocking discipline as er1, score
+    // floor 0.93 inside blocks, top pairs per block ordered globally.
+    "er3_jaro_rank" -> ((s, d) => {
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", substring_index(col("name"), " ", -1))
+      val a = names.select(col("blk"), col("name").as("name_a"))
+      val b = names.select(col("blk"), col("name").as("name_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("jw",
+          expr("jaro_winkler(name_a, name_b)"))
+        .filter(col("jw") >= 0.93)
+        .select(col("name_a"), col("name_b"), round(col("jw"), 6).as("jw"))
+        .orderBy(col("jw").desc, col("name_a"), col("name_b"))
+    }),
+
     // ER-2: entity clusters — the step after er1's pairwise matching:
     // matched name pairs merge into ENTITIES by transitive closure
     // (a~b, b~c ⇒ {a,b,c}), then each cluster elects its lexicographic-min
@@ -886,6 +910,16 @@ object Analytics extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     "er2_entity_clusters" -> er2Sql(rounds = 6),
+
+    "er3_jaro_rank" -> """
+      |WITH names AS (
+      |  SELECT p_name AS name, split_part(p_name, ' ', -1) AS blk
+      |  FROM part GROUP BY 1, 2)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+      |FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+      |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.93
+      |ORDER BY jw DESC, name_a, name_b""".stripMargin,
 
     "er1_fuzzy_match" -> """
       |WITH names AS (
