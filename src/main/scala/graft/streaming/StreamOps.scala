@@ -304,7 +304,7 @@ object StreamOps extends QueryModule {
     val q = feed.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val old = VersionedStore.latestVersion(stateDir) match {
           case Some(_) => VersionedStore.read(spark, stateDir)
@@ -312,9 +312,13 @@ object StreamOps extends QueryModule {
             .withColumn("n", lit(0L))
             .withColumn("sum_dec", lit(0).cast("decimal(18,2)"))
         }
-        VersionedStore.commit(
+        // txn-tagged: foreachBatch is at-least-once — a crash-replayed
+        // batchId would re-apply its delta to already-updated state and
+        // double-count. The (appId, batchId) guard makes replay a no-op
+        // (the strm15 discipline applied to the whole IVM ladder).
+        VersionedStore.commitTxn(
           Incremental.maintainSumCount(old, batch, Seq(groupCol), valueCol),
-          stateDir)
+          stateDir, txnAppId(stateDir), batchId)
         VersionedStore.vacuum(stateDir, keep = retainVersions)
         ()
       }
@@ -322,6 +326,11 @@ object StreamOps extends QueryModule {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Stable writer-app id for a materialized-view stream: derived from the
+    * primary state dir, so a restarted stream resumes the same txn
+    * sequence and replays dedupe, while two different views never collide. */
+  def txnAppId(stateDir: String): String = s"graft-mv:$stateDir"
 
   /** STRM-20: streaming MATERIALIZED JOIN VIEW over a two-sided CDC feed —
     * the streaming form of ivm2, and the hard case STRM-19's aggregate
@@ -344,7 +353,7 @@ object StreamOps extends QueryModule {
     val q = feed.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val spark = batch0.sparkSession
         val batch = batch0.localCheckpoint() // both splits scan it
         val oFeed = batch.filter(col("tbl") === "orders")
@@ -363,22 +372,29 @@ object StreamOps extends QueryModule {
         val vOld = stored(viewDir,
           oFeed.select("o_orderkey", "o_custkey", "o_totalprice").limit(0)
             .withColumn("c_mktsegment", lit(null).cast("string")))
-        VersionedStore.commit(
+        // txn-tagged per store (see runMaterializedAggStream): a crash
+        // between the three commits leaves a torn prefix, and the replay
+        // converges — each store's guard skips what it already applied,
+        // and every store's new state depends only on ITS OWN old state
+        // plus the batch (the view skip never feeds the shadow splices).
+        VersionedStore.commitTxn(
           Incremental.maintainJoinView(vOld, oOld, oFeed, cFeed, cOld),
-          viewDir)
+          viewDir, txnAppId(viewDir), batchId)
         // roll the shadow bases forward: (old ∖ Δ-keys) ∪ Δ_post — the
         // same splice maintainJoinView used for cNew, now persisted
         val post = col("_change_type").isin("insert", "update_postimage")
-        VersionedStore.commit(
+        VersionedStore.commitTxn(
           oOld.join(broadcast(oFeed.select("o_orderkey").distinct()),
               Seq("o_orderkey"), "left_anti")
             .unionByName(oFeed.filter(post)
-              .select("o_orderkey", "o_custkey", "o_totalprice")), oDir)
-        VersionedStore.commit(
+              .select("o_orderkey", "o_custkey", "o_totalprice")),
+          oDir, txnAppId(viewDir), batchId)
+        VersionedStore.commitTxn(
           cOld.join(broadcast(cFeed.select("c_custkey").distinct()),
               Seq("c_custkey"), "left_anti")
             .unionByName(cFeed.filter(post)
-              .select("c_custkey", "c_mktsegment")), cDir)
+              .select("c_custkey", "c_mktsegment")),
+          cDir, txnAppId(viewDir), batchId)
         Seq(viewDir, oDir, cDir)
           .foreach(dir => VersionedStore.vacuum(dir, keep = retainVersions))
         ()
@@ -408,7 +424,7 @@ object StreamOps extends QueryModule {
     val q = feed.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         def stored(dir: String, empty: => DataFrame): DataFrame =
           VersionedStore.latestVersion(dir) match {
@@ -423,8 +439,11 @@ object StreamOps extends QueryModule {
         val (supNew, vNew) = Incremental.maintainTopKState(
           stored(viewDir, emptyView), stored(supDir, emptySup), batch,
           groupCol, memberCol, valueCol, k)
-        VersionedStore.commit(vNew, viewDir)
-        VersionedStore.commit(supNew, supDir)
+        // txn-tagged (see runMaterializedAggStream); on a torn replay the
+        // support recomputes from ITS old state + the batch — never from
+        // the already-updated view — so recovery is exact
+        VersionedStore.commitTxn(vNew, viewDir, txnAppId(viewDir), batchId)
+        VersionedStore.commitTxn(supNew, supDir, txnAppId(viewDir), batchId)
         Seq(viewDir, supDir)
           .foreach(dir => VersionedStore.vacuum(dir, keep = retainVersions))
         ()

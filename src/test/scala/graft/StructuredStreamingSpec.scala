@@ -471,6 +471,24 @@ class StructuredStreamingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("rnk"),
         r.getAs[Long]("m"))).toSet
     assert(v1 === Set(("g1", 1, 1L), ("g1", 2, 2L), ("g2", 1, 9L)))
+    // exactly-once under at-least-once replay: every committed version is
+    // txn-tagged with (appId, batchId), and re-applying an already-seen
+    // batchId is a no-op (Left) that commits nothing — the crash-replay
+    // path foreachBatch owes the state stores
+    val appId = StreamOps.txnAppId(s"$tmp/view")
+    val hist = graft.operators.VersionedStore.history(s, s"$tmp/view")
+      .collect().map(_.getAs[String]("txn"))
+    assert(hist.forall(t => t != null && t.startsWith(s"txn=$appId=")),
+      s"every stream commit must carry the txn tag: ${hist.toSeq}")
+    import s.implicits._
+    val replay = graft.operators.VersionedStore.commitTxn(
+      Seq(("gX", 0, 0L, new java.math.BigDecimal("1.00")))
+        .toDF("g", "rnk", "m", "sum_dec"),
+      s"$tmp/view", appId, 1L)
+    assert(replay.isLeft, "replayed batchId must be skipped")
+    assert(graft.operators.VersionedStore.versions(s"$tmp/view").size === 3,
+      "replay must not create a version")
+    assert(view().exists(_._1 == "g1"), "state untouched by the replay")
   }
 
   test("incremental corpus dedup: history and in-stream dupes drop, new docs pass") {
