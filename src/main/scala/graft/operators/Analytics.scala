@@ -554,6 +554,31 @@ object Analytics extends QueryModule {
         .orderBy("name_a", "name_b")
     }),
 
+    // ER-4: blocking-key QUALITY profile — the pre-flight every linkage
+    // run needs before paying for er1/er3: does the blocking key balance
+    // (no block should dominate — pair work is Σ block², so one giant
+    // block is the whole cost), and how much does it prune (candidate
+    // pairs vs the |names|² cross)? One hash agg to block sizes (O(blocks)
+    // rows), then a 1-row rollup with the exact pair arithmetic; reduction
+    // is integer ppm (the graft float protocol). The same report drives
+    // choosing between last-token / phonetic / multi-key blocking at
+    // 100 TB — measured, not guessed.
+    "er4_blocking_profile" -> ((s, d) => {
+      val blocks = Tables.part(s, d)
+        .select(col("p_name")).distinct()
+        .withColumn("blk", substring_index(col("p_name"), " ", -1))
+        .groupBy("blk").agg(count(lit(1)).as("bn"))
+      blocks.agg(
+          count(lit(1)).as("n_blocks"),
+          sum("bn").as("n_names"),
+          max("bn").as("max_block"),
+          sum(expr("bn * (bn - 1) DIV 2")).as("cand_pairs"))
+        .select(col("n_blocks"), col("n_names"), col("max_block"),
+          col("cand_pairs"),
+          expr("cand_pairs * 1000000 DIV (n_names * (n_names - 1) DIV 2)")
+            .as("reduction_ppm"))
+    }),
+
     // ER-3: ranked fuzzy matching by JARO-WINKLER score — er1 thresholds
     // edit DISTANCE (cheap binary gate); this ranks by the [0,1] prefix-
     // weighted SIMILARITY census-style linkage actually orders by
@@ -708,6 +733,63 @@ object Analytics extends QueryModule {
             .as("trend"),
           (round(col("forecast_next") * lit(1000000.0)) / lit(1000000.0))
             .as("forecast_next"))
+        .orderBy("hour_idx")
+    }),
+
+    // TS-14: Holt–Winters additive SEASONAL smoothing — the top of the
+    // forecasting ladder (ts7 EWMA lags ramps, ts12 Holt misses cycles;
+    // hourly telemetry has a daily cycle, which ts11's ACF detects and
+    // this models, period P=24). Level/trend/seasonal recurrences over
+    // the ts12 hourly rollup: heavy work stays the distributed
+    // map-side-combined agg; the inherently-sequential pass runs over the
+    // O(hours) metadata-sized series. Init = textbook simple scheme
+    // (l = day-1 mean — exact decimal sum, one division — b = 0,
+    // s_i = y_i − mean), emission from hour P+1 on. The oracle replays
+    // the identical IEEE arithmetic as a recursive CTE carrying the
+    // 24-slot seasonal RING as a LIST column (r.slist[2:] ++ s_new) —
+    // bit-identical doubles, hash-match; (1−β)/(1−γ) spelled as explicit
+    // 1−x subtractions on BOTH sides (ts12's convention — 1−0.3 is NOT
+    // the double literal 0.7).
+    "ts14_holt_winters" -> ((s, d) => {
+      import s.implicits._
+      val (al, be, ga) = (0.5, 0.3, 0.2)
+      val P = 24
+      val hourly = Tables.events(s, d)
+        .groupBy(expr("ts div 3600000000000").as("hour_idx"))
+        .agg(sum(col("value").cast("decimal(28,12)")).as("y_dec"))
+        .select(col("hour_idx"), col("y_dec"),
+          col("y_dec").cast("double").as("y"))
+        .as[(Long, java.math.BigDecimal, Double)]
+      hourly.groupByKey(_ => true)
+        .flatMapSortedGroups($"hour_idx") { (_, rows) =>
+          val buf = rows.toIndexedSeq // O(hours), metadata-sized
+          if (buf.size <= P) Iterator.empty
+          else {
+            var sumDec = java.math.BigDecimal.ZERO
+            var i = 0
+            while (i < P) { sumDec = sumDec.add(buf(i)._2); i += 1 }
+            val m = sumDec.doubleValue / P
+            val ring = scala.collection.mutable.Queue.empty[Double]
+            i = 0
+            while (i < P) { ring.enqueue(buf(i)._3 - m); i += 1 }
+            var l = m
+            var b = 0.0
+            buf.drop(P).iterator.map { case (h, _, y) =>
+              val sPrev = ring.dequeue()
+              val lNew = al * (y - sPrev) + (1 - al) * (l + b)
+              b = be * (lNew - l) + (1 - be) * b
+              val sNew = ga * (y - lNew) + (1 - ga) * sPrev
+              l = lNew
+              ring.enqueue(sNew)
+              (h, y, l, b, sNew, l + b + ring.head)
+            }
+          }
+        }
+        .toDF("hour_idx", "y", "level", "trend", "season",
+          "forecast_next")
+        .select(col("hour_idx") +: Seq("y", "level", "trend", "season",
+          "forecast_next").map(c =>
+            (round(col(c) * lit(1000000.0)) / lit(1000000.0)).as(c)): _*)
         .orderBy("hour_idx")
     }),
 
@@ -911,6 +993,20 @@ object Analytics extends QueryModule {
   def oracle: Map[String, String] = Map(
     "er2_entity_clusters" -> er2Sql(rounds = 6),
 
+    "er4_blocking_profile" -> """
+      |WITH names AS (
+      |  SELECT DISTINCT p_name FROM part),
+      |blocks AS (
+      |  SELECT split_part(p_name, ' ', -1) AS blk, COUNT(*) AS bn
+      |  FROM names GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(bn) AS BIGINT) AS n_names,
+      |  CAST(MAX(bn) AS BIGINT) AS max_block,
+      |  CAST(SUM(bn * (bn - 1) // 2) AS BIGINT) AS cand_pairs,
+      |  CAST(SUM(bn * (bn - 1) // 2) * 1000000 //
+      |       (SUM(bn) * (SUM(bn) - 1) // 2) AS BIGINT) AS reduction_ppm
+      |FROM blocks""".stripMargin,
+
     "er3_jaro_rank" -> """
       |WITH names AS (
       |  SELECT p_name AS name, split_part(p_name, ' ', -1) AS blk
@@ -1031,6 +1127,54 @@ object Analytics extends QueryModule {
     // same IEEE arithmetic, same order, as the sorted-group pass: l_new
     // appears twice in the b-recurrence but is the same deterministic
     // expression, so its value is identical
+    // the seasonal ring rides the recursion as a 24-slot LIST column;
+    // <L> (the new level) is repeated textually where b'/s' need it,
+    // exactly as ts12 repeats its level expression
+    "ts14_holt_winters" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+        |    SUM(CAST(value AS DECIMAL(28,12))) AS y_dec
+        |  FROM events GROUP BY 1),
+        |e AS (
+        |  SELECT hour_idx, y_dec, CAST(y_dec AS DOUBLE) AS y,
+        |    ROW_NUMBER() OVER (ORDER BY hour_idx) AS rn
+        |  FROM hourly),
+        |init AS (
+        |  SELECT CAST(SUM(y_dec) AS DOUBLE) / 24 AS m
+        |  FROM e WHERE rn <= 24),
+        |seed AS (
+        |  SELECT 24 AS rn, CAST(NULL AS BIGINT) AS hour_idx,
+        |    CAST(NULL AS DOUBLE) AS y,
+        |    i.m AS l, CAST(0 AS DOUBLE) AS b,
+        |    (SELECT list(e2.y - i.m ORDER BY e2.rn)
+        |     FROM e e2 WHERE e2.rn <= 24) AS slist
+        |  FROM init i),
+        |r AS (
+        |  SELECT rn, hour_idx, y, l, b, slist FROM seed
+        |  UNION ALL
+        |  SELECT e.rn, e.hour_idx, e.y,
+        |    CAST(0.5 AS DOUBLE) * (e.y - r.slist[1]) +
+        |      (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (r.l + r.b),
+        |    CAST(0.3 AS DOUBLE) *
+        |      ((CAST(0.5 AS DOUBLE) * (e.y - r.slist[1]) +
+        |        (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (r.l + r.b))
+        |       - r.l) +
+        |      (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.b,
+        |    list_append(r.slist[2:],
+        |      CAST(0.2 AS DOUBLE) *
+        |        (e.y - (CAST(0.5 AS DOUBLE) * (e.y - r.slist[1]) +
+        |          (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (r.l + r.b)))
+        |        + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.slist[1])
+        |  FROM r JOIN e ON e.rn = r.rn + 1)
+        |SELECT hour_idx,
+        |  ROUND(y * 1000000.0) / 1000000.0 AS y,
+        |  ROUND(l * 1000000.0) / 1000000.0 AS level,
+        |  ROUND(b * 1000000.0) / 1000000.0 AS trend,
+        |  ROUND(slist[24] * 1000000.0) / 1000000.0 AS season,
+        |  ROUND((l + b + slist[1]) * 1000000.0) / 1000000.0
+        |    AS forecast_next
+        |FROM r WHERE rn > 24 ORDER BY hour_idx""".stripMargin,
+
     "ts12_holt" ->
       """WITH RECURSIVE hourly AS (
         |  SELECT epoch_us(ts) // 3600000000 AS hour_idx,
