@@ -1087,6 +1087,43 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // LLM-40: the Gopher quality-rule battery (Rae et al. 2021 §A1.1,
+    // word-level subset — the synth corpus is single-line so line rules
+    // pass vacuously and are omitted): word-count bounds, mean-word-length
+    // bounds, alphabetic-word ratio ≥ 0.8, ≥2 distinct common stopwords.
+    // llm6 scores; THIS gates with per-rule attribution (`failed` names
+    // which rules killed the doc — the observability a corpus audit
+    // needs). All codegen'd HOF exprs, row-local, zero shuffle before the
+    // final sort; ratios are exact int/int divisions.
+    "llm40_gopher_rules" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val nW = size(words)
+      val sumLen = expr("aggregate(transform(split(text, ' '), " +
+        "w -> length(w)), 0, (a, x) -> a + x)")
+      val meanLen = sumLen.cast("double") / nW
+      val alphaW = size(filter(words, w => w.rlike("[A-Za-z]")))
+      val alphaRatio = alphaW.cast("double") / nW
+      val stopHits = size(array_intersect(array_distinct(words),
+        array(Seq("the", "a", "an", "of", "to", "and", "in", "is", "it")
+          .map(lit): _*)))
+      val rWc = nW.between(50, 100000)
+      val rMwl = meanLen.between(3.0, 10.0)
+      val rAlpha = alphaRatio >= 0.8
+      val rStop = stopHits >= 2
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          nW.as("n_words"),
+          round(meanLen, 6).as("mean_word_len"),
+          round(alphaRatio, 6).as("alpha_ratio"),
+          stopHits.as("stop_hits"),
+          (rWc && rMwl && rAlpha && rStop).as("keep"),
+          concat_ws(",",
+            when(!rWc, "word_count"), when(!rMwl, "mean_word_len"),
+            when(!rAlpha, "alpha_ratio"), when(!rStop, "stopwords"))
+            .as("failed"))
+        .orderBy("doc_id")
+    }),
+
     // LLM-39: dup-cluster SURVIVORSHIP — the policy step after llm12's
     // clustering: real pipelines don't keep an arbitrary member, they keep
     // the best one (here: longest text, the common keep-longest rule —
@@ -2501,6 +2538,40 @@ object LlmOps extends QueryModule {
         |       (COALESCE(c.cluster_id, d2.doc_id) = d2.doc_id) AS is_canonical
         |FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.node
         |ORDER BY doc_id""".stripMargin,
+
+    "llm40_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    list_aggregate(list_transform(string_split(text, ' '),
+        |      w -> length(w)), 'sum') AS sum_len,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_w,
+        |    len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','a','an','of','to','and','in','is','it']))
+        |      AS stop_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+        |    CAST(alpha_w AS DOUBLE) / n_words AS alpha_ratio, stop_hits,
+        |    (n_words BETWEEN 50 AND 100000) AS r_wc,
+        |    (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+        |      AS r_mwl,
+        |    (CAST(alpha_w AS DOUBLE) / n_words >= 0.8) AS r_alpha,
+        |    (stop_hits >= 2) AS r_stop
+        |  FROM d)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  ROUND(mean_word_len, 6) AS mean_word_len,
+        |  ROUND(alpha_ratio, 6) AS alpha_ratio,
+        |  CAST(stop_hits AS INT) AS stop_hits,
+        |  (r_wc AND r_mwl AND r_alpha AND r_stop) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN NOT r_wc THEN 'word_count' END,
+        |    CASE WHEN NOT r_mwl THEN 'mean_word_len' END,
+        |    CASE WHEN NOT r_alpha THEN 'alpha_ratio' END,
+        |    CASE WHEN NOT r_stop THEN 'stopwords' END) AS failed
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // llm12's closure, then keep-longest survivorship per dup cluster
     "llm39_cluster_survivor" ->

@@ -871,6 +871,19 @@ object Relational extends QueryModule {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // AGG-31: ordered LISTAGG — the warehouse string_agg/LISTAGG ... WITHIN
+    // GROUP (ORDER BY): collect_list is partition-order-nondeterministic,
+    // so determinism comes from array_sort BEFORE the join (the agg8
+    // discipline applied to strings); per-group payload is bounded by
+    // suppliers-per-nation, never corpus-sized.
+    "agg31_listagg" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", array_sort(collect_list(col("s_name"))))
+            .as("names"))
+        .orderBy("s_nationkey")),
+
     // WIN-15: relative standing — percent_rank (rank−1)/(n−1) and
     // cume_dist (rows ≤ current)/n per user, ordered by (value, event_id)
     // so the rank order is total and both statistics are exact int/int
@@ -1857,6 +1870,12 @@ object Relational extends QueryModule {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hr_sum
         |FROM events
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "agg31_listagg" ->
+      """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
 
     "win15_percent_rank" ->
       """SELECT user_id, event_id, value,
