@@ -1087,6 +1087,39 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // LLM-41: greedy k-CENTER diversity selection (Gonzalez 1985 2-approx
+    // farthest-point traversal — the coreset/diversity sampler behind
+    // DeepCore-style data selection): start from vec 0, then k−1 rounds
+    // of "add the point farthest from the chosen set" (max–min cosine
+    // distance). Heavy work per round is ONE distributed scan against the
+    // ≤k broadcast chosen rows; the per-round argmax is a 1-row collect —
+    // the llm22b/IVF driver-scalar pattern, k scalars total. Distances
+    // round to 6dp BEFORE min/argmax with a vec_id tie-break, so the
+    // trajectory is engine-exact (llm3's cosine-parity precedent) and the
+    // oracle unrolls the identical rounds.
+    "llm41_kcenter" -> ((s, d) => {
+      import s.implicits._
+      val k = 8
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .localCheckpoint() // scanned once per round
+      var chosen = Vector[(Int, Long, Option[Double])]((1, 0L, None))
+      for (r <- 2 to k) {
+        val ids = chosen.map(_._2)
+        val next = emb
+          .crossJoin(broadcast(emb.filter(col("vec_id").isin(ids: _*))
+            .select(col("embedding").as("c_emb"))))
+          .filter(!col("vec_id").isin(ids: _*))
+          .select(col("vec_id"),
+            round(lit(1.0) - expr("cosine_sim(embedding, c_emb)"), 6)
+              .as("dist"))
+          .groupBy("vec_id").agg(min("dist").as("mind"))
+          .orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .collect()(0)
+        chosen :+= ((r, next.getLong(0), Some(next.getDouble(1))))
+      }
+      chosen.toDF("sel_rank", "vec_id", "sel_dist").orderBy("sel_rank")
+    }),
+
     // LLM-40: the Gopher quality-rule battery (Rae et al. 2021 §A1.1,
     // word-level subset — the synth corpus is single-line so line rules
     // pass vacuously and are omitted): word-count bounds, mean-word-length
@@ -2539,6 +2572,8 @@ object LlmOps extends QueryModule {
         |FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.node
         |ORDER BY doc_id""".stripMargin,
 
+    "llm41_kcenter" -> kcenterSql(k = 8),
+
     "llm40_gopher_rules" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws,
@@ -3060,6 +3095,37 @@ object LlmOps extends QueryModule {
         |FROM term GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   )
+
+  /** llm41's greedy rounds unrolled (the er2/kcore generated-SQL
+    * discipline): round i picks argmax of min-rounded-distance to the
+    * chosen set; the cosine is written as dot / sqrt / sqrt — the SAME
+    * two-division association llm3's oracle proved engine-exact. */
+  private def kcenterSql(k: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c1 AS (SELECT 1 AS sel_rank, CAST(0 AS BIGINT) AS vec_id,
+        |       CAST(NULL AS DOUBLE) AS sel_dist),
+        |ch1 AS (SELECT vec_id FROM c1)""".stripMargin)
+    for (i <- 2 to k) {
+      sb ++= s"""
+        |, d$i AS (
+        |  SELECT a.vec_id,
+        |    MIN(round(1 - list_dot_product(a.v, b.v) /
+        |      sqrt(list_dot_product(a.v, a.v)) /
+        |      sqrt(list_dot_product(b.v, b.v)), 6)) AS mind
+        |  FROM e a, e b
+        |  WHERE b.vec_id IN (SELECT vec_id FROM ch${i - 1})
+        |    AND a.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+        |  GROUP BY 1),
+        |c$i AS (SELECT $i AS sel_rank, vec_id, mind AS sel_dist
+        |        FROM d$i ORDER BY mind DESC, vec_id LIMIT 1),
+        |ch$i AS (SELECT vec_id FROM ch${i - 1}
+        |         UNION ALL SELECT vec_id FROM c$i)""".stripMargin
+    }
+    sb ++= (1 to k).map(i => s"SELECT * FROM c$i")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY sel_rank")
+    sb.toString
+  }
 
   private def exactJaccardSql(threshold: Double, where: String = ""): String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents $where),
