@@ -85,6 +85,34 @@ object Analytics extends QueryModule {
     "win9_sessionize" -> ((s, d) =>
       sessionSpans(s, d).orderBy("user_id", "session_no")),
 
+    // WIN-16: activity STREAKS (consecutive active days per user) — the
+    // retention/SLA primitive (login streaks, uptime runs): distinct
+    // (user, day) collapses the corpus to O(users × days); day − dense
+    // day-rank is constant within a consecutive run (the gaps-and-islands
+    // identity), so streaks fall out of ONE user-partitioned window plus
+    // two hash aggs — no self-join, no recursion. Reports each user's
+    // longest streak, its start day, and their total active days;
+    // longest-streak ties break on the EARLIEST start (the agg3
+    // struct-max with negated start).
+    "win16_streaks" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+        .groupBy("user_id")
+        .agg(max(struct(col("len"), (-col("start_day")).as("neg_start")))
+            .as("best"),
+          sum("len").as("active_days"))
+        .select(col("user_id"), col("best.len").as("longest_streak"),
+          (-col("best.neg_start")).as("streak_start_day"),
+          col("active_days"))
+        .orderBy("user_id")
+    }),
+
     // WIN-10: ordered funnel conversion — how many users did
     // view → click (strictly after their first view) → purchase (strictly
     // after that click)? Each stage is a per-user min-ts aggregate joined
@@ -519,6 +547,50 @@ object Analytics extends QueryModule {
             .as("seasonal"),
           (round((col("detr") - col("seasonal")) * lit(1000000.0)) /
             lit(1000000.0)).as("resid"))
+        .orderBy("hour_idx")
+    }),
+
+    // TS-15: SEASONALLY-ADJUSTED anomaly detection — ts3/ts5 on raw
+    // values flag every daily peak as an outlier; the right test runs
+    // ts5's robust-z on ts8's RESIDUAL (y − trend − seasonal), where only
+    // genuinely anomalous hours survive. Composition: ts8's decomposition
+    // (unrounded residual) → global median / MAD (exact interpolated
+    // percentile over the O(hours) series, the ts5 protocol) → |rz| > 3.
+    // All post-rollup work is metadata-sized; the one full scan is the
+    // hourly agg.
+    "ts15_seasonal_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(expr("ts div 3600000000000").as("hour_idx"))
+        .agg(sum(col("value").cast("decimal(28,12)")).as("y_dec"))
+      val w = Window.orderBy("hour_idx").rowsBetween(-12, 12)
+      val t = hourly.select(col("hour_idx"),
+        col("y_dec").cast("double").as("y"),
+        (sum("y_dec").over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("trend"))
+      val det = t
+        .withColumn("detr", col("y") - col("trend"))
+        .withColumn("hod", col("hour_idx") % 24)
+      val wh = Window.partitionBy("hod")
+      val base = det
+        .withColumn("seasonal",
+          sum(col("detr").cast("decimal(28,12)")).over(wh).cast("double") /
+            count(lit(1)).over(wh).cast("double"))
+        .select(col("hour_idx"),
+          (col("detr") - col("seasonal")).as("resid"))
+        .localCheckpoint() // feeds med, mad, and the flag pass
+      val med = base.agg(expr("percentile(resid, 0.5)").as("med"))
+      val dev = base.crossJoin(broadcast(med))
+        .withColumn("adev", abs(col("resid") - col("med")))
+        .localCheckpoint()
+      val mad = dev.agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .withColumn("rz", (col("resid") - col("med")) /
+          (lit(1.4826) * col("mad")))
+        .filter(abs(col("rz")) > 3.0)
+        .select(col("hour_idx"),
+          (round(col("resid") * lit(1000000.0)) / lit(1000000.0))
+            .as("resid"),
+          (round(col("rz") * lit(1000000.0)) / lit(1000000.0)).as("rz"))
         .orderBy("hour_idx")
     }),
 
@@ -1239,6 +1311,42 @@ object Analytics extends QueryModule {
         |FROM (SELECT slope FROM s ORDER BY slope
         |      LIMIT (SELECT (m + 1) // 2 FROM st))""".stripMargin,
 
+    "ts15_seasonal_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+        |    SUM(CAST(value AS DECIMAL(28,12))) AS y_dec
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT hour_idx, CAST(y_dec AS DOUBLE) AS y,
+        |    CAST(SUM(y_dec) OVER w AS DOUBLE) /
+        |    CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY hour_idx
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), d AS (
+        |  SELECT hour_idx, y - trend AS detr, hour_idx % 24 AS hod
+        |  FROM t
+        |), base AS (
+        |  SELECT hour_idx,
+        |    detr - CAST(SUM(CAST(detr AS DECIMAL(28,12)))
+        |                OVER (PARTITION BY hod) AS DOUBLE) /
+        |           CAST(COUNT(*) OVER (PARTITION BY hod) AS DOUBLE)
+        |      AS resid
+        |  FROM d
+        |), med AS (SELECT quantile_cont(resid, 0.5) AS med FROM base),
+        |dev AS (
+        |  SELECT b.hour_idx, b.resid, m.med,
+        |    ABS(b.resid - m.med) AS adev
+        |  FROM base b, med m),
+        |mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+        |SELECT d2.hour_idx,
+        |  ROUND(d2.resid * 1000000.0) / 1000000.0 AS resid,
+        |  ROUND((d2.resid - d2.med) / (1.4826 * md.mad) * 1000000.0)
+        |    / 1000000.0 AS rz
+        |FROM dev d2, mad md
+        |WHERE ABS((d2.resid - d2.med) / (1.4826 * md.mad)) > 3.0
+        |ORDER BY d2.hour_idx""".stripMargin,
+
     "ts8_seasonal_decompose" ->
       """WITH hourly AS (
         |  SELECT epoch_us(ts) // 3600000000 AS hour_idx,
@@ -1268,6 +1376,31 @@ object Analytics extends QueryModule {
         |  ROUND(seasonal * 1000000.0)/1000000.0 AS seasonal,
         |  ROUND((detr - seasonal) * 1000000.0)/1000000.0 AS resid
         |FROM ss ORDER BY hour_idx""".stripMargin,
+
+    "win16_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+        |  FROM runs GROUP BY 1, 2),
+        |best AS (
+        |  SELECT user_id, len, start_day,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_day) AS rn
+        |  FROM streaks),
+        |tot AS (
+        |  SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days
+        |  FROM streaks GROUP BY 1)
+        |SELECT t.user_id, CAST(b.len AS BIGINT) AS longest_streak,
+        |  CAST(b.start_day AS BIGINT) AS streak_start_day, t.active_days
+        |FROM tot t JOIN best b ON t.user_id = b.user_id AND b.rn = 1
+        |ORDER BY t.user_id""".stripMargin,
 
     "win9_sessionize" ->
       """WITH e AS (

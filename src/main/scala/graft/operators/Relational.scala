@@ -871,6 +871,38 @@ object Relational extends QueryModule {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // AGG-32: exact skewness / kurtosis — the distribution-shape tier of
+    // the agg26/agg30 moment protocol: four raw power sums as exact
+    // decimals (q ≤ 50 at 2dp → q⁴ sums fit decimal(38,8) with room) in
+    // ONE partial+final agg, then the central-moment closed forms as a
+    // fixed double expression tree — built-in skewness()/kurtosis() are
+    // float-order-dependent streaming forms, these are not. Population
+    // g1 = m3/m2^1.5, excess g2 = m4/m2² − 3.
+    "agg32_moments" -> ((s, d) => {
+      val q = col("l_quantity").cast("decimal(8,2)")
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(q).cast("double").as("s1"),
+          sum(q * q).cast("double").as("s2"),
+          sum(q * q * q).cast("double").as("s3"),
+          sum((q * q) * (q * q)).cast("double").as("s4"))
+        .select(col("l_returnflag"),
+          round((col("s3") - lit(3) * col("s2") * col("s1") / col("n") +
+            lit(2) * col("s1") * col("s1") * col("s1") /
+              (col("n") * col("n"))) / col("n") /
+            pow((col("s2") - col("s1") * col("s1") / col("n")) / col("n"),
+              1.5), 6).as("skewness"),
+          round((col("s4") - lit(4) * col("s3") * col("s1") / col("n") +
+            lit(6) * col("s2") * col("s1") * col("s1") /
+              (col("n") * col("n")) -
+            lit(3) * col("s1") * col("s1") * col("s1") * col("s1") /
+              (col("n") * col("n") * col("n"))) / col("n") /
+            ((col("s2") - col("s1") * col("s1") / col("n")) / col("n")) /
+            ((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            - lit(3), 6).as("kurtosis_excess"))
+        .orderBy("l_returnflag")
+    }),
+
     // AGG-31: ordered LISTAGG — the warehouse string_agg/LISTAGG ... WITHIN
     // GROUP (ORDER BY): collect_list is partition-order-nondeterministic,
     // so determinism comes from array_sort BEFORE the join (the agg8
@@ -1870,6 +1902,30 @@ object Relational extends QueryModule {
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hr_sum
         |FROM events
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "agg32_moments" -> """
+      |WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) *
+      |             CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) *
+      |             CAST(l_quantity AS DECIMAL(8,2)) *
+      |             CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS s3,
+      |    CAST(SUM((CAST(l_quantity AS DECIMAL(8,2)) *
+      |              CAST(l_quantity AS DECIMAL(8,2))) *
+      |             (CAST(l_quantity AS DECIMAL(8,2)) *
+      |              CAST(l_quantity AS DECIMAL(8,2)))) AS DOUBLE) AS s4
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  ROUND((s3 - 3 * s2 * s1 / n + 2 * s1 * s1 * s1 / (n * n)) / n /
+      |        POW((s2 - s1 * s1 / n) / n, 1.5), 6) AS skewness,
+      |  ROUND((s4 - 4 * s3 * s1 / n + 6 * s2 * s1 * s1 / (n * n) -
+      |         3 * s1 * s1 * s1 * s1 / (n * n * n)) / n /
+      |        ((s2 - s1 * s1 / n) / n) / ((s2 - s1 * s1 / n) / n) - 3, 6)
+      |    AS kurtosis_excess
+      |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "agg31_listagg" ->
       """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
