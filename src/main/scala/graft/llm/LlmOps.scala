@@ -1220,6 +1220,25 @@ object LlmOps extends QueryModule {
         .orderBy("pack_group", "bin_idx")
     }),
 
+    // LLM-13b: packing-EFFICIENCY report — the observability rollup over
+    // llm13's bins ("how much of my 512-token context budget is actually
+    // filled"): bin count, token totals/extremes, full-bin count, and
+    // overall utilization in exact integer ppm. One O(bins) rollup; the
+    // number a pipeline watches to decide whether to re-pack with a
+    // smarter bin-packer.
+    "llm13b_packing_efficiency" -> ((s, d) =>
+      LlmOps.queries("llm13_pack_sequences")(s, d)
+        .agg(count(lit(1)).as("n_bins"),
+          sum("n_tokens").as("total_tokens"),
+          min("n_tokens").as("min_bin_tokens"),
+          max("n_tokens").as("max_bin_tokens"),
+          sum(when(col("n_tokens") >= 512, 1L).otherwise(0L))
+            .as("full_bins"))
+        .select(col("n_bins"), col("total_tokens"), col("min_bin_tokens"),
+          col("max_bin_tokens"), col("full_bins"),
+          expr("total_tokens * 1000000 DIV (n_bins * 512)")
+            .as("utilization_ppm"))),
+
     // LLM-14: stratified corpus sampling — per-language keep rates from a
     // broadcast dimension, sampled DETERMINISTICALLY by key residue
     // (doc_id % 97 < rate): reproducible across runs/engines, no RNG state,
@@ -2651,23 +2670,18 @@ object LlmOps extends QueryModule {
 
     // same chunking as llm11, same per-group running sum (1-PRECEDING
     // frame == "tokens before this chunk")
-    "llm13_pack_sequences" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |st AS (SELECT doc_id, words,
-        |         unnest(generate_series(0, greatest(len(words) - 1, 0), 48)) AS st
-        |       FROM w),
-        |ch AS (SELECT doc_id, st // 48 AS chunk_idx,
-        |         len(words[st+1:st+64]) AS n_tok FROM st),
-        |cum AS (SELECT doc_id % 8 AS pack_group, doc_id, chunk_idx, n_tok,
-        |         COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id % 8
-        |           ORDER BY doc_id, chunk_idx
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
-        |       FROM ch)
-        |SELECT pack_group, CAST(tok_before // 512 AS BIGINT) AS bin_idx,
-        |       count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM cum GROUP BY 1, 2
-        |ORDER BY pack_group, bin_idx""".stripMargin,
+    "llm13_pack_sequences" -> llm13Sql,
+
+    "llm13b_packing_efficiency" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(n_tokens) AS BIGINT) AS min_bin_tokens,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS max_bin_tokens,
+        |  CAST(SUM(CASE WHEN n_tokens >= 512 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS full_bins,
+        |  CAST(SUM(n_tokens) * 1000000 // (COUNT(*) * 512) AS BIGINT)
+        |    AS utilization_ppm
+        |FROM ($llm13Sql) bins""".stripMargin,
 
     // deterministic residue sampling, same llm7 language heuristic
     "llm14_stratified_sample" ->
@@ -3095,6 +3109,24 @@ object LlmOps extends QueryModule {
         |FROM term GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   )
+
+  private val llm13Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |st AS (SELECT doc_id, words,
+      |         unnest(generate_series(0, greatest(len(words) - 1, 0), 48)) AS st
+      |       FROM w),
+      |ch AS (SELECT doc_id, st // 48 AS chunk_idx,
+      |         len(words[st+1:st+64]) AS n_tok FROM st),
+      |cum AS (SELECT doc_id % 8 AS pack_group, doc_id, chunk_idx, n_tok,
+      |         COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id % 8
+      |           ORDER BY doc_id, chunk_idx
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+      |       FROM ch)
+      |SELECT pack_group, CAST(tok_before // 512 AS BIGINT) AS bin_idx,
+      |       count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM cum GROUP BY 1, 2
+      |ORDER BY pack_group, bin_idx""".stripMargin
 
   /** llm41's greedy rounds unrolled (the er2/kcore generated-SQL
     * discipline): round i picks argmax of min-rounded-distance to the

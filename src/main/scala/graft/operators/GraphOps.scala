@@ -439,6 +439,20 @@ object GraphOps extends QueryModule {
         .limit(30)
     }),
 
+    // GRAPH-2b: BFS reach histogram — vertices reachable at each hop
+    // count from the source (the "how far does influence spread" rollup
+    // and the unweighted-BFS face of sssp): run the SAME bounded
+    // Bellman-Ford with unit weights (dist ≡ hops) and roll up to
+    // O(maxHops) rows. The bipartite purchase graph shows its structure
+    // in the histogram: even hops are customers, odd hops suppliers.
+    "graph2b_reach_histogram" -> ((s, d) => {
+      sssp(purchaseEdges(s, d).withColumn("w", lit(1L)),
+          source = 2L, maxHops = 4)
+        .groupBy(col("dist").as("hops"))
+        .agg(count(lit(1)).as("n_vertices"))
+        .orderBy("hops")
+    }),
+
     // GRAPH-3: global triangle census of the part co-purchase graph —
     // vertex/edge/wedge/triangle counts + transitivity (3·tri/wedges) as
     // exact integer ppm. The Spark plan enumerates by degree orientation
@@ -680,6 +694,36 @@ object GraphOps extends QueryModule {
       |SELECT (CASE WHEN v % 2 = 0 THEN 'c' ELSE 's' END ||
       |        CAST(v // 2 AS VARCHAR)) AS v, dist
       |FROM d4 ORDER BY dist, v LIMIT 30""".stripMargin,
+
+    // graph2's unrolled relaxation with w := 1 (dist ≡ hops), rolled up
+    "graph2b_reach_histogram" -> """
+      |WITH pairs AS (
+      |  SELECT o_custkey * 2 AS cid, l_suppkey * 2 + 1 AS sid
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT cid AS src, sid AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT sid AS src, cid AS dst FROM pairs),
+      |d0(v, dist) AS (SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+      |r1 AS (SELECT e.dst AS v, MIN(d.dist + 1) AS dist
+      |       FROM d0 d JOIN edges e ON e.src = d.v GROUP BY 1),
+      |d1 AS (SELECT v, MIN(dist) AS dist FROM
+      |       (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY v),
+      |r2 AS (SELECT e.dst AS v, MIN(d.dist + 1) AS dist
+      |       FROM d1 d JOIN edges e ON e.src = d.v GROUP BY 1),
+      |d2 AS (SELECT v, MIN(dist) AS dist FROM
+      |       (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY v),
+      |r3 AS (SELECT e.dst AS v, MIN(d.dist + 1) AS dist
+      |       FROM d2 d JOIN edges e ON e.src = d.v GROUP BY 1),
+      |d3 AS (SELECT v, MIN(dist) AS dist FROM
+      |       (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY v),
+      |r4 AS (SELECT e.dst AS v, MIN(d.dist + 1) AS dist
+      |       FROM d3 d JOIN edges e ON e.src = d.v GROUP BY 1),
+      |d4 AS (SELECT v, MIN(dist) AS dist FROM
+      |       (SELECT * FROM d3 UNION ALL SELECT * FROM r4) GROUP BY v)
+      |SELECT dist AS hops, CAST(COUNT(*) AS BIGINT) AS n_vertices
+      |FROM d4 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "graph3_triangle_stats" -> (triCte + """
       |SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_vertices,
