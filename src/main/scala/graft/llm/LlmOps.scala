@@ -1102,8 +1102,13 @@ object LlmOps extends QueryModule {
       val k = 8
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
         .localCheckpoint() // scanned once per round
-      var chosen = Vector[(Int, Long, Option[Double])]((1, 0L, None))
-      for (r <- 2 to k) {
+      // empty/short corpora terminate the traversal, never throw
+      var chosen =
+        if (emb.isEmpty) Vector.empty[(Int, Long, Option[Double])]
+        else Vector[(Int, Long, Option[Double])]((1, 0L, None))
+      var r = 2
+      var exhausted = chosen.isEmpty
+      while (r <= k && !exhausted) {
         val ids = chosen.map(_._2)
         val next = emb
           .crossJoin(broadcast(emb.filter(col("vec_id").isin(ids: _*))
@@ -1114,8 +1119,12 @@ object LlmOps extends QueryModule {
               .as("dist"))
           .groupBy("vec_id").agg(min("dist").as("mind"))
           .orderBy(col("mind").desc, col("vec_id")).limit(1)
-          .collect()(0)
-        chosen :+= ((r, next.getLong(0), Some(next.getDouble(1))))
+          .collect()
+        if (next.isEmpty) exhausted = true
+        else {
+          chosen :+= ((r, next(0).getLong(0), Some(next(0).getDouble(1))))
+          r += 1
+        }
       }
       chosen.toDF("sel_rank", "vec_id", "sel_dist").orderBy("sel_rank")
     }),

@@ -206,6 +206,41 @@ object Relational extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // JOIN-16: 2-D GRID band join — proximity in TWO continuous
+    // dimensions at once (time ≤ 60 s AND |Δvalue| ≤ 5): the geospatial
+    // grid-join technique (Sedona/H3 style) in its relational form. Each
+    // dimension buckets at its threshold width, so a qualifying pair's
+    // buckets differ by ≤1 per dimension (lossless — the join9b triangle
+    // argument per axis); one side explodes to the 2×3 reachable cells
+    // and the equi-join keys on (user, t-cell, v-cell), with the exact
+    // predicate as a post-filter. Candidates shrink multiplicatively —
+    // each grid dimension independently prunes — where a 1-D band join
+    // would re-scan every same-minute pair for the value test.
+    "join16_grid_band" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .withColumn("tb", expr("ts_us div 60000000"))
+        .withColumn("vb", expr("CAST(floor(value / 5.0) AS BIGINT)"))
+      val a = e.select(col("user_id"), col("tb"), col("vb"),
+        col("event_id").as("a_id"), col("ts_us").as("a_us"),
+        col("value").as("a_v"))
+      val b = e.select(col("user_id"),
+          explode(array(col("tb"), col("tb") - 1)).as("tb"),
+          col("vb").as("vb0"), col("event_id").as("b_id"),
+          col("ts_us").as("b_us"), col("value").as("b_v"))
+        .select(col("user_id"), col("tb"),
+          explode(array(col("vb0") - 1, col("vb0"), col("vb0") + 1))
+            .as("vb"),
+          col("b_id"), col("b_us"), col("b_v"))
+      a.join(b, Seq("user_id", "tb", "vb"))
+        .filter(col("b_us") > col("a_us") &&
+          col("b_us") <= col("a_us") + 60000000L &&
+          abs(col("b_v") - col("a_v")) <= 5.0)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    }),
+
     "join10_cross" -> ((s, d) => {
       val r = Tables.region(s, d).select("r_name")
       val st = Tables.orders(s, d).select(col("o_orderstatus")).distinct()
@@ -1614,6 +1649,16 @@ object Relational extends QueryModule {
         |  ON a.user_id = b.user_id
         | AND epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "join16_grid_band" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+        | AND abs(b.value - a.value) <= 5
+        |WHERE a.value IS NOT NULL AND b.value IS NOT NULL
         |ORDER BY a_id, b_id""".stripMargin,
 
     "join9b_banded_bucket" ->
