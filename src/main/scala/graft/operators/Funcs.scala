@@ -151,6 +151,23 @@ object Funcs extends QueryModule {
           col("c_custkey"), xxhash64(col("c_name")).as("name_xx64"))
         .orderBy("c_custkey")),
 
+    // FUNC-try: error-safe conversion family — TRY_CAST/try_divide return
+    // NULL where strict forms throw (ANSI) or silently corrupt (legacy):
+    // the dirty-input posture scan9's corrupt-CSV handling applies at the
+    // expression level. Mixed parseable/garbage inputs come from part
+    // names (words never parse, trailing digits sometimes do).
+    "func_try" -> ((s, d) =>
+      Tables.part(s, d).select(
+          col("p_partkey"),
+          expr("TRY_CAST(split(p_name, ' ')[0] AS INT)").as("word_as_int"),
+          // integer source: overflow semantics are unambiguous (DuckDB's
+          // TRY_CAST truncates fractions where Spark rounds — fractional
+          // sources would diverge at the .5 boundary)
+          expr("TRY_CAST(p_partkey * 1000 AS SMALLINT)").as("narrow_int"),
+          expr("try_divide(p_retailprice, p_size - p_size)").as("div0"),
+          expr("try_divide(p_retailprice, p_size)").as("per_size"))
+        .orderBy("p_partkey")),
+
     // FUNC-bit: bitwise family — mask/extract/shift/popcount, the id- and
     // flag-packing primitives (llm33's JL signs and llm2c's simhash fold
     // use the same ops inside HOFs); all codegen'd comparisons, no UDF.
@@ -263,6 +280,17 @@ object Funcs extends QueryModule {
     "func_format" ->
       """SELECT n_nationkey, lpad(n_name, 20, ' ') AS rjust, rpad(n_name, 20, '.') AS ljust
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // DuckDB has no try_divide; its plain x/0 yields NULL, which IS
+    // try_divide's contract. p_size-p_size spells the zero so neither
+    // engine constant-folds a literal division.
+    "func_try" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(string_split(p_name, ' ')[1] AS INT) AS word_as_int,
+        |  TRY_CAST(p_partkey * 1000 AS SMALLINT) AS narrow_int,
+        |  p_retailprice / (p_size - p_size) AS div0,
+        |  p_retailprice / p_size AS per_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     // Spark shiftleft wraps in 64-bit two's complement; DuckDB << on
     // BIGINT matches. bit_count is INT on the Spark side — cast DuckDB's.

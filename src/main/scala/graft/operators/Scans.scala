@@ -255,6 +255,23 @@ object Scans extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // SCAN-13: whole-file text ingestion — one row per FILE (the
+    // document-per-file corpus shape: each crawl page / source file is one
+    // training document, never line-split). `wholetext` keeps the payload
+    // intact; identity is the content digest, the llm1 discipline from
+    // the first byte of ingestion. At scale each file is one task input —
+    // no splitting — so maxPartitionBytes governs batching, not record
+    // boundaries.
+    "scan13_wholetext" -> ((s, _) =>
+      s.read.option("wholetext", "true")
+        .option("pathGlobFilter", "part-*.txt")
+        .text(s"$FixturesDir/multi")
+        .select(
+          regexp_extract(input_file_name(), "([^/]+)$", 1).as("fname"),
+          length(col("value")).as("n_chars"),
+          md5(col("value").cast("binary")).as("content_md5"))
+        .orderBy("fname")),
+
     // SCAN-12: hive-partitioned read-back with PARTITION PRUNING — the
     // static half of join14's DPP story: a filter on the partition column
     // must resolve to directory pruning at planning time (the scan's
@@ -597,6 +614,15 @@ object Scans extends QueryModule {
     "sink3_partitioned" ->
       s"""SELECT l_returnflag, count(*) AS n, ${Det.dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // read_text yields the raw file body; graft's wholetext row is the
+    // same bytes, so digests agree (files are \n-terminated ASCII)
+    "scan13_wholetext" ->
+      s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+         |  CAST(length(content) AS INT) AS n_chars,
+         |  md5(content) AS content_md5
+         |FROM read_text('$FixturesDir/multi/part-*.txt')
+         |ORDER BY fname""".stripMargin,
 
     "scan12_partition_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
