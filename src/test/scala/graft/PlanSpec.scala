@@ -581,6 +581,25 @@ class PlanSpec extends SparkSpec {
       s"weighted median must never collapse to one task:\n$p")
   }
 
+  test("join16: the 2-D grid band join is an equi-join on the cells — " +
+      "never a nested-loop theta join") {
+    val p = planOf("join16_grid_band")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"grid cells must carry the band predicate as equi-keys:\n$p")
+    assert(p.contains("Join") || p.contains("join"),
+      s"expected a hash/sort-merge join on (user, tcell, vcell):\n$p")
+  }
+
+  test("graph6: anchor adjacency broadcasts; the shared edge list is " +
+      "never shuffled for the wedge join") {
+    val df = SparkEntry.queries("graph6_link_prediction")(spark, Sf0001)
+    df.collect() // settle AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"wedge probe and degree joins must broadcast the small side:\n$p")
+  }
+
   test("scan12: partition filter prunes directories, data filter pushes " +
       "to parquet") {
     val p = planOf("scan12_partition_pruned")
