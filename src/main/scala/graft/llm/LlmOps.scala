@@ -1366,6 +1366,37 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // LLM-42: token-BUDGET mixture planner — the table a mixture run
+    // starts from: given a target budget and integer-percent target
+    // shares (integer by design — double shares truncate differently
+    // across engines at the cast), each language's token quota, what's
+    // actually available (llm19's rollup), and the implied epoch count
+    // over that slice in exact ppm — epochs > 1e6 ppm flags UPSAMPLING
+    // (repeating data, the memorization trade-off a mixture audit must
+    // surface). One rollup + broadcast dim join.
+    "llm42_mix_budget" -> ((s, d) => {
+      import s.implicits._
+      def cnt(marker: String): Column =
+        ((length(col("text")) - length(replace(col("text"), lit(marker))))
+          / marker.length).cast("int")
+      val targets = Seq(("en", 70L), ("unknown", 30L))
+        .toDF("pred_lang", "target_pct")
+      Tables.documents(s, d)
+        .select(when(cnt(" the ") > 0, "en").otherwise("unknown")
+            .as("pred_lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("pred_lang").agg(sum("n_tok").as("lang_tokens"))
+        .join(broadcast(targets), "pred_lang")
+        .withColumn("quota_tokens",
+          expr("100000 * target_pct DIV 100"))
+        .withColumn("epochs_ppm",
+          expr("quota_tokens * 1000000 DIV lang_tokens"))
+        .withColumn("upsampled", col("epochs_ppm") > 1000000L)
+        .select("pred_lang", "lang_tokens", "quota_tokens", "epochs_ppm",
+          "upsampled")
+        .orderBy("pred_lang")
+    }),
+
     // LLM-19: domain-mixture reweighting — per-language token shares vs a
     // broadcast target mixture; weight = target_share / actual_share is
     // the multiplier a sampler applies to hit the target mix. The global
@@ -2793,6 +2824,25 @@ object LlmOps extends QueryModule {
         |   1.0 - CAST(t2.n_tri AS DOUBLE) / (t2.n_tok - 2) > 0.3) AS is_repetitive
         |FROM tri t2 JOIN top ON t2.doc_id = top.doc_id
         |ORDER BY t2.doc_id""".stripMargin,
+
+    "llm42_mix_budget" ->
+      """WITH lang AS (
+        |  SELECT CASE WHEN (length(text) - length(replace(text, ' the ', ''))) // 5 > 0
+        |              THEN 'en' ELSE 'unknown' END AS pred_lang,
+        |         len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |per AS (SELECT pred_lang, CAST(sum(n_tok) AS BIGINT) AS lang_tokens
+        |        FROM lang GROUP BY 1),
+        |t(pred_lang, target_pct) AS
+        |  (VALUES ('en', CAST(70 AS BIGINT)), ('unknown', CAST(30 AS BIGINT)))
+        |SELECT per.pred_lang, lang_tokens,
+        |  CAST(100000 * target_pct // 100 AS BIGINT) AS quota_tokens,
+        |  CAST((100000 * target_pct // 100) * 1000000 // lang_tokens
+        |    AS BIGINT) AS epochs_ppm,
+        |  ((100000 * target_pct // 100) * 1000000 // lang_tokens
+        |    > 1000000) AS upsampled
+        |FROM per JOIN t ON per.pred_lang = t.pred_lang
+        |ORDER BY per.pred_lang""".stripMargin,
 
     // same llm7 language heuristic; shares and weights in double precision
     "llm19_mix_weights" ->
