@@ -264,6 +264,34 @@ object GraphOps extends QueryModule {
     edges.select(col("x").as("v")).unionByName(edges.select(col("y").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
 
+  /** Both-direction adjacency of the part co-purchase graph — the shared
+    * neighbor list graph5's label rounds and graph6's wedge probes both
+    * scan. Same derived-dataset memoization as [[partCoPurchaseEdges]]:
+    * built once per (session, sf-dir), read from memory afterwards. */
+  private def partAdj(s: SparkSession, d: String): DataFrame =
+    graft.StageMemo.frame(s, s"graph.part_adj.$d") {
+      val e = partCoPurchaseEdges(s, d)
+      e.select(col("x").as("v"), col("y").as("u"))
+        .unionByName(e.select(col("y").as("v"), col("x").as("u")))
+    }
+
+  /** Part co-purchase degree table (tiny — one row per part), shared by
+    * the census, clustering, and link-prediction queries. */
+  private def partDeg(s: SparkSession, d: String): DataFrame =
+    graft.StageMemo.frame(s, s"graph.part_deg.$d")(
+      partAdj(s, d).groupBy("v").agg(count(lit(1)).as("deg")))
+
+  /** Enumerated triangle rows of the part co-purchase graph. The wedge
+    * join is the most expensive stage in the whole graph family and BOTH
+    * the global census (graph3) and the per-vertex clustering inventory
+    * (graph3b) consume the identical row set — at scale this is exactly
+    * the derived dataset a pipeline persists once (the reference's
+    * pipeline-step artifacts, runcommand.py:389-409), so it is memoized
+    * per (session, sf-dir) like the edge tables. */
+  private def partTriangles(s: SparkSession, d: String): DataFrame =
+    graft.StageMemo.frame(s, s"graph.part_tri.$d")(
+      triangleRows(partCoPurchaseEdges(s, d)))
+
   /** GRAPH-3 core — exact triangle enumeration by degree orientation
     * (Schank–Wagner node-iterator++, the standard distributed plan:
     * MapReduce variants in Suri & Vassilvitskii, WWW'11). Each undirected
@@ -385,12 +413,16 @@ object GraphOps extends QueryModule {
     * two stacked hash aggs; rounds are [[RoundCheckpointer]]-bounded so
     * plan depth stays O(1). The neighbor list materializes once. */
   def labelPropagation(edges: DataFrame, rounds: Int,
-                       broadcastCap: Long = PagerankBroadcastVertexCap)
+                       broadcastCap: Long = PagerankBroadcastVertexCap,
+                       prebuiltAdj: Option[DataFrame] = None)
   : DataFrame = {
     val rc = new RoundCheckpointer
-    val nb = edges.select(col("x").as("v"), col("y").as("u"))
-      .unionByName(edges.select(col("y").as("v"), col("x").as("u")))
-      .localCheckpoint() // scanned every round
+    // prebuiltAdj: an already-materialized (v, u) both-direction neighbor
+    // list (the partAdj memo) — skips rebuilding the per-call checkpoint
+    val nb = prebuiltAdj.getOrElse(
+      edges.select(col("x").as("v"), col("y").as("u"))
+        .unionByName(edges.select(col("y").as("v"), col("x").as("u")))
+        .localCheckpoint()) // scanned every round
     var labels = nb.select(col("v")).distinct().withColumn("lbl", col("v"))
     val small = labels.count() <= broadcastCap
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -461,11 +493,11 @@ object GraphOps extends QueryModule {
     // arithmetic end-to-end: no float protocol needed.
     "graph3_triangle_stats" -> ((s, d) => {
       val edges = partCoPurchaseEdges(s, d)
-      val vs = degrees(edges).agg(
+      val vs = partDeg(s, d).agg(
         count(lit(1)).as("n_vertices"),
         expr("sum(deg * (deg - 1) DIV 2)").cast("long").as("n_wedges"))
       val es = edges.agg(count(lit(1)).as("n_edges"))
-      val tri = triangleRows(edges).agg(count(lit(1)).as("n_triangles"))
+      val tri = partTriangles(s, d).agg(count(lit(1)).as("n_triangles"))
       vs.crossJoin(es).crossJoin(tri).select(
         col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         expr("n_triangles * 3000000 DIV n_wedges").as("transitivity_ppm"))
@@ -478,11 +510,10 @@ object GraphOps extends QueryModule {
     // the left join with lcc 0, so low-clustering vertices are visible, not
     // silently absent.
     "graph3b_local_clustering" -> ((s, d) => {
-      val edges = partCoPurchaseEdges(s, d)
-      val perV = triangleRows(edges)
+      val perV = partTriangles(s, d)
         .select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("tri"))
-      degrees(edges).join(perV, Seq("v"), "left")
+      partDeg(s, d).join(perV, Seq("v"), "left")
         .select(col("v").as("p"), col("deg"),
           coalesce(col("tri"), lit(0L)).as("tri"),
           when(col("deg") < 2, lit(0L)).otherwise(
@@ -504,7 +535,8 @@ object GraphOps extends QueryModule {
     // community count. Top-10 is TakeOrdered over the O(communities)
     // rollup, never a global sort.
     "graph5_label_communities" -> ((s, d) => {
-      val labels = labelPropagation(partCoPurchaseEdges(s, d), rounds = 4)
+      val labels = labelPropagation(partCoPurchaseEdges(s, d), rounds = 4,
+        prebuiltAdj = Some(partAdj(s, d)))
       val comm = labels.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("csize"))
       val ncomm = comm.agg(count(lit(1)).as("n_communities"))
@@ -541,12 +573,11 @@ object GraphOps extends QueryModule {
     // Existing edges drop via one anti-join; top-20 by (jaccard desc,
     // a, b) is TakeOrdered over the O(|F|·V) candidate rollup.
     "graph6_link_prediction" -> ((s, d) => {
-      val e = partCoPurchaseEdges(s, d).localCheckpoint()
-      val adj = e.select(col("x").as("v"), col("y").as("u"))
-        .unionByName(e.select(col("y").as("v"), col("x").as("u")))
-        .localCheckpoint() // degrees + anchor side + wedge side + anti
-      val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
-        .localCheckpoint() // anchor selection + two score joins
+      // adj (anchor side + wedge side + anti) and deg (anchor selection +
+      // two score joins) come from the shared memos — each a single set of
+      // in-memory blocks across the whole graph family
+      val adj = partAdj(s, d)
+      val deg = partDeg(s, d)
       val focus = deg.orderBy(col("deg").desc, col("v")).limit(100)
         .select("v")
       val fa = adj.join(broadcast(focus), "v")

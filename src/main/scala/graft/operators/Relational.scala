@@ -1337,25 +1337,53 @@ object Relational extends QueryModule {
     // a plain median of line rows gets wrong when quantities skew).
     // Lower weighted median: smallest v with cumWeight(<=v) >= W/2, all
     // in exact decimal so the 2*cum >= tot comparison is float-proof on
-    // both engines. Plan: collapse to distinct (flag, value) rows by ONE
-    // hash agg (map-side combine does the heavy lifting), then the
-    // cumulative and total sums ride a single per-flag window exchange
-    // over the collapsed O(distinct) rows — the same two-tier discipline
-    // as agg10_percentile; at 100 TB the window's partition is bounded by
-    // distinct prices per flag, not row count (and a DDSketch tier —
-    // agg23 — covers the unbounded-cardinality case approximately).
+    // both engines. Plan (two passes — the DDSketch-bucket variant of the
+    // sort6/ts4 two-phase decomposition; a per-flag window would put each
+    // flag's WHOLE value set in one task, parallelism = |flags|):
+    //   1. slice the value axis into data-INDEPENDENT log buckets
+    //      b = ⌊1024·log10(1+v)⌋ (monotone non-decreasing in v, ~1k
+    //      buckets per decade, no range-sampling job and no bounds scan —
+    //      the expression is the layout) and ONE hash agg collapses the
+    //      table to O(flags×buckets) per-bucket weights; a tiny per-flag
+    //      window over those rows locates each flag's CROSSING bucket —
+    //      the one where cumulative weight passes W/2 — with its running
+    //      offset and grand total (equal values share a bucket, so the
+    //      minimum crossing value provably lives in that bucket);
+    //   2. the second scan broadcast-joins the 1-row-per-flag crossing
+    //      set, instantly dropping every row outside the crossing bucket
+    //      (~1/buckets of the data), and the exact row-level cumsum runs
+    //      only over that remnant. The RANGE window frame sums all peers
+    //      of a tied value, so ties are exact.
+    // At 100 TB: pass 1 is a map-side-combined agg whose output is KBs;
+    // pass 2's window sees W/occupied-buckets of one flag per task —
+    // degenerate distributions (all mass on one value) collapse to one
+    // bucket, the same unavoidable bound a range partitioner has on
+    // identical keys; agg23's DDSketch tier covers that case approximately.
     "agg29_weighted_median" -> ((s, d) => {
-      val vals = Tables.lineitem(s, d)
+      val rows = Tables.lineitem(s, d)
         .select(col("l_returnflag"),
           col("l_extendedprice").cast("decimal(18,2)").as("v"),
           col("l_quantity").cast("decimal(18,2)").as("w"))
-        .groupBy("l_returnflag", "v").agg(sum("w").as("wv"))
-      val cumW = Window.partitionBy("l_returnflag").orderBy("v")
-      val totW = Window.partitionBy("l_returnflag")
-      vals
-        .withColumn("cum", sum("wv").over(cumW))
-        .withColumn("tot", sum("wv").over(totW))
-        .filter(col("cum") * 2 >= col("tot"))
+      val bexpr = when(col("v") <= 0, lit(0))
+        .otherwise(floor(log10(col("v").cast("double") + 1) * 1024))
+        .cast("int")
+      val crossing = rows.withColumn("b", bexpr)
+        .groupBy("l_returnflag", "b").agg(sum("w").as("sw"))
+        .withColumn("off", coalesce(sum("sw").over(
+          Window.partitionBy("l_returnflag").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+        .withColumn("tot",
+          sum("sw").over(Window.partitionBy("l_returnflag")))
+        .filter((col("off") + col("sw")) * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(struct(col("b"), col("off"), col("tot"))).as("m"))
+        .select(col("l_returnflag"), col("m.b").as("b"),
+          col("m.off").as("off"), col("m.tot").as("tot"))
+      rows.withColumn("b", bexpr)
+        .join(broadcast(crossing), Seq("l_returnflag", "b"))
+        .withColumn("lcum", sum("w").over(
+          Window.partitionBy("l_returnflag", "b").orderBy("v")))
+        .filter((col("lcum") + col("off")) * 2 >= col("tot"))
         .groupBy("l_returnflag")
         .agg(min("v").cast("double").as("weighted_median"),
           max("tot").cast("double").as("total_weight"))

@@ -512,7 +512,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("graph3: wedge and closure probes broadcast; closure key is packed") {
-    val p = planOf("graph3_triangle_stats")
+    // graph3's own plan now reads the memoized triangle rows (a checkpoint
+    // scan) — assert the enumeration plan on triangleRows itself, over the
+    // same co-purchase edges the memo is built from
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y"))
+      .distinct()
+    val df = graft.operators.GraphOps.triangleRows(edges)
+    df.collect() // settle AQE
+    val p = df.queryExecution.executedPlan.toString
     // under the edge cap the 83M-wedge stream must stay pipelined: both
     // triangle joins are broadcast-hash, never a shuffled sort-merge
     assert(!p.contains("SortMergeJoin"),
@@ -566,17 +578,22 @@ class PlanSpec extends SparkSpec {
       s"expected anti + rebuild broadcast joins:\n$p")
   }
 
-  test("agg29: cum and total weight share ONE per-flag window exchange " +
-      "over the collapsed value table") {
+  test("agg29: two-phase weighted median — sliced local cumsums; no " +
+      "task ever sorts a whole flag's value set") {
     val p = planOf("agg29_weighted_median")
-    // distinct-value collapse first (partial+final agg), then both window
-    // sums over the same hashpartitioning(l_returnflag) exchange — two
-    // Window nodes, but only one exchange between agg and windows
-    // regex pins the PER-FLAG exchange (flag alone, 32 buckets); the
-    // (flag, value) pair-collapse exchange upstream is a different match
-    assert("Exchange hashpartitioning\\(l_returnflag#\\d+, 32".r
-      .findAllIn(p).length === 1,
-      s"both window passes must reuse one per-flag exchange:\n$p")
+    // the heavy cumulative window partitions by (flag, SLICE) — a
+    // bounded ordered bucket of the flag's value domain — never by flag
+    // alone over the value order
+    assert("windowspecdefinition\\(l_returnflag#\\d+, b#\\d+, v#\\d+ ASC".r
+      .findAllIn(p).nonEmpty,
+      s"local cumsum must partition by (flag, slice):\n$p")
+    assert("windowspecdefinition\\(l_returnflag#\\d+, v#\\d+ ASC".r
+      .findAllIn(p).isEmpty,
+      s"no per-flag window over the full value order (1 task per flag):\n$p")
+    // the O(flags×partitions) offsets table joins back as a broadcast —
+    // the big side never shuffles for it
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must broadcast back onto the sliced values:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"weighted median must never collapse to one task:\n$p")
   }
