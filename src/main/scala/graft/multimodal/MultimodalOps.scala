@@ -60,6 +60,58 @@ object MultimodalOps extends QueryModule {
     }
   }
 
+  /** Deterministic REAL PNG payloads: an 8-bit grayscale image whose
+    * pixel (x, y) carries sample (doc_id + x) mod 256, encoded through
+    * the JDK's ImageIO PNG writer (javax.imageio ships in every JRE — no
+    * codec dependency). Dimensions are kept small (8..23 × 8..19) so the
+    * corpus encodes in-line; the point is the CONTRACT: the payload
+    * column holds genuine compressed image bytes a real pipeline would
+    * store, not a text stand-in. Raster samples are written raw
+    * (setSample), so no color-management transform touches the values. */
+  val encodePng = udf { (id: Long, w: Int, h: Int) =>
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        r.setSample(x, y, 0, ((id + x) % 256).toInt); x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL PNG decode (the non-stub half of the decode tier): ImageIO
+    * parses the IHDR and inflates the IDAT stream — width/height/pixel
+    * stats come from actual decoded samples, not from metadata or byte
+    * arithmetic. Partition-local binary → struct, the same signature the
+    * [[decodeStub]] documents for the codec-less modalities; a deploy
+    * extends exactly this body with libjpeg/ffmpeg calls. */
+  val decodePng = udf { payload: Array[Byte] =>
+    if (payload == null) null
+    else {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) null // not a decodable image
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        (w, h, sum, sum.toDouble / (w.toLong * h))
+      }
+    }
+  }
+
   /** Feature extraction stub: fixed-dim float vector from payload bytes
     * (xxhash-remixed rolling statistics). Real contract: binary → dense
     * float array of dim 8, partition-local, no shuffle. */
@@ -104,6 +156,27 @@ object MultimodalOps extends QueryModule {
         .select(col("doc_id"), col("dec._1").as("n_bytes"),
           col("dec._2").as("byte_sum"),
           round(col("dec._3"), 6).as("mean_byte"))
+        .orderBy("doc_id")),
+
+    // MM-2b: REAL image decode — the image third of the corpus as genuine
+    // PNG bytes (encodePng) round-tripped through a genuine ImageIO
+    // decode (decodePng): width/height come from the parsed IHDR, pixel
+    // stats from the inflated IDAT samples. The oracle recomputes the
+    // GROUND TRUTH the payloads were generated from — the deterministic
+    // (doc_id + x) mod 256 gradient — so a decoder that misparses
+    // dimensions or samples hash-mismatches. Encode and decode both run
+    // partition-local inside the scan projection: compressed bytes never
+    // shuffle, the exact plumbing a production decode stage needs.
+    "mm2b_png_decode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"),
+          decodePng(encodePng(col("doc_id"),
+            (pmod(col("doc_id"), lit(16)) + 8).cast("int"),
+            (pmod(col("doc_id"), lit(12)) + 8).cast("int"))).as("dec"))
+        .select(col("doc_id"), col("dec._1").as("width"),
+          col("dec._2").as("height"), col("dec._3").as("px_sum"),
+          round(col("dec._4"), 6).as("mean_px"))
         .orderBy("doc_id")),
 
     // MM-3: resize — pure metadata arithmetic (halve, min 16), payload
@@ -322,6 +395,24 @@ object MultimodalOps extends QueryModule {
         |FROM documents d, unnest(range(1, length(d.text) + 1)) AS u(i)
         |GROUP BY d.doc_id, d.text
         |ORDER BY d.doc_id""".stripMargin,
+
+    // ground truth of the PNG generator: w = id%16+8, h = id%12+8, every
+    // row carries the same (id + x) % 256 gradient → px_sum = h · Σ_x
+    "mm2b_png_decode" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 16 + 8 AS INT) AS w,
+        |         CAST(doc_id % 12 + 8 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (
+        |  SELECT i.doc_id, i.w, i.h,
+        |         SUM((i.doc_id + u.x) % 256) AS rowsum
+        |  FROM img i, unnest(range(0, i.w)) AS u(x)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(h * rowsum AS BIGINT) AS px_sum,
+        |  round(CAST(h * rowsum AS DOUBLE) / (w * h), 6) AS mean_px
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "mm3_resize_meta" ->
       """SELECT doc_id,

@@ -147,10 +147,10 @@ class ApproxSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(ivf.nonEmpty, "IVF must return candidates")
-    // measured 0.6 at sf0.001 / 0.4 at sf0.01 with Lloyd-refined centroids
-    // (up from ~0.25 on raw hash-sampled seeds); floor leaves headroom for
-    // regenerated testdata
-    assert(recall >= 0.4, s"IVF recall $recall below floor (nprobe=4 of 16)")
+    // measured 0.6 at sf0.001 with Lloyd-refined centroids (up from ~0.25
+    // on raw hash-sampled seeds); floor = measured − 0.1 margin (VERDICT
+    // r11 #3 — a slack floor lets a real recall regression coast)
+    assert(recall >= 0.5, s"IVF recall $recall below floor (nprobe=4 of 16)")
   }
 
   test("llm2b: hot-shingle df-cap is lossless here and actually prunes") {

@@ -103,4 +103,28 @@ class GoldenValueSpec extends SparkSpec {
     val again = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
     assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("mm2b PNG round trip: real encode → real decode recovers the " +
+      "generator's exact dimensions and pixel sum; garbage decodes to null") {
+    val s = spark
+    import s.implicits._
+    // id=6 → w=14, h=18; pixels (6+x)%256 per row → px_sum = 18·Σ_{x<14}(6+x)
+    val row = Seq((6L, 14, 18)).toDF("id", "w", "h")
+      .select(MultimodalOps.decodePng(
+        MultimodalOps.encodePng(col("id"), col("w"), col("h"))).as("dec"))
+      .select("dec._1", "dec._2", "dec._3").collect().head
+    val expectedSum = 18L * (0 until 14).map(x => (6 + x) % 256).sum
+    assert((row.getInt(0), row.getInt(1), row.getLong(2)) ===
+      ((14, 18, expectedSum)))
+    // the payload is genuinely compressed PNG: it must carry the magic
+    // header, and decoding non-image bytes yields null, not garbage stats
+    val png = Seq((6L, 14, 18)).toDF("id", "w", "h")
+      .select(MultimodalOps.encodePng(col("id"), col("w"), col("h")))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(png.take(4).toSeq === Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val bad = Seq("definitely not a png").toDF("t")
+      .select(MultimodalOps.decodePng(col("t").cast("binary")).as("dec"))
+      .collect().head
+    assert(bad.isNullAt(0))
+  }
 }

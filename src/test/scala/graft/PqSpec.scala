@@ -59,8 +59,9 @@ class PqSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     val recall = adc.intersect(exact).size / 20.0
     info(s"ADC recall@20 = $recall")
-    // measured 0.85 on this corpus (m=8, shortlist 100); floor with margin
-    assert(recall >= 0.6, s"ADC shortlist+rerank recall too low: $recall")
+    // measured 0.85 on this corpus (m=8, shortlist 100); floor = measured
+    // − 0.1 margin (VERDICT r11 #3)
+    assert(recall >= 0.75, s"ADC shortlist+rerank recall too low: $recall")
   }
 
   test("IVF-PQ top-20 recall vs exact L2 top-20") {
@@ -81,8 +82,8 @@ class PqSpec extends SparkSpec {
     info(s"IVF-PQ recall@20 = $recall")
     // measured 0.55 here — below llm28b's 0.85 because the nprobe=4/16
     // cell restriction prunes candidates (the IVF speed/recall dial);
-    // floor with margin
-    assert(recall >= 0.35, s"IVF-PQ recall too low: $recall")
+    // floor = measured − 0.1 margin (VERDICT r11 #3)
+    assert(recall >= 0.45, s"IVF-PQ recall too low: $recall")
   }
 
   private def exactTop20: Set[Long] = {
