@@ -255,12 +255,17 @@ case class LshBuckets(child: Expression, tables: Int, k: Int)
     copy(child = c)
 }
 
-/** `rolling_hash64(string) -> bigint`: polynomial rolling fingerprint over
-  * space-separated tokens — h = Σ xx64(tok_i)·31^(n-1-i) in wrapping 64-bit
-  * arithmetic (Horner's rule). Token-order-sensitive (unlike a bag-of-words
-  * hash), so reorderings fingerprint differently; a native expression
-  * because wrapping multiply is an ANSI-mode overflow error in SQL
-  * arithmetic. Deterministic; FingerprintSpec pins the contract. */
+/** `rolling_hash64(string) -> bigint`: Rabin–Karp polynomial rolling
+  * fingerprint over the UTF-8 bytes — h = Σ (bᵢ+1)·257^(n-1-i) in wrapping
+  * 64-bit arithmetic (Horner's rule; +1 so trailing NUL-like and empty
+  * prefixes can't alias). Order-sensitive (unlike a bag-of-words hash)
+  * and whitespace-significant; a native expression because wrapping
+  * multiply is an ANSI-mode overflow error in SQL arithmetic, codegen'd
+  * as one primitive byte loop. Redefined from the r10 xx64-per-token fold
+  * in r12 so the DuckDB oracle can replay it exactly (HUGEINT mod-2⁶⁴
+  * list_reduce) — xxhash64 has no DuckDB twin; the byte polynomial is the
+  * canonical rolling-hash form and drops the CodegenFallback.
+  * Deterministic; FingerprintSpec pins the contract. */
 /** EXPR-5 — `stripe_sums(binary) -> array<bigint>`: the mm8 media feature
   * (byte at position i feeds stripe i mod 8) as a codegen'd expression —
   * one primitive loop over the payload inside whole-stage codegen, no UDF
@@ -307,24 +312,32 @@ case class StripeSums(child: Expression)
 }
 
 case class RollingHash64(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.split(" ", -1)
+    val bytes =
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
     var h = 0L
     var i = 0
-    while (i < toks.length) {
-      val t = org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))
-      val th = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(t, org.apache.spark.sql.types.StringType, 42L)
-      h = h * 31L + th
-      i += 1
-    }
+    while (i < bytes.length) { h = h * 257L + (bytes(i) & 0xff) + 1L; i += 1 }
     h
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |long ${ev.value}_h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  ${ev.value}_h = ${ev.value}_h * 257L + ($bytes[$i] & 0xff) + 1L;
+         |}
+         |${ev.value} = ${ev.value}_h;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): RollingHash64 =
     copy(child = c)

@@ -977,8 +977,10 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")),
 
     // LLM-8: document fingerprinting — order-sensitive rolling hash
-    // (rolling_hash64 native expression; rows-only + FingerprintSpec).
-    // Exact-dedup on fingerprints == exact-dedup on token sequences.
+    // (rolling_hash64 native codegen'd expression; FingerprintSpec +
+    // exact DuckDB oracle since r12 — the byte-polynomial fold replays in
+    // SQL as a HUGEINT mod-2⁶⁴ list_reduce over the ASCII byte values).
+    // Exact-dedup on fingerprints == exact-dedup on byte sequences.
     "llm8_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -2551,6 +2553,28 @@ object LlmOps extends QueryModule {
         |  CAST(len(list_filter(string_split_regex(text, '[^0-9]+'),
         |        t -> t <> '')) AS INT) AS n_number_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact replay of the Rabin–Karp byte fold: HUGEINT carries the
+    // h*257+b+1 Horner step (max intermediate < 2⁶⁴·258, far inside
+    // HUGEINT), mod 2⁶⁴ emulates Java's wrapping long multiply, and the
+    // final CASE maps the unsigned residue onto the signed BIGINT the
+    // Spark expression returns. documents.text is ASCII (verified for the
+    // mm2 oracle), so ord(char) == byte value.
+    "llm8_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT ELSE h END
+        |       AS BIGINT) AS fingerprint
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> (ord(substr(text, CAST(i AS INT), 1)) + 1)::HUGEINT)),
+        |      (acc, b) -> (acc * 257 + b) % 18446744073709551616::HUGEINT)
+        |      AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "llm9_pipeline" ->
       """WITH gated AS (

@@ -117,16 +117,15 @@ class PropertySpec extends AnyFunSuite {
 
   // ---- RollingHash64: its own recurrence -----------------------------
 
-  test("rolling_hash64: satisfies h(toks :+ t) = 31*h(toks) + xx64(t)") {
+  test("rolling_hash64: satisfies h(s :+ c) = 257*h(s) + byte(c) + 1") {
     val expr = RollingHash64(BoundReference(0, StringType, true))
     def h(text: String): Long =
       expr.nullSafeEval(UTF8String.fromString(text)).asInstanceOf[Long]
-    val word = Gen.oneOf("a", "bb", "ccc", "dog", "lorem")
+    // ASCII gen so one char == one byte (the recurrence is per BYTE)
+    val s = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
     check("rolling-recurrence",
-      Prop.forAll(Gen.nonEmptyListOf(word), word) { (toks, t) =>
-        val xx = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(UTF8String.fromString(t), StringType, 42L)
-        h((toks :+ t).mkString(" ")) == 31L * h(toks.mkString(" ")) + xx
+      Prop.forAll(s, Gen.alphaNumChar) { (str, c) =>
+        h(str + c) == 257L * h(str) + (c.toInt & 0xff) + 1L
       })
   }
 
