@@ -1583,10 +1583,108 @@ object Relational extends QueryModule {
         .agg(expr("cms_sketch_agg(l_partkey)").as("cms_a"))
       sa.crossJoin(sb)
         .select(expr("cms_inner_product(cms_r, cms_a)").as("est_pairs"))
+    }),
+
+    // PROF-6 / PLAN-2: join-strategy advisor capstone (plans/
+    // JoinAdvisor.scala — see its doc for the decision rule) over four
+    // candidate joins engineered to exercise every verdict: a dim join
+    // (broadcast), the uniform fact⋈fact orderkey join (shuffle), a
+    // 90%-hot-key fact (salt — join13's fixture shape), and a 5%-hot-key
+    // fact (aqe_skew — hot enough to skew partitions, too diffuse for
+    // salting to pay). Evidence columns ride along so the recommendation
+    // is auditable; the oracle replays counts + the integer-ppm CASE.
+    "prof6_join_advisor" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val hot90 = when(pmod(col("l_orderkey"), lit(10)) < 9, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(97)))
+      val hot5 = when(pmod(col("l_orderkey"), lit(20)) === 0, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(997)))
+      graft.plans.JoinAdvisor.recommend(
+        graft.plans.JoinAdvisor.evidence("customer_nation",
+            Tables.customer(s, d), col("c_nationkey"),
+            Tables.nation(s, d), col("n_nationkey"))
+          .unionByName(graft.plans.JoinAdvisor.evidence("lineitem_orders",
+            li, col("l_orderkey"), ord, col("o_orderkey")))
+          .unionByName(graft.plans.JoinAdvisor.evidence("lineitem_hot90",
+            li, hot90, ord, pmod(col("o_orderkey"), lit(97))))
+          .unionByName(graft.plans.JoinAdvisor.evidence("lineitem_hot5",
+            li, hot5, ord, pmod(col("o_orderkey"), lit(997)))))
+        .orderBy("join_name")
     })
   )
 
+  /** prof6's DuckDB twin: the same per-candidate count tables, the same
+    * integer-ppm statistics, and the same CASE — generated per candidate
+    * the way kcoreSql unrolls rounds (the CTE blocks are mechanical). */
+  private def joinAdvisorSql: String = {
+    val cands = Seq(
+      ("customer_nation", "SELECT c_nationkey AS k FROM customer",
+        "SELECT n_nationkey AS k FROM nation"),
+      ("lineitem_orders", "SELECT l_orderkey AS k FROM lineitem",
+        "SELECT o_orderkey AS k FROM orders"),
+      ("lineitem_hot90",
+        "SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 " +
+          "ELSE l_orderkey % 97 END AS k FROM lineitem",
+        "SELECT o_orderkey % 97 AS k FROM orders"),
+      ("lineitem_hot5",
+        "SELECT CASE WHEN l_orderkey % 20 = 0 THEN 0 " +
+          "ELSE l_orderkey % 997 END AS k FROM lineitem",
+        "SELECT o_orderkey % 997 AS k FROM orders"))
+    val ctes = cands.map { case (n, l, r) =>
+      s"""
+        |${n}_l AS (SELECT k, COUNT(*) AS c FROM ($l) GROUP BY 1),
+        |${n}_r AS (SELECT k, COUNT(*) AS c FROM ($r) GROUP BY 1),
+        |${n}_e AS (
+        |  SELECT '$n' AS join_name,
+        |    CAST((SELECT SUM(c) FROM ${n}_l) AS BIGINT) AS l_rows,
+        |    CAST((SELECT COUNT(*) FROM ${n}_l) AS BIGINT) AS l_keys,
+        |    CAST((SELECT MAX(c) FROM ${n}_l) AS BIGINT) AS l_max_key_rows,
+        |    CAST((SELECT SUM(c) FROM ${n}_r) AS BIGINT) AS r_rows,
+        |    CAST((SELECT COUNT(*) FROM ${n}_r) AS BIGINT) AS r_keys,
+        |    CAST((SELECT MAX(c) FROM ${n}_r) AS BIGINT) AS r_max_key_rows,
+        |    CAST((SELECT COALESCE(SUM(a.c * b.c), 0)
+        |          FROM ${n}_l a JOIN ${n}_r b ON a.k = b.k) AS BIGINT)
+        |      AS est_join_rows)""".stripMargin
+    }.mkString(",")
+    s"""WITH${ctes},
+      |ev AS (${cands.map(c => s"SELECT * FROM ${c._1}_e")
+        .mkString("\n UNION ALL ")}),
+      |scored AS (
+      |  SELECT *,
+      |    l_max_key_rows * 1000000 // l_rows AS l_share_ppm,
+      |    r_max_key_rows * 1000000 // r_rows AS r_share_ppm
+      |  FROM ev),
+      |s2 AS (
+      |  SELECT *,
+      |    l_share_ppm * l_keys AS l_skew_x_ppm,
+      |    r_share_ppm * r_keys AS r_skew_x_ppm
+      |  FROM scored)
+      |SELECT join_name, l_rows, l_keys, l_max_key_rows,
+      |  r_rows, r_keys, r_max_key_rows, est_join_rows,
+      |  CAST(l_share_ppm AS BIGINT) AS l_share_ppm,
+      |  CAST(r_share_ppm AS BIGINT) AS r_share_ppm,
+      |  CAST(l_skew_x_ppm AS BIGINT) AS l_skew_x_ppm,
+      |  CAST(r_skew_x_ppm AS BIGINT) AS r_skew_x_ppm,
+      |  CASE
+      |    WHEN r_rows <= 10000 AND r_rows <= l_rows THEN 'broadcast_right'
+      |    WHEN l_rows <= 10000 THEN 'broadcast_left'
+      |    WHEN (l_skew_x_ppm >= 8000000 OR r_skew_x_ppm >= 8000000)
+      |         AND GREATEST(
+      |           CASE WHEN l_skew_x_ppm >= 8000000
+      |                THEN l_share_ppm ELSE 0 END,
+      |           CASE WHEN r_skew_x_ppm >= 8000000
+      |                THEN r_share_ppm ELSE 0 END) >= 200000 THEN 'salt'
+      |    WHEN l_skew_x_ppm >= 8000000 OR r_skew_x_ppm >= 8000000
+      |      THEN 'aqe_skew'
+      |    ELSE 'shuffle'
+      |  END AS strategy
+      |FROM s2 ORDER BY join_name""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "prof6_join_advisor" -> joinAdvisorSql,
+
     "proj1_project" ->
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
 
