@@ -175,6 +175,19 @@ object LlmOps extends QueryModule {
     cb
   }
 
+  /** Assign each vector its nearest IVF cell: one broadcast of the
+    * nCells centroid table, row-local argmin — the cell-routing step the
+    * index build and the STRM-22 streaming maintenance share. Output
+    * (vec_id, cell). */
+  def ivfAssignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cdist"), col("cent_id"))
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("cdist", l2sq(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
   /** Long-form PQ encoding (vec_id, sub, code) — the layout ADC scans
     * join against. Same broadcast-join + map-side-combined min(struct)
     * argmin as [[pqEncode]], grouped per (vec_id, sub). */
@@ -312,7 +325,8 @@ object LlmOps extends QueryModule {
     * ranked scan per query via a windowed join), not this one. */
   def ivfpqProbe(q0: DataFrame, corpus: DataFrame, store: String,
                  m: Int = 8, dim: Int = 64, nprobe: Int = 4,
-                 residual: Boolean = false): DataFrame = {
+                 residual: Boolean = false,
+                 codes0: Option[DataFrame] = None): DataFrame = {
     val q = q0.limit(1)
     val s = q.sparkSession
     val cents = s.read.parquet(s"$store/centroids")
@@ -349,7 +363,13 @@ object LlmOps extends QueryModule {
     val codesSchema = StructType(Seq(
       StructField("vec_id", LongType), StructField("sub", IntegerType),
       StructField("code", IntegerType), StructField("cell", LongType)))
-    val codes = s.read.schema(codesSchema).parquet(s"$store/codes")
+    // codes0: serve a codes table maintained OUTSIDE this store layout —
+    // the STRM-22 streaming-ingested VersionedStore snapshot; the isin
+    // filter prunes its hive-partitioned version dir the same way
+    val codes = codes0
+      .map(_.select(col("vec_id").cast("long"), col("sub").cast("int"),
+        col("code").cast("int"), col("cell").cast("long")))
+      .getOrElse(s.read.schema(codesSchema).parquet(s"$store/codes"))
       .filter(col("cell").isin(probeCells.map(Long.box): _*))
     val joinKeys = if (residual) Seq("cell", "sub", "code") else Seq("sub", "code")
     val shortlist = codes.join(broadcast(lut), joinKeys)

@@ -144,12 +144,19 @@ object VersionedStore {
     * guard covers sequential retries of one writer app — the Delta
     * guarantee scope — not two live racers on one appId. */
   def commitTxn(df: DataFrame, root: String, appId: String, txnVersion: Long,
-                maxRetries: Int = 64): Either[Long, Long] =
+                maxRetries: Int = 64,
+                partitionBy: Seq[String] = Nil): Either[Long, Long] =
     lastTxn(root, appId) match {
       case Some(last) if last >= txnVersion => Left(last)
       case _ =>
         val dataName = s"data-${java.util.UUID.randomUUID()}"
-        df.write.mode("errorifexists")
+        // partitionBy (Delta partitioned-table parity): the version's data
+        // dir is hive-partitioned, so serve-path key filters prune
+        // directories instead of scanning the snapshot (STRM-22's
+        // cell-partitioned codes store). read() re-infers the partition
+        // column from the layout.
+        val w = df.write.mode("errorifexists")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
           .parquet(new File(root, dataName).toString)
         Right(claimMarker(root, s"$dataName\ntxn=$appId=$txnVersion",
           maxRetries))
@@ -177,13 +184,19 @@ object VersionedStore {
   def rollback(s: SparkSession, root: String, version: Long): Long =
     claimMarker(root, dataDirOf(root, version).getName)
 
-  /** Read a specific committed version, or the latest when version < 0. */
-  def read(s: SparkSession, root: String, version: Long = -1L): DataFrame = {
+  /** Read a specific committed version, or the latest when version < 0.
+    * `schema` (DDL string) pins the shape instead of inferring — REQUIRED
+    * for reading a version that may be an EMPTY partitionBy commit: a
+    * partitioned write of zero rows creates no parquet footers, so
+    * inference has nothing to read (plain empty commits keep a footer). */
+  def read(s: SparkSession, root: String, version: Long = -1L,
+           schema: Option[String] = None): DataFrame = {
     val v =
       if (version >= 0) version
       else latestVersion(root).getOrElse(
         throw new IllegalStateException(s"no committed versions under $root"))
-    s.read.parquet(dataDirOf(root, v).toString)
+    val r = schema.fold(s.read)(ddl => s.read.schema(ddl))
+    r.parquet(dataDirOf(root, v).toString)
   }
 
   /** MERGE INTO the latest committed version — the batch form of Delta's

@@ -493,6 +493,71 @@ object StreamOps extends QueryModule {
     q.stop()
   }
 
+  /** STRM-22 per-batch body: streaming IVF-PQ index maintenance. llm28d's
+    * persisted index is train-once/serve-many; this is the ingest path a
+    * live vector store needs (strm12 proved the shape for the MinHash band
+    * index): per micro-batch, assign the new vectors to their IVF cells
+    * (one broadcast of the nCells centroid table), PQ-encode them against
+    * the STORED codebook (no retraining on the ingest path — the FAISS
+    * add-to-index contract), upsert into the codes snapshot (latest wins
+    * per vec_id — a re-embedded doc replaces its old codes via one
+    * broadcast anti-join on the batch's ids), and commit cell-PARTITIONED
+    * under the (appId, batchId) transaction tag — replays are no-ops
+    * (strm15's exactly-once recipe) and the serve path's nprobe cell
+    * filter prunes the version's hive-partitioned data dir exactly like
+    * llm28d's static store. At 100 TB rates the batch work is
+    * batch-sized (encode + anti-join probe against snapshot partitions);
+    * the snapshot rewrite is the VersionedStore's full-copy semantics —
+    * a Delta deploy appends per-cell files instead, same layout. */
+  /** Pinned shape of the maintained codes snapshot (the llm28d probe
+    * schema) — reads must not infer: an empty cell-partitioned commit has
+    * no parquet footer. */
+  private val CodesDdl = "vec_id long, sub int, code int, cell long"
+
+  def ivfpqIngestBatch(batch: DataFrame, store: String, codesDir: String,
+                       appId: String, batchId: Long,
+                       m: Int = 8, dim: Int = 64): Either[Long, Long] = {
+    import graft.operators.VersionedStore
+    val s = batch.sparkSession
+    val cents = s.read.parquet(s"$store/centroids")
+    val cb = s.read.parquet(s"$store/codebook")
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+    // pinned code-table shape (the llm28d probe schema): one row per
+    // (vec_id, sub), keyed by the vector's cell
+    def pin(df: DataFrame): DataFrame =
+      df.select(col("vec_id").cast("long"), col("sub").cast("int"),
+        col("code").cast("int"), col("cell").cast("long"))
+    val codes = pin(graft.llm.LlmOps
+      .pqEncodeLong(vecs, cb, m = m, dim = dim)
+      .join(graft.llm.LlmOps.ivfAssignCells(vecs, cents), "vec_id"))
+    val merged = VersionedStore.latestVersion(codesDir) match {
+      case Some(_) =>
+        pin(VersionedStore.read(s, codesDir, schema = Some(CodesDdl)))
+          .join(broadcast(vecs.select("vec_id").distinct()),
+            Seq("vec_id"), "left_anti")
+          .unionByName(codes)
+      case None => codes
+    }
+    VersionedStore.commitTxn(merged, codesDir, appId, batchId,
+      partitionBy = Seq("cell"))
+  }
+
+  /** STRM-22 driver: drain `vectors` (a streaming frame of (vec_id,
+    * embedding)) through [[ivfpqIngestBatch]] micro-batches. */
+  def runIvfpqIngestStream(vectors: DataFrame, store: String,
+                           codesDir: String, checkpointDir: String,
+                           appId: String, m: Int = 8, dim: Int = 64): Unit = {
+    val q = vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfpqIngestBatch(batch, store, codesDir, appId, batchId, m, dim); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** JOIN-9 streaming: stream-stream interval join — click events joined to
     * purchase events of the same user within [0, 30 min) after the click.
     * Both sides watermarked so the join state is evicted once the range
@@ -785,6 +850,49 @@ object StreamOps extends QueryModule {
           import s.implicits._
           Seq.empty[(Long, Long)].toDF("user_id", "n_events")
       }
+    }),
+
+    // STRM-22 batch-replay ⚠: the embeddings corpus split — vec_id%4==0
+    // bootstraps the persisted IVF-PQ index (train-once), the rest arrive
+    // as a 3-file stream and are cell-assigned + PQ-encoded into the
+    // versioned codes snapshot per micro-batch; a crash-replay of the
+    // last batch is then SIMULATED and must be a txn-tag no-op. Output:
+    // the probe of the MAINTAINED snapshot for query vec 0 (exact re-rank
+    // over the ADC shortlist). Approximate retrieval → no SQL oracle;
+    // StructuredStreamingSpec pins cross-batch retrievability, bit parity
+    // with a full rebuild, and the replay guard.
+    "strm22_ivfpq_ingest" -> ((s, d) => {
+      import graft.operators.VersionedStore
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-strm22").toString
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val hist = e.filter(col("vec_id") % 4 === 0 && col("vec_id") =!= 0)
+      val arrivals = e.filter(col("vec_id") % 4 =!= 0 && col("vec_id") =!= 0)
+      val store = s"$tmp/store"
+      graft.llm.LlmOps.ivfpqBuild(train = e, index = hist, store = store)
+      val codesDir = s"$tmp/codes"
+      // seed the maintained snapshot with the bootstrap codes (distinct
+      // appId so the stream's replay guard only sees its own batches);
+      // pinned schemas throughout — an empty lake writes footer-less dirs
+      VersionedStore.commitTxn(
+        s.read.schema(CodesDdl).parquet(s"$store/codes"),
+        codesDir, "strm22-bootstrap", 0L, partitionBy = Seq("cell"))
+      val src = s"$tmp/src"
+      arrivals.repartition(3).write.parquet(src)
+      val schema = arrivals.schema
+      runIvfpqIngestStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(src),
+        store, codesDir, s"$tmp/ckpt", appId = "strm22")
+      VersionedStore.lastTxn(codesDir, "strm22").foreach { last =>
+        val replay = ivfpqIngestBatch(s.read.parquet(src), store, codesDir,
+          "strm22", batchId = last)
+        require(replay.isLeft,
+          s"replayed batch $last must be skipped, got $replay")
+      }
+      graft.llm.LlmOps.ivfpqProbe(e.filter(col("vec_id") === 0), e, store,
+        codes0 = Some(VersionedStore.read(s, codesDir,
+          schema = Some(CodesDdl))))
     }),
 
     // STRM-16 batch-replay: same windowedQuantiles transform the

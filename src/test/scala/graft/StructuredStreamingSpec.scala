@@ -575,6 +575,84 @@ class StructuredStreamingSpec extends SparkSpec {
     assert(ids === Array(1L, 2L, 3L, 4L, 5L),
       "each row ingested exactly once across resumed runs")
   }
+
+  test("strm22: streaming IVF-PQ maintenance — cross-batch vectors " +
+      "retrievable, codes bit-parity with a full rebuild, replay no-op, " +
+      "re-embeds upsert") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.operators.VersionedStore
+    import graft.llm.LlmOps
+    val root = java.nio.file.Files
+      .createTempDirectory("strm22-spec").toString
+    val e = Tables.embeddings(s, Sf0001).select("vec_id", "embedding")
+    val hist = e.filter(col("vec_id") % 4 === 0 && col("vec_id") =!= 0)
+    val arrivals = e.filter(col("vec_id") % 4 =!= 0 && col("vec_id") =!= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (store, codesDir) = (s"$root/store", s"$root/codes")
+    LlmOps.ivfpqBuild(train = e, index = hist, store = store)
+    VersionedStore.commitTxn(s.read.parquet(s"$store/codes"), codesDir,
+      "boot", 0L, partitionBy = Seq("cell"))
+    // arrivals stream in as TWO MemoryStream micro-batches
+    val input = MemoryStream[(Long, Array[Float])]
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    input.addData(b1.toSeq)
+    StreamOps.runIvfpqIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), store, codesDir,
+      s"$root/ckpt", appId = "strm22t")
+    input.addData(b2.toSeq)
+    StreamOps.runIvfpqIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), store, codesDir,
+      s"$root/ckpt", appId = "strm22t")
+    // cross-batch retrievability: probing with a batch-2 vector's own
+    // embedding returns that vector first (its cell is certainly probed,
+    // exact re-rank puts distance 0 on top)
+    val probeVec = b2.head._1
+    val got = LlmOps.ivfpqProbe(e.filter(col("vec_id") === probeVec), e,
+        store, codes0 = Some(VersionedStore.read(s, codesDir)))
+      .collect().map(_.getLong(0))
+    assert(got.head === probeVec,
+      s"batch-2 vector $probeVec must be retrievable, got ${got.head}")
+    // bit-parity with a train-once full rebuild against the SAME stored
+    // artifacts: identical (vec_id, sub, code, cell) sets
+    val store2 = s"$root/store2"
+    LlmOps.ivfpqBuild(train = e,
+      index = hist.unionByName(
+        e.filter(col("vec_id") % 4 =!= 0 && col("vec_id") =!= 0)),
+      store = store2,
+      cents0 = Some(s.read.parquet(s"$store/centroids")),
+      codebook0 = Some(s.read.parquet(s"$store/codebook")))
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long"), col("sub").cast("int"),
+        col("code").cast("int"), col("cell").cast("long"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val maintained = codeSet(VersionedStore.read(s, codesDir))
+    val rebuilt = codeSet(s.read.parquet(s"$store2/codes"))
+    assert(maintained === rebuilt,
+      "streamed snapshot must equal the full rebuild bit-for-bit")
+    // crash-replay of the last committed batch: txn-tag no-op, no version
+    val last = VersionedStore.lastTxn(codesDir, "strm22t").get
+    val nVersions = VersionedStore.versions(codesDir).size
+    val replay = StreamOps.ivfpqIngestBatch(
+      b2.toSeq.toDF("vec_id", "embedding"), store, codesDir,
+      "strm22t", batchId = last)
+    assert(replay.isLeft && VersionedStore.versions(codesDir).size ===
+      nVersions, "replayed batch must not commit")
+    // a re-embedded vector UPSERTS: still one row per (vec, sub), and its
+    // codes now encode the new embedding
+    val (rid, rvec) = b1.head
+    val shifted = rvec.map(v => -v)
+    StreamOps.ivfpqIngestBatch(Seq((rid, shifted)).toDF("vec_id", "embedding"),
+      store, codesDir, "strm22t", batchId = last + 1)
+    val after = VersionedStore.read(s, codesDir)
+    assert(after.groupBy("vec_id").count()
+      .filter(col("count") =!= 8).isEmpty, "one row per (vec, sub) per m=8")
+    val freshCodes = codeSet(after.filter(col("vec_id") === rid))
+    assert(freshCodes !== maintained.filter(_._1 == rid),
+      "re-embedded vector's codes must change")
+  }
 }
 
 /** documents-shaped record for the corpus-dedup stream. */
