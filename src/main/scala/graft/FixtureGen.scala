@@ -228,6 +228,21 @@ object FixtureGen {
     // the pathGlobFilter must skip this one
     write(s"$Dir/blobs/ignore.txt", "must-not-be-read\n")
 
+    // scan14: REAL PNG files (r12) — six genuine ImageIO-encoded images
+    // whose dimensions follow a pinned formula (w = 8+5i, h = 8+3i,
+    // gradient seed i), so the scan14 header-parse oracle recomputes the
+    // ground truth from the file NAME without needing a PNG decoder.
+    // Compressed bytes are encoder-version-dependent, so nothing pins the
+    // byte size — only the parsed header fields, which the PNG spec fixes.
+    new File(s"$Dir/pngs").mkdirs()
+    for (i <- 0 until 6) {
+      val fos = new FileOutputStream(s"$Dir/pngs/img_$i.png")
+      fos.write(graft.multimodal.MultimodalOps
+        .encodePngBytes(i.toLong, 8 + 5 * i, 8 + 3 * i))
+      fos.close()
+    }
+    write(s"$Dir/pngs/ignore.txt", "must-not-be-read\n")
+
     // scan11: XML catalog for Spark 4's built-in XML source. Exercises
     // attributes (id/kind), nested element arrays (tags/tag), an XML
     // entity escape (&amp;), an EMPTY child element (<tags/>) and an

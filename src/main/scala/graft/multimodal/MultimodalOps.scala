@@ -68,7 +68,7 @@ object MultimodalOps extends QueryModule {
     * column holds genuine compressed image bytes a real pipeline would
     * store, not a text stand-in. Raster samples are written raw
     * (setSample), so no color-management transform touches the values. */
-  val encodePng = udf { (id: Long, w: Int, h: Int) =>
+  def encodePngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val r = img.getRaster
@@ -83,6 +83,10 @@ object MultimodalOps extends QueryModule {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  val encodePng = udf { (id: Long, w: Int, h: Int) =>
+    encodePngBytes(id, w, h)
   }
 
   /** REAL PNG decode (the non-stub half of the decode tier): ImageIO
@@ -108,6 +112,34 @@ object MultimodalOps extends QueryModule {
           y += 1
         }
         (w, h, sum, sum.toDouble / (w.toLong * h))
+      }
+    }
+  }
+
+  /** REAL pixel features from a decoded PNG: the 8-bin gray-value
+    * histogram (bin = sample ÷ 32) — INTEGER features, so unlike
+    * [[featuresStub]]'s float vector the result is exactly
+    * oracle-checkable, and histogram bins are the primitive behind real
+    * perceptual features (contrast/exposure stats, pHash preprocessing).
+    * null for undecodable payloads, like [[decodePng]]. */
+  val pngHistogram = udf { payload: Array[Byte] =>
+    if (payload == null) null
+    else {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) null
+      else {
+        val bins = new Array[Long](8)
+        val r = img.getRaster
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            bins(r.getSample(x, y, 0) / 32) += 1; x += 1
+          }
+          y += 1
+        }
+        bins
       }
     }
   }
@@ -210,6 +242,22 @@ object MultimodalOps extends QueryModule {
         .select(col("doc_id"), size(col("features")).as("dim"),
           round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
         .orderBy("doc_id")),
+
+    // MM-5b: REAL pixel features — the 8-bin gray histogram of each
+    // decoded PNG, exploded to (doc_id, bin, n_px) rows. Integer
+    // end-to-end, so the oracle recomputes the exact bin counts from the
+    // generator's gradient formula; a decoder returning wrong samples
+    // (not just wrong dims) hash-mismatches. Encode+decode+histogram run
+    // partition-local in the scan projection, bytes never shuffle.
+    "mm5b_png_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"),
+          posexplode(pngHistogram(encodePng(col("doc_id"),
+            (pmod(col("doc_id"), lit(16)) + 8).cast("int"),
+            (pmod(col("doc_id"), lit(12)) + 8).cast("int")))))
+        .select(col("doc_id"), col("pos").as("bin"), col("col").as("n_px"))
+        .orderBy("doc_id", "bin")),
 
     // MM-6: binary header parse — the metadata-from-magic-bytes pattern
     // (image dims from a PNG IHDR, sample rate from a WAV header): fixed
@@ -395,6 +443,26 @@ object MultimodalOps extends QueryModule {
         |FROM documents d, unnest(range(1, length(d.text) + 1)) AS u(i)
         |GROUP BY d.doc_id, d.text
         |ORDER BY d.doc_id""".stripMargin,
+
+    // ground truth of the histogram: column x (h pixels) has value
+    // (id+x)%256 → bin (id+x)%256 // 32; all 8 bins emitted, zeros kept
+    "mm5b_png_histogram" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 16 + 8 AS INT) AS w,
+        |         CAST(doc_id % 12 + 8 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |cnt AS (
+        |  SELECT i.doc_id, ((i.doc_id + u.x) % 256) // 32 AS b,
+        |         CAST(SUM(i.h) AS BIGINT) AS n_px
+        |  FROM img i, unnest(range(0, i.w)) AS u(x)
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT i.doc_id, bn.b FROM img i, unnest(range(0, 8)) AS bn(b))
+        |SELECT g.doc_id, CAST(g.b AS INT) AS bin,
+        |  COALESCE(c.n_px, 0) AS n_px
+        |FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.b = g.b
+        |ORDER BY g.doc_id, bin""".stripMargin,
 
     // ground truth of the PNG generator: w = id%16+8, h = id%12+8, every
     // row carries the same (id + x) % 256 gradient → px_sum = h · Σ_x

@@ -217,6 +217,33 @@ object Scans extends QueryModule {
           md5(col("content")).as("content_md5"))
         .orderBy("file_name")),
 
+    // SCAN-14 (r12): real-format header parse at SCAN time — IHDR fields
+    // of genuine on-disk PNG files, extracted with codegen'd
+    // substring+hex+conv over the binary content: NO udf, NO decoder.
+    // The PNG spec fixes the layout (8-byte signature, 4-byte chunk
+    // length, "IHDR", then width/height as big-endian uint32 at offsets
+    // 17/21 and bit depth/color type at 25/26 — 1-indexed), so header
+    // metadata costs a 26-byte prefix inspection per file; at 100 TB of
+    // media this is the catalog-building pass that never inflates a
+    // payload (mm2b is the tier that does). Oracle = the fixture
+    // generator's pinned dimension formula, keyed by file name — a parse
+    // reading the wrong offsets or endianness hash-mismatches.
+    "scan14_png_headers" -> ((s, _) => {
+      def be(off: Int, len: Int) =
+        conv(hex(substring(col("content"), off, len)), 16, 10)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load("/root/repo/fixtures/pngs")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          decode(substring(col("content"), 2, 3), "UTF-8").as("magic"),
+          be(17, 4).cast("long").as("width"),
+          be(21, 4).cast("long").as("height"),
+          be(25, 1).cast("int").as("bit_depth"),
+          be(26, 1).cast("int").as("color_type"))
+        .orderBy("file_name")
+    }),
+
     // SINK-1: CSV sink (QUOTE_ALL dialect) → read back
     "sink1_csv" -> ((s, d) => {
       val out = s"$SinkDir/sink1_csv"
@@ -601,6 +628,19 @@ object Scans extends QueryModule {
         |  octet_length(content) AS n_bytes,
         |  md5(CAST(content AS VARCHAR)) AS content_md5
         |FROM read_blob('/root/repo/fixtures/blobs/*.bin')
+        |ORDER BY file_name""".stripMargin,
+
+    // the fixture generator's pinned formula (img_i.png: w=8+5i, h=8+3i,
+    // 8-bit grayscale) IS the ground truth the header parse must recover;
+    // the PNG spec fixes magic/bit_depth/color_type for this encoding
+    "scan14_png_headers" ->
+      """SELECT 'img_' || i || '.png' AS file_name,
+        |  'PNG' AS magic,
+        |  CAST(8 + 5 * i AS BIGINT) AS width,
+        |  CAST(8 + 3 * i AS BIGINT) AS height,
+        |  CAST(8 AS INT) AS bit_depth,
+        |  CAST(0 AS INT) AS color_type
+        |FROM range(0, 6) t(i)
         |ORDER BY file_name""".stripMargin,
 
     "sink1_csv" ->

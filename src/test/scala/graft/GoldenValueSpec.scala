@@ -127,4 +127,20 @@ class GoldenValueSpec extends SparkSpec {
       .collect().head
     assert(bad.isNullAt(0))
   }
+
+  test("scan14 fixtures: the codegen'd IHDR parse agrees with a full " +
+      "ImageIO decode of the same committed files") {
+    // ties the no-decode header path (scan14) to the real decoder (mm2b):
+    // if a future encoder change broke the pinned oracle formula, this
+    // cross-check localizes whether parse or fixture drifted
+    val parsed = SparkEntry.queries("scan14_png_headers")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+    assert(parsed.length === 6)
+    parsed.foreach { case (name, (w, h)) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.File(s"/root/repo/fixtures/pngs/$name"))
+      assert((img.getWidth.toLong, img.getHeight.toLong) === ((w, h)),
+        s"$name: header parse disagrees with the decoder")
+    }
+  }
 }
