@@ -229,14 +229,14 @@ object LlmOps extends QueryModule {
     * codebook (same recipe, same input, bit-deterministic) — one training
     * pass per (session, sf-dir, m) instead of one per query invocation
     * (×3 again under the bench's median-of-3). */
-  private def memoCodebook(s: SparkSession, d: String, m: Int): DataFrame =
+  private[graft] def memoCodebook(s: SparkSession, d: String, m: Int): DataFrame =
     graft.StageMemo.frame(s, s"llm28.codebook.m$m.$d")(
       pqTrain(Tables.embeddings(s, d), m = m))
 
   /** Memoized IVF coarse-quantizer centroids over the embeddings of `d` —
     * shared by llm28c's in-memory inverted file and llm28d/e's persisted
     * index build. */
-  private def memoIvfCentroids(s: SparkSession, d: String): DataFrame =
+  private[graft] def memoIvfCentroids(s: SparkSession, d: String): DataFrame =
     graft.StageMemo.frame(s, s"llm28.ivfcents.$d")(
       ivfCentroids(Tables.embeddings(s, d)))
 
@@ -304,6 +304,10 @@ object LlmOps extends QueryModule {
     pqEncodeLong(encodeInput.select("vec_id", "embedding"), cb,
         m = m, dim = dim)
       .join(encodeInput.select("vec_id", "cell"), "vec_id")
+      // cluster by cell first: one file per cell dir, not tasks × cells
+      // shards (sink14's file-sizing discipline; also what a 100 TB
+      // build wants — the serve path lists nprobe dirs of few files)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$store/codes")
   }
 
@@ -1445,6 +1449,55 @@ object LlmOps extends QueryModule {
           col("target_share"))
         .withColumn("weight", col("target_share") / col("actual_share"))
         .orderBy("pred_lang")
+    }),
+
+    // LLM-43 (r12): conversation-structure validation — the QA gate a
+    // chat-SFT pipeline runs on (role, content) turn lists before
+    // training: starts-with-user, strict role alternation, no empty
+    // contents, turn/char budgets. The corpus carries no chat data, so
+    // each doc deterministically BUILDS a conversation (first ≤6
+    // non-empty words as alternating turns, with docs ≡ 0 mod 7
+    // deliberately corrupted: turn 1's role repeats "user"), serializes
+    // it through to_json, and the OPERATOR is the real pipeline: parse
+    // the JSON back with from_json against a typed turn schema and
+    // validate with codegen'd higher-order array functions (exists over
+    // adjacent role pairs, forall over contents, aggregate for the char
+    // budget) — no explode, no window, one pass. The oracle recomputes
+    // the validation verdicts from the same word formulas WITHOUT the
+    // JSON round trip, so any drift in serialize→parse→validate (schema
+    // mismatch, lost turns, reordered fields) hash-mismatches.
+    // 100 TB: row-local projection; a real corpus skips the build step
+    // and starts at from_json over the raw JSONL column.
+    "llm43_chat_validate" -> ((s, d) => {
+      val words = filter(split(col("text"), " "), w => w =!= "")
+      val n = least(size(words), lit(6))
+      val turns = transform(sequence(lit(0), n - 1), i =>
+        struct(
+          when(col("doc_id") % 7 === 0 && i === 1, lit("user"))
+            .otherwise(when(i % 2 === 0, lit("user"))
+              .otherwise(lit("assistant"))).as("role"),
+          element_at(words, i + 1).as("content")))
+      val turnSchema = org.apache.spark.sql.types.DataType
+        .fromDDL("array<struct<role:string,content:string>>")
+      Tables.documents(s, d)
+        .filter(size(words) >= 2)
+        .select(col("doc_id"), to_json(turns).as("convo_json"))
+        .select(col("doc_id"),
+          from_json(col("convo_json"), turnSchema).as("turns"))
+        .select(col("doc_id"),
+          size(col("turns")).as("n_turns"),
+          (element_at(col("turns"), 1).getField("role") === "user")
+            .as("starts_with_user"),
+          (!exists(sequence(lit(1), size(col("turns")) - 1), i =>
+            element_at(col("turns"), i + 1).getField("role") ===
+              element_at(col("turns"), i).getField("role")))
+            .as("roles_alternate"),
+          forall(col("turns"), t => length(t.getField("content")) > 0)
+            .as("no_empty_turns"),
+          aggregate(col("turns"), lit(0L),
+            (acc, t) => acc + length(t.getField("content")))
+            .as("total_chars"))
+        .orderBy("doc_id")
     }),
 
     // language-ID by marker-token counting (deterministic heuristic; the
@@ -2868,6 +2921,26 @@ object LlmOps extends QueryModule {
         |   1.0 - CAST(t2.n_tri AS DOUBLE) / (t2.n_tok - 2) > 0.3) AS is_repetitive
         |FROM tri t2 JOIN top ON t2.doc_id = top.doc_id
         |ORDER BY t2.doc_id""".stripMargin,
+
+    // ground truth WITHOUT the JSON round trip: the build formulas imply
+    // every verdict (turn 0 is always "user"; the mod-7 corruption is the
+    // only alternation break; non-empty words → no empty contents)
+    "llm43_chat_validate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, ws[1:LEAST(len(ws), 6)] AS turns
+        |  FROM w WHERE len(ws) >= 2)
+        |SELECT doc_id,
+        |  CAST(len(turns) AS INT) AS n_turns,
+        |  true AS starts_with_user,
+        |  (doc_id % 7 <> 0) AS roles_alternate,
+        |  true AS no_empty_turns,
+        |  CAST(list_sum(list_transform(turns, x -> length(x))) AS BIGINT)
+        |    AS total_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "llm42_mix_budget" ->
       """WITH lang AS (

@@ -244,6 +244,18 @@ object Scans extends QueryModule {
         .orderBy("file_name")
     }),
 
+    // SCAN-15 (r12) / SOURCE-1: the `.ace` dump through the REAL
+    // DataSource V2 connector (sources/AceDataSource.scala) —
+    // `format("ace")`, class filter PUSHED into the source (whole
+    // paragraphs skipped from the header line, no residual Filter node;
+    // PlanSpec + AceSourceSpec assert), columns pruned at the reader.
+    // Same golden-CSV oracle family as mig1: the connector must produce
+    // exactly the datoms the UDF parser path produces.
+    "scan15_ace_dsv2" -> ((s, _) =>
+      s.read.format("ace").load(s"$FixturesDir/sample.ace")
+        .filter(col("cls") === "Gene")
+        .orderBy("ident", "path", "value", "op")),
+
     // SINK-1: CSV sink (QUOTE_ALL dialect) → read back
     "sink1_csv" -> ((s, d) => {
       val out = s"$SinkDir/sink1_csv"
@@ -629,6 +641,16 @@ object Scans extends QueryModule {
         |  md5(CAST(content AS VARCHAR)) AS content_md5
         |FROM read_blob('/root/repo/fixtures/blobs/*.bin')
         |ORDER BY file_name""".stripMargin,
+
+    // golden-dual of the DSv2 connector: same committed datom truth as
+    // mig1, with e split back into the connector's (cls, ident) columns
+    "scan15_ace_dsv2" ->
+      """SELECT split_part(e, ':', 1) AS cls,
+        |  substr(e, strpos(e, ':') + 1) AS ident, path, value, op
+        |FROM read_csv('/root/repo/fixtures/ace_datoms_golden.csv',
+        |              header=true, all_varchar=true)
+        |WHERE src = 'base' AND split_part(e, ':', 1) = 'Gene'
+        |ORDER BY ident, path, value, op""".stripMargin,
 
     // the fixture generator's pinned formula (img_i.png: w=8+5i, h=8+3i,
     // 8-bit grayscale) IS the ground truth the header parse must recover;
