@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryModule, Tables}
@@ -303,6 +303,34 @@ object Incremental extends QueryModule {
     (newSupport, untouched.unionByName(rebuilt))
   }
 
+  /** IVM-6 — maintain a per-group DDSketch-bucket histogram (the
+    * sketch's RELATIONAL state form: one (group, bucket, count) row per
+    * occupied log bucket) from a change feed. Sketch bucket counts are
+    * plain counters, so unlike an opaque serialized sketch the
+    * relational form maintains EXACTLY under deletes and updates:
+    * insert/update_postimage rows add 1 to their value's bucket,
+    * delete/update_preimage rows subtract 1, and zeroed buckets drop
+    * (the ivm3 zero-crossing discipline applied per bucket). Any
+    * quantile then reads off the maintained histogram by cumulative
+    * bucket mass over O(buckets) rows — v2's base is never rescanned.
+    * Cost: one churn-sized delta agg + a support merge keyed
+    * (group, bucket); at 100 TB the support table is O(groups × ~1k
+    * occupied buckets), KBs per group, co-located when hash-partitioned
+    * by group. */
+  def maintainBucketHistogram(oldSupport: DataFrame, feed: DataFrame,
+                              groupCol: String, bucketOf: Column): DataFrame = {
+    val delta = feed
+      .select(col(groupCol), bucketOf.as("i"),
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L).as("d"))
+      .groupBy(groupCol, "i").agg(sum("d").as("d"))
+      .filter(col("d") =!= 0) // cancelling churn touches nothing
+    oldSupport.join(delta, Seq(groupCol, "i"), "full_outer")
+      .select(col(groupCol), col("i"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("d"), lit(0L))).as("c"))
+      .filter(col("c") =!= 0)
+  }
+
   /** Per-(group, member) support + its top-k view of one store version. */
   def topkStateOf(s: SparkSession, root: String, version: Long,
                   k: Int): (DataFrame, DataFrame) = {
@@ -430,6 +458,54 @@ object Incremental extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // IVM-6: maintain the per-priority price-quantile SKETCH (DDSketch
+    // bucket histogram, α=0.01) under CDC — the approximate-analytics
+    // face of IVM: the maintained state is the O(groups × buckets)
+    // relational bucket table, maintained EXACTLY (counters add/subtract
+    // per feed image; zeroed buckets drop), and p50/p95 read off the
+    // maintained histogram by cumulative mass. v2's base is never read.
+    // Shares ivm4's two-version store (same memo key: price churn ×2 on
+    // mod-7, deletes on mod-5, inserts on mod-3-restored). The oracle
+    // recomputes v2's buckets directly from the source expression — the
+    // maintained histogram must land on the identical integer counts,
+    // and the quantile estimates on the identical one-pow doubles.
+    "ivm6_incremental_quantile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = graft.StageMemo.value(s, s"ivm4.store.$d") {
+        val r = s"${Scans.SinkDir}/ivm4_store_${Scans.dirTag(d)}"
+        buildTopkStore(s, d, r)
+        r
+      }
+      val gamma = (1 + 0.01) / (1 - 0.01)
+      def bucket(c: org.apache.spark.sql.Column) =
+        ceil(log(c) / log(lit(gamma))).cast("long")
+      val sup1 = VersionedStore.read(s, root, 1L)
+        .select(col("o_orderpriority"),
+          bucket(col("o_totalprice")).as("i"))
+        .groupBy("o_orderpriority", "i").agg(count(lit(1)).as("c"))
+      val feed = VersionedStore.changeFeed(s, root, 1L, 2L, Seq("o_orderkey"))
+      val sup2 = maintainBucketHistogram(sup1, feed,
+        "o_orderpriority", bucket(col("o_totalprice")))
+      val cumW = Window.partitionBy("o_orderpriority").orderBy("i")
+      val totW = Window.partitionBy("o_orderpriority")
+      sup2
+        .withColumn("cum", sum("c").over(cumW))
+        .withColumn("n", sum("c").over(totW))
+        .groupBy("o_orderpriority")
+        .agg(max("n").as("n_items"),
+          min(when(col("cum") >= floor(lit(0.5) * (col("n") - 1)) + 1,
+            col("i"))).as("p50_bucket"),
+          min(when(col("cum") >= floor(lit(0.95) * (col("n") - 1)) + 1,
+            col("i"))).as("p95_bucket"))
+        .select(col("o_orderpriority"), col("n_items"), col("p50_bucket"),
+          round(lit(2.0) * pow(lit(gamma), col("p50_bucket")) /
+            (lit(gamma) + 1), 2).as("p50_est"),
+          col("p95_bucket"),
+          round(lit(2.0) * pow(lit(gamma), col("p95_bucket")) /
+            (lit(gamma) + 1), 2).as("p95_est"))
+        .orderBy("o_orderpriority")
+    }),
+
     // IVM-4: the v2 top-3 spenders per priority produced from v1's view +
     // support table + the change feed — v2's base is never read, and only
     // groups the churn touched re-rank. The oracle recomputes the v2
@@ -525,6 +601,40 @@ object Incremental extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // v2's buckets recomputed directly from the source expression — the
+    // maintained histogram must land on identical integer counts (the
+    // agg23 bucket protocol over the ivm4 store's v2 definition)
+    "ivm6_incremental_quantile" -> {
+      val g = s"CAST(${(1 + 0.01) / (1 - 0.01)} AS DOUBLE)"
+      s"""WITH v2 AS (
+         |  SELECT o_orderpriority,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+         |         ELSE o_totalprice END AS p
+         |  FROM orders WHERE o_orderkey % 5 <> 0),
+         |b AS (
+         |  SELECT o_orderpriority,
+         |    CAST(CEIL(LN(p) / LN($g)) AS BIGINT) AS i, COUNT(*) AS c
+         |  FROM v2 GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT o_orderpriority, i,
+         |    SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY i) AS cum,
+         |    SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM b),
+         |q AS (
+         |  SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_items,
+         |    MIN(CASE WHEN cum >= FLOOR(0.5 * (n - 1)) + 1 THEN i END)
+         |      AS p50_bucket,
+         |    MIN(CASE WHEN cum >= FLOOR(0.95 * (n - 1)) + 1 THEN i END)
+         |      AS p95_bucket
+         |  FROM cum GROUP BY 1)
+         |SELECT o_orderpriority, n_items,
+         |  p50_bucket,
+         |  ROUND(2 * POWER($g, p50_bucket) / ($g + 1), 2) AS p50_est,
+         |  p95_bucket,
+         |  ROUND(2 * POWER($g, p95_bucket) / ($g + 1), 2) AS p95_est
+         |FROM q ORDER BY o_orderpriority""".stripMargin
+    },
+
     "ivm1_incremental_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2

@@ -256,6 +256,23 @@ object Scans extends QueryModule {
         .filter(col("cls") === "Gene")
         .orderBy("ident", "path", "value", "op")),
 
+    // SINK-16 (r12) / SOURCE-1 write half: `.ace` EXPORT through the DSv2
+    // connector — `df.write.format("ace")` with the writer's DECLARED
+    // clustering+ordering (RequiresDistributionAndOrdering: Spark plans
+    // the shuffle+sort so each paragraph holds one object's datoms, the
+    // writer streams with a one-key lookbehind), staged-file commit
+    // protocol, then a read back through the SAME connector. Oracle =
+    // the mig1 golden: the full write→read round trip must reproduce the
+    // committed datom truth exactly.
+    "sink16_ace_dsv2_write" -> ((s, _) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sink16").toString
+      s.read.format("ace").load(s"$FixturesDir/sample.ace")
+        .write.format("ace").mode("overwrite").save(s"$tmp/dump")
+      s.read.format("ace").load(s"$tmp/dump")
+        .orderBy("cls", "ident", "path", "value", "op")
+    }),
+
     // SINK-1: CSV sink (QUOTE_ALL dialect) → read back
     "sink1_csv" -> ((s, d) => {
       val out = s"$SinkDir/sink1_csv"
@@ -641,6 +658,15 @@ object Scans extends QueryModule {
         |  md5(CAST(content AS VARCHAR)) AS content_md5
         |FROM read_blob('/root/repo/fixtures/blobs/*.bin')
         |ORDER BY file_name""".stripMargin,
+
+    // the full write→read round trip lands on the same datom truth
+    "sink16_ace_dsv2_write" ->
+      """SELECT split_part(e, ':', 1) AS cls,
+        |  substr(e, strpos(e, ':') + 1) AS ident, path, value, op
+        |FROM read_csv('/root/repo/fixtures/ace_datoms_golden.csv',
+        |              header=true, all_varchar=true)
+        |WHERE src = 'base'
+        |ORDER BY cls, ident, path, value, op""".stripMargin,
 
     // golden-dual of the DSv2 connector: same committed datom truth as
     // mig1, with e split back into the connector's (cls, ident) columns

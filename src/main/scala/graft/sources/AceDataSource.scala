@@ -63,13 +63,19 @@ object AceDataSource {
     StructField("op", StringType)))
 }
 
-private[sources] class AceTable(path: String) extends Table with SupportsRead {
+private[sources] class AceTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"ace($path)"
   override def schema(): StructType = AceDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AceScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  : org.apache.spark.sql.connector.write.WriteBuilder =
+    new AceWriteBuilder(path, info.schema())
 }
 
 private[sources] class AceScanBuilder(path: String) extends ScanBuilder
@@ -134,6 +140,163 @@ private[sources] case class AceReaderFactory(pushed: Array[Filter],
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new AcePartitionReader(p.asInstanceOf[AceFilePartition].file,
       pushed, fields)
+}
+
+// ---- write path (SOURCE-1 write half) -------------------------------------
+
+/** `.ace` EXPORT through the same connector (`df.write.format("ace")`):
+  * the dump-producing side of the reference's pipeline (mig12's
+  * round-trip, as a first-class sink). The deep Spark feature here is
+  * [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]:
+  * a paragraph must hold ALL of one object's datoms contiguously, so the
+  * Write DECLARES clustering by (cls, ident) and a full sort — Spark
+  * plans the shuffle+sort; each DataWriter then streams paragraphs with a
+  * one-key lookbehind and zero buffering. Writers stage under
+  * `_staging-<uuid>/part-<pid>-<tid>.ace` (unique per task attempt, so
+  * speculative retries cannot collide) and the driver-side commit
+  * publishes exactly the files named in the commit messages — the
+  * local-FS miniature of a real output committer (at deploy:
+  * HadoopMapReduceCommitProtocol / a table-format transaction).
+  * Values embedding `"` or a newline cannot be represented by the .ace
+  * text format and fail the write loudly rather than corrupt the dump. */
+private[sources] class AceWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate()
+  : org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val want = AceDataSource.Schema.fieldNames.toSet
+    require(schema.fieldNames.toSet == want,
+      s"ace write expects columns $want, got ${schema.fieldNames.toSet}")
+    new AceWrite(path, schema, doTruncate)
+  }
+}
+
+private[sources] class AceWrite(path: String, schema: StructType,
+                                truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+
+  override def requiredDistribution()
+  : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(Expressions.column("cls"), Expressions.column("ident")))
+
+  override def requiredOrdering()
+  : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    AceDataSource.Schema.fieldNames.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+
+  override def toBatch
+  : org.apache.spark.sql.connector.write.BatchWrite =
+    new AceBatchWrite(path, schema, truncate)
+}
+
+private[sources] case class AceCommitMessage(stagedFile: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class AceBatchWrite(path: String, schema: StructType,
+                                     truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val staging =
+    s"$path/_staging-${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+  : org.apache.spark.sql.connector.write.DataWriterFactory =
+    AceWriterFactory(staging,
+      AceDataSource.Schema.fieldNames.map(schema.fieldIndex))
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+  : Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    if (truncate)
+      dir.listFiles().filter(_.getName.endsWith(".ace")).foreach(_.delete())
+    messages.foreach { case AceCommitMessage(staged) =>
+      val f = new java.io.File(staged)
+      if (f.exists()) {
+        val target = new java.io.File(dir, f.getName)
+        require(f.renameTo(target), s"commit failed publishing $staged")
+      }
+    }
+    abort(Array.empty) // sweep the (now-empty) staging dir
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+  : Unit = {
+    val st = new java.io.File(staging)
+    if (st.exists()) {
+      st.listFiles().foreach(_.delete()); st.delete()
+    }
+  }
+}
+
+private[sources] case class AceWriterFactory(staging: String,
+                                             fieldIdx: Array[Int])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+  : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new AceDataWriter(staging, s"part-$partitionId-$taskId.ace", fieldIdx)
+}
+
+private[sources] class AceDataWriter(staging: String, name: String,
+                                     fieldIdx: Array[Int])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val file = new java.io.File(staging, name)
+  private var out: java.io.BufferedWriter = _
+  private var curCls: String = _
+  private var curIdent: String = _
+
+  // lazily opened: an empty partition publishes no file at all
+  private def writer(): java.io.BufferedWriter = {
+    if (out == null) {
+      file.getParentFile.mkdirs()
+      out = java.nio.file.Files.newBufferedWriter(file.toPath,
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    out
+  }
+
+  private def str(row: InternalRow, i: Int): String = {
+    val v = row.getUTF8String(fieldIdx(i))
+    require(v != null, "ace write: null field")
+    val s = v.toString
+    require(!s.contains("\"") && !s.contains("\n"),
+      s"ace text format cannot represent quotes/newlines: $s")
+    s
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val (cls, ident) = (str(row, 0), str(row, 1))
+    val (p, value, op) = (str(row, 2), str(row, 3), str(row, 4))
+    val w = writer()
+    if (cls != curCls || ident != curIdent) {
+      if (curCls != null) w.write("\n")
+      w.write(s"""$cls : "$ident"""" + "\n")
+      curCls = cls; curIdent = ident
+    }
+    val prefix = if (op == "retract") "-D " else ""
+    w.write(s"""$prefix${p.split("\\.").mkString(" ")} "$value"""" + "\n")
+  }
+
+  override def commit()
+  : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out != null) out.close()
+    AceCommitMessage(file.toString)
+  }
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    file.delete(): Unit
+  }
+  override def close(): Unit = ()
 }
 
 private[sources] class AcePartitionReader(file: String,

@@ -81,6 +81,64 @@ class AceSourceSpec extends SparkSpec {
       Array("G0", "G1", "G2"))
   }
 
+  test("write path: Spark plans the writer-DECLARED clustering+sort, " +
+      "and the round trip reproduces every datom") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ace-write").toString
+    val datoms = Seq(
+      ("Gene", "G2", "CGC_name", "b", "assert"),
+      ("Gene", "G1", "CGC_name", "a", "assert"),
+      ("Gene", "G1", "RNASeq.FPKM", "3.5", "assert"),
+      ("Gene", "G1", "Other_name", "x", "retract"),
+      ("Protein", "P1", "Peptide", "MK", "assert"))
+      .toDF("cls", "ident", "path", "value", "op")
+    val q = datoms.repartition(4) // scattered input: the WRITER's declared
+      // distribution must re-cluster it, not the caller
+    q.write.format("ace").mode("overwrite").save(tmp)
+    val back = spark.read.format("ace").load(tmp)
+      .collect().map(_.toSeq).toSet
+    assert(back === datoms.collect().map(_.toSeq).toSet,
+      "round trip must reproduce every datom incl. the -D retraction " +
+        "and the dotted path")
+    // no object's paragraph may split across files: each (cls, ident)
+    // appears in exactly one .ace part file
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".ace"))
+    val perFile = files.map { f =>
+      val text = java.nio.file.Files.readString(f.toPath)
+      "(?m)^(\\S+) : \"([^\"]+)\"$".r.findAllMatchIn(text)
+        .map(m => (m.group(1), m.group(2))).toSet
+    }
+    val all = perFile.flatten
+    assert(all.size === all.toSet.size,
+      "an object's datoms split across part files — clustering not applied")
+  }
+
+  test("write path: overwrite truncates prior dumps; quotes/newlines in " +
+      "values fail loudly instead of corrupting the format") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ace-trunc").toString
+    def one(ident: String) =
+      Seq(("Gene", ident, "CGC_name", "v", "assert"))
+        .toDF("cls", "ident", "path", "value", "op")
+    one("OLD").write.format("ace").mode("overwrite").save(tmp)
+    one("NEW").write.format("ace").mode("overwrite").save(tmp)
+    val idents = spark.read.format("ace").load(tmp)
+      .select("ident").collect().map(_.getString(0)).toSeq
+    assert(idents === Seq("NEW"), "overwrite must replace the old dump")
+    val poison = Seq(("Gene", "G1", "CGC_name", "has \" quote", "assert"))
+      .toDF("cls", "ident", "path", "value", "op")
+    val err = intercept[Exception] {
+      poison.write.format("ace").mode("append").save(tmp)
+    }
+    assert(err.toString.contains("cannot represent") ||
+      err.getCause != null, s"poison value must fail the write: $err")
+    // the failed write must not have corrupted the committed dump
+    assert(spark.read.format("ace").load(tmp).count() === 1)
+  }
+
   test("op IN pushdown prunes per datom") {
     val df = viaDsv2.filter(col("op").isin("retract"))
     val p = df.queryExecution.executedPlan.toString

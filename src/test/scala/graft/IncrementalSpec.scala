@@ -265,4 +265,42 @@ class IncrementalSpec extends SparkSpec {
     val stable = Incremental.maintainTopK(v1, sup1, noop, "g", "m", "v", k = 2)
     assert(stable.collect().toSet === v1.collect().toSet)
   }
+
+  test("ivm6: bucket histogram maintains exactly — births, deaths, " +
+      "zero-crossing drops, and cancelling churn") {
+    val s = spark
+    import s.implicits._
+    // bucketOf(v) = the value itself (identity buckets keep the golden
+    // arithmetic readable; the production bucket expr is just a column)
+    val sup1 = Seq(("g1", 10L, 2L), ("g1", 20L, 1L), ("g2", 10L, 1L))
+      .toDF("g", "i", "c")
+    val feed = Seq(
+      ("insert", "g1", 30L),            // birth of bucket 30
+      ("delete", "g1", 20L),            // bucket 20 crosses zero → drops
+      ("update_preimage", "g1", 10L),   // one of bucket 10's two moves...
+      ("update_postimage", "g1", 30L),  // ...into bucket 30
+      ("update_preimage", "g2", 10L),   // cancelling churn: pre == post
+      ("update_postimage", "g2", 10L))
+      .toDF("_change_type", "g", "v")
+    val got = Incremental.maintainBucketHistogram(sup1, feed, "g", col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("g1", 10L, 1L), ("g1", 30L, 2L), ("g2", 10L, 1L)))
+    // maintained == recompute on the ivm4 store (the declared query path)
+    val root = "/root/repo/target/tmp-sinks/ivm6_spec_store"
+    Incremental.buildTopkStore(spark, Sf0001, root)
+    val gamma = (1 + 0.01) / (1 - 0.01)
+    def bucket(c: org.apache.spark.sql.Column) =
+      ceil(log(c) / log(lit(gamma))).cast("long")
+    def bucketsOf(v: Long) = VersionedStore.read(spark, root, v)
+      .select(col("o_orderpriority"), bucket(col("o_totalprice")).as("i"))
+      .groupBy("o_orderpriority", "i").agg(count(lit(1)).as("c"))
+    val storeFeed = VersionedStore.changeFeed(spark, root, 1L, 2L,
+      Seq("o_orderkey"))
+    val maintained = Incremental.maintainBucketHistogram(bucketsOf(1L),
+        storeFeed, "o_orderpriority", bucket(col("o_totalprice")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val recomputed = bucketsOf(2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained === recomputed)
+  }
 }
