@@ -265,8 +265,7 @@ object Scans extends QueryModule {
     // the mig1 golden: the full write→read round trip must reproduce the
     // committed datom truth exactly.
     "sink16_ace_dsv2_write" -> ((s, _) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-sink16").toString
+      val tmp = graft.TmpStores.scratch("sink16")
       s.read.format("ace").load(s"$FixturesDir/sample.ace")
         .write.format("ace").mode("overwrite").save(s"$tmp/dump")
       s.read.format("ace").load(s"$tmp/dump")

@@ -29,15 +29,35 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reader materializes only requested fields; a `count(*)` emits
   *    zero-width rows.
   *
-  * Layout: one [[InputPartition]] per `.ace` file — the reference's
-  * per-class dump parallelism; paragraphs are blank-line-delimited, a
-  * header `Class : "Ident"` then `Tag [Subtag…] "value"` body lines with
-  * `-D` retraction prefix. Body parsing delegates to the SAME
-  * `MigrationOps.parseAceParagraph` the UDF path uses, so the two paths
-  * cannot drift (AceSourceSpec pins row parity). Files are read whole —
-  * an `.ace` dump is per-class and paragraph-delimited, the
-  * one-task-per-file shape scan13 documents; a splittable production
-  * variant would chunk on blank-line boundaries.
+  * Layout: **splittable byte-range [[InputPartition]]s over the Hadoop
+  * FS API** — the reference dumps one file per class
+  * (runcommand.py:134-150), so a large class is one giant file; a
+  * one-partition-per-file connector would put a 100-GB class on a
+  * single task's heap. Instead each file ≥ the split size (default
+  * `spark.sql.files.maxPartitionBytes`, override with option
+  * `splitSize`) is cut into byte ranges, and each reader STREAMS
+  * paragraphs with a bounded buffer — the Hadoop LineRecordReader
+  * recipe adapted to the blank-line paragraph delimiter:
+  *
+  *  - ownership rule: a paragraph whose first content byte is at offset
+  *    `p` belongs to the split `[s, s+len)` with `p ∈ (s, s+len]`
+  *    (first split: `p ∈ [0, len]`). No paragraph is lost or read
+  *    twice across split boundaries.
+  *  - a split with `s > 0` seeks back to the start of the line
+  *    containing `s` (bounded 64 KiB lookbehind), then skips through
+  *    that paragraph's blank-line terminator before emitting — whether
+  *    `s` landed mid-content, mid-separator, or exactly on a paragraph
+  *    start, the preceding split (which reads until its consumed
+  *    paragraph START passes its end) owns the straddler.
+  *  - a line longer than the lookbehind window cannot be blank in any
+  *    real dump, so the fallback (discard the partial line, then skip
+  *    to the next separator) preserves the rule.
+  *
+  * Paragraphs are a header `Class : "Ident"` then `Tag [Subtag…]
+  * "value"` body lines with `-D` retraction prefix. Body parsing
+  * delegates to the SAME `MigrationOps.parseAceParagraph` the UDF path
+  * uses, so the two paths cannot drift (AceSourceSpec pins row parity,
+  * including a multi-split single-file fixture).
   *
   * Schema: (cls, ident, path, value, op) — all strings; `e` of the datom
   * model is `cls || ':' || ident`.
@@ -71,14 +91,16 @@ private[sources] class AceTable(path: String) extends Table
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AceScanBuilder(path)
+    new AceScanBuilder(path, options)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
   : org.apache.spark.sql.connector.write.WriteBuilder =
     new AceWriteBuilder(path, info.schema())
 }
 
-private[sources] class AceScanBuilder(path: String) extends ScanBuilder
+private[sources] class AceScanBuilder(path: String,
+                                      options: CaseInsensitiveStringMap)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -104,11 +126,15 @@ private[sources] class AceScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AceScan(path, pushed, required)
+  override def build(): Scan =
+    new AceScan(path, pushed, required,
+      Option(options.get("splitsize")).map(_.toLong))
 }
 
 private[sources] class AceScan(path: String, pushed: Array[Filter],
-                               required: StructType) extends Scan with Batch {
+                               required: StructType,
+                               splitSizeOpt: Option[Long])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -118,28 +144,63 @@ private[sources] class AceScan(path: String, pushed: Array[Filter],
     s"AceScan PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.catalogString}"
 
+  /** Byte-range splits over the Hadoop FS API (works off local disk:
+    * hdfs://, s3a://, …). One split per `splitSize` bytes of each file;
+    * the reader resolves paragraph boundaries (see class doc), so a
+    * giant per-class dump file parallelizes across the cluster instead
+    * of loading one executor's heap. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root))
+      throw new IllegalArgumentException(
+        s"ace load path does not exist: $path")
     val files =
-      if (f.isDirectory)
-        f.listFiles().filter(_.getName.endsWith(".ace")).map(_.toString).sorted
-      else Array(path)
-    files.map(AceFilePartition(_): InputPartition)
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".ace"))
+          .sortBy(_.getPath.getName).toSeq
+      else Seq(fs.getFileStatus(root))
+    if (files.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(classOf[AceScan]).warn(
+        s"ace load matched zero .ace files under $path — empty scan")
+    val splitSize = splitSizeOpt.getOrElse {
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes"))
+      catch { case _: Exception => 128L * 1024 * 1024 }
+    }.max(1L)
+    files.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + splitSize - 1) / splitSize).toInt
+      (0 until n).map { i =>
+        val start = i.toLong * splitSize
+        AceSplitPartition(st.getPath.toString, start,
+          math.min(splitSize, len - start)): InputPartition
+      }
+    }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    AceReaderFactory(pushed, required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    AceReaderFactory(pushed, required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+  }
 }
 
-private[sources] case class AceFilePartition(file: String)
+private[sources] case class AceSplitPartition(file: String, start: Long,
+                                              length: Long)
   extends InputPartition
 
-private[sources] case class AceReaderFactory(pushed: Array[Filter],
-                                             fields: Array[String])
+private[sources] case class AceReaderFactory(
+    pushed: Array[Filter], fields: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new AcePartitionReader(p.asInstanceOf[AceFilePartition].file,
-      pushed, fields)
+    new AcePartitionReader(p.asInstanceOf[AceSplitPartition],
+      pushed, fields, conf.value)
 }
 
 // ---- write path (SOURCE-1 write half) -------------------------------------
@@ -218,12 +279,15 @@ private[sources] class AceBatchWrite(path: String, schema: StructType,
     dir.mkdirs()
     if (truncate)
       dir.listFiles().filter(_.getName.endsWith(".ace")).foreach(_.delete())
-    messages.foreach { case AceCommitMessage(staged) =>
+    // "" = the task's partition was empty and staged nothing; any other
+    // staged path MUST exist — a committed task whose output vanished is
+    // a job-level failure, never a silent drop.
+    messages.foreach { case AceCommitMessage(staged) if staged.nonEmpty =>
       val f = new java.io.File(staged)
-      if (f.exists()) {
-        val target = new java.io.File(dir, f.getName)
-        require(f.renameTo(target), s"commit failed publishing $staged")
-      }
+      require(f.exists(), s"commit message names missing staged file $staged")
+      val target = new java.io.File(dir, f.getName)
+      require(f.renameTo(target), s"commit failed publishing $staged")
+    case _ => ()
     }
     abort(Array.empty) // sweep the (now-empty) staging dir
   }
@@ -277,6 +341,21 @@ private[sources] class AceDataWriter(staging: String, name: String,
   override def write(row: InternalRow): Unit = {
     val (cls, ident) = (str(row, 0), str(row, 1))
     val (p, value, op) = (str(row, 2), str(row, 3), str(row, 4))
+    // validate the FULL representable domain of the text format — a value
+    // the read side's grammar would drop or mutate must fail the task
+    // loudly here, not round-trip corrupted (the header regex needs a
+    // whitespace-free cls and non-empty ident; path segments become
+    // space-joined tags, so whitespace inside a segment would re-parse as
+    // extra segments; only assert/retract ops exist in the grammar).
+    require(cls.nonEmpty && !cls.exists(_.isWhitespace),
+      s"ace header cannot represent class '$cls' (empty or whitespace)")
+    require(ident.nonEmpty, s"ace header cannot represent an empty ident")
+    val segs = p.split("\\.", -1)
+    require(segs.nonEmpty && segs.forall(s =>
+        s.nonEmpty && !s.exists(_.isWhitespace)),
+      s"ace line cannot represent path '$p' (empty/whitespace segment)")
+    require(op == "assert" || op == "retract",
+      s"ace op must be assert|retract, got '$op'")
     val w = writer()
     if (cls != curCls || ident != curIdent) {
       if (curCls != null) w.write("\n")
@@ -284,13 +363,13 @@ private[sources] class AceDataWriter(staging: String, name: String,
       curCls = cls; curIdent = ident
     }
     val prefix = if (op == "retract") "-D " else ""
-    w.write(s"""$prefix${p.split("\\.").mkString(" ")} "$value"""" + "\n")
+    w.write(s"""$prefix${segs.mkString(" ")} "$value"""" + "\n")
   }
 
   override def commit()
   : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (out != null) out.close()
-    AceCommitMessage(file.toString)
+    if (out == null) AceCommitMessage("") // empty partition: nothing staged
+    else { out.close(); AceCommitMessage(file.toString) }
   }
   override def abort(): Unit = {
     if (out != null) out.close()
@@ -299,10 +378,18 @@ private[sources] class AceDataWriter(staging: String, name: String,
   override def close(): Unit = ()
 }
 
-private[sources] class AcePartitionReader(file: String,
+/** Streams one byte-range split of an `.ace` file: bounded memory (one
+  * paragraph buffered at a time), exact split-boundary ownership (see
+  * [[AceDataSource]] class doc), header-level class gate BEFORE body
+  * parsing — a pushed `cls` filter skips non-matching paragraphs without
+  * parsing a single body line. */
+private[sources] class AcePartitionReader(part: AceSplitPartition,
                                           pushed: Array[Filter],
-                                          fields: Array[String])
+                                          fields: Array[String],
+                                          hconf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
+
+  private val Lookbehind = 64 * 1024
 
   private def accepts(col: String, v: String): Boolean =
     pushed.forall {
@@ -313,30 +400,96 @@ private[sources] class AcePartitionReader(file: String,
 
   private val headerRe = """^(\S+) : "(.+)"$""".r
 
-  // header-level class gate BEFORE body parsing — the pushdown win
-  private val iter: Iterator[Array[String]] = {
-    val text = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
+  private val hpath = new org.apache.hadoop.fs.Path(part.file)
+  private val fs = hpath.getFileSystem(hconf)
+  private val end = part.start + part.length // own paragraphs starting ≤ end
+  private val raw = fs.open(hpath)
+
+  // byte-tracked line reader: pos = offset of the next unread byte;
+  // scanning for '\n' bytes is UTF-8-safe (no multibyte unit is 0x0A)
+  private var in: java.io.InputStream = _
+  private var pos: Long = _
+  private val lineBuf = new java.io.ByteArrayOutputStream(256)
+  private def openAt(offset: Long): Unit = {
+    raw.seek(offset)
+    in = new java.io.BufferedInputStream(raw, 64 * 1024)
+    pos = offset
+  }
+  /** one line without its '\n'; null at EOF; advances pos past the '\n' */
+  private def readLine(): String = {
+    var b = in.read()
+    if (b == -1) return null
+    lineBuf.reset()
+    while (b != -1 && b != '\n') { lineBuf.write(b); b = in.read() }
+    pos += lineBuf.size() + (if (b == '\n') 1 else 0)
+    new String(lineBuf.toByteArray,
       java.nio.charset.StandardCharsets.UTF_8)
-    text.split("\n\\s*\n").iterator.flatMap { para =>
-      para.linesIterator.map(_.trim).find(_.nonEmpty) match {
-        case Some(headerRe(cls, ident)) if accepts("cls", cls) =>
-          graft.migration.MigrationOps.parseAceParagraph(para)
-            .iterator
-            .filter(d => accepts("op", d.op))
-            .map { d =>
-              fields.map {
-                case "cls" => cls
-                case "ident" => ident
-                case "path" => d.path
-                case "value" => d.value
-                case "op" => d.op
-              }
-            }
-        case _ => Iterator.empty
-      }
+  }
+  private def isBlank(s: String): Boolean = s.forall(_.isWhitespace)
+  private def skipToSeparator(): Unit = {
+    var l = readLine()
+    while (l != null && !isBlank(l)) l = readLine()
+  }
+
+  // position the stream at the first paragraph this split OWNS
+  if (part.start == 0L) openAt(0L)
+  else {
+    // seek back to the start of the line containing byte `start`
+    val back = math.max(0L, part.start - Lookbehind)
+    val window = new Array[Byte]((part.start - back).toInt)
+    raw.readFully(back, window)
+    val nl = window.lastIndexOf('\n'.toByte)
+    if (nl >= 0 || back == 0L) {
+      openAt(if (nl >= 0) back + nl + 1 else 0L)
+      val l0 = readLine() // the full line containing byte `start`
+      // mid-content (or a paragraph starting exactly at `start`, owned
+      // by the previous split): skip through its terminator. Mid-
+      // separator: the next content line already starts > start.
+      if (l0 != null && !isBlank(l0)) skipToSeparator()
+    } else {
+      // >64 KiB without a newline: the line containing `start` is
+      // content (blank lines are short); same skip, minus the seek-back
+      openAt(part.start)
+      readLine() // discard the partial line
+      skipToSeparator()
     }
   }
+
+  /** next (paragraphText, headerLine) whose start offset this split
+    * owns, or null when the split is exhausted */
+  private def nextParagraph(): (String, String) = {
+    // skip separator run
+    var pStart = pos
+    var line = readLine()
+    while (line != null && isBlank(line)) { pStart = pos; line = readLine() }
+    if (line == null || pStart > end) return null
+    val sb = new StringBuilder(line)
+    val header = line
+    var l = readLine()
+    while (l != null && !isBlank(l)) { sb.append('\n').append(l); l = readLine() }
+    (sb.toString, header)
+  }
+
+  private val iter: Iterator[Array[String]] =
+    Iterator.continually(nextParagraph()).takeWhile(_ != null)
+      .flatMap { case (para, header) =>
+        header.trim match {
+          case headerRe(cls, ident) if accepts("cls", cls) =>
+            graft.migration.MigrationOps.parseAceParagraph(para)
+              .iterator
+              .filter(d => accepts("op", d.op))
+              .map { d =>
+                fields.map {
+                  case "cls" => cls
+                  case "ident" => ident
+                  case "path" => d.path
+                  case "value" => d.value
+                  case "op" => d.op
+                }
+              }
+          case _ => Iterator.empty
+        }
+      }
 
   private var current: Array[String] = _
   override def next(): Boolean =
@@ -344,5 +497,5 @@ private[sources] class AcePartitionReader(file: String,
   override def get(): InternalRow =
     new GenericInternalRow(
       current.map(UTF8String.fromString(_): Any))
-  override def close(): Unit = ()
+  override def close(): Unit = raw.close()
 }

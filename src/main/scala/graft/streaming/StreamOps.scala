@@ -810,8 +810,7 @@ object StreamOps extends QueryModule {
     // oracle's direct read. Fresh temp dirs per call: the query is about
     // ingest correctness, not resume (the spec covers resume).
     "strm14_file_ingest" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-strm14").toString
+      val tmp = graft.TmpStores.scratch("strm14")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       fileIngestAvailableNow(s, d, s"$tmp/ckpt", s"$tmp/out", schema,
         globFilter = Some("events.parquet"))
@@ -830,8 +829,7 @@ object StreamOps extends QueryModule {
     // the oracle (plain per-user COUNT(*)); the txn tag makes it a no-op.
     "strm15_idempotent_ingest" -> ((s, d) => {
       import graft.operators.VersionedStore
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-strm15").toString
+      val tmp = graft.TmpStores.scratch("strm15")
       val src = s"$tmp/src"
       Tables.events(s, d).select("user_id", "event_id")
         .repartition(4).write.parquet(src)
@@ -867,8 +865,7 @@ object StreamOps extends QueryModule {
     // with a full rebuild, and the replay guard.
     "strm22_ivfpq_ingest" -> ((s, d) => {
       import graft.operators.VersionedStore
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-strm22").toString
+      val tmp = graft.TmpStores.scratch("strm22")
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val hist = e.filter(col("vec_id") % 4 === 0 && col("vec_id") =!= 0)
       val arrivals = e.filter(col("vec_id") % 4 =!= 0 && col("vec_id") =!= 0)

@@ -65,6 +65,76 @@ class AceSourceSpec extends SparkSpec {
     assert(viaDsv2.count() === viaUdf.count())
   }
 
+  test("one file splits into byte-range partitions with exact row parity " +
+      "vs the UDF path") {
+    // force ≥3 splits of the 508-byte fixture; split boundaries land
+    // mid-paragraph, mid-line, and mid-separator — the ownership rule
+    // must lose nothing and duplicate nothing
+    val df = spark.read.format("ace").option("splitSize", "150")
+      .load(Sample)
+    assert(df.rdd.getNumPartitions >= 3,
+      "a file larger than splitSize must yield multiple input partitions")
+    val a = df.collect().map(_.toSeq).toSet
+    val b = viaUdf.collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a === b)
+    // pushdown still works across splits
+    assert(spark.read.format("ace").option("splitSize", "150").load(Sample)
+      .filter(col("cls") === "Gene").count() ===
+      viaUdf.filter(col("cls") === "Gene").count())
+  }
+
+  test("split-boundary sweep: every split size yields identical rows " +
+      "(multiset, not set) — no paragraph lost or read twice") {
+    val want = viaUdf.collect().map(_.toSeq).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    for (sz <- Seq(16, 31, 57, 100, 137, 254, 507, 508, 4096)) {
+      val got = spark.read.format("ace")
+        .option("splitSize", sz.toString).load(Sample)
+        .collect().map(_.toSeq).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === want, s"row multiset drift at splitSize=$sz")
+    }
+  }
+
+  test("heap-bound: a forked 48 MiB JVM streams a 64 MiB dump through " +
+      "the split readers (whole-file materialization would OOM)") {
+    val f = java.io.File.createTempFile("ace-heap", ".ace")
+    f.deleteOnExit()
+    val out = new java.io.BufferedWriter(new java.io.FileWriter(f))
+    val pad = "x" * 120
+    var bytes = 0L
+    var i = 0
+    while (bytes < 64L * 1024 * 1024) {
+      val para = s"""Gene : "G$i"
+                    |CGC_name "n$i-$pad"
+                    |Other_name "o$i-$pad"
+                    |""".stripMargin + "\n"
+      out.write(para); bytes += para.length; i += 1
+    }
+    out.close()
+    val cp = Seq("target/scala-2.13/classes",
+      "/opt/spark/jars/*").mkString(":")
+    val cmd = Seq("java", "-Xmx48m", "-cp", cp,
+      "graft.sources.AceHeapProbe", f.getAbsolutePath, (16L * 1024 * 1024).toString)
+    val sb = new StringBuilder
+    val rc = scala.sys.process.Process(cmd, new java.io.File("/root/repo"))
+      .!(scala.sys.process.ProcessLogger(l => sb.append(l).append('\n')))
+    assert(rc === 0, s"probe JVM failed (OOM = not streaming):\n$sb")
+    assert(sb.toString.contains(s"ROWS=${2L * i}"),
+      s"probe must count 2 datoms per $i paragraphs:\n$sb")
+    f.delete()
+  }
+
+  test("a missing load path fails with a meaningful error, not an NPE") {
+    val err = intercept[Exception] {
+      spark.read.format("ace").load("/root/repo/fixtures/does-not-exist")
+        .count()
+    }
+    assert(err.toString.contains("does not exist") ||
+      (err.getCause != null && err.getCause.toString.contains("does not exist")),
+      s"want a named-path error, got $err")
+  }
+
   test("a directory load maps one partition per .ace file") {
     val dir = java.nio.file.Files
       .createTempDirectory("ace-dsv2").toString
