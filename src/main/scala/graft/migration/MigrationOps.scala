@@ -341,22 +341,62 @@ object MigrationOps extends QueryModule {
     * step is safe — all graft sinks write mode overwrite). */
   case class Step(name: String, run: SparkSession => Unit)
 
+  /** Pluggable per-step lifecycle hooks — the reference wraps every
+    * migration step in Slack notifications (notifications.py:75-82,
+    * runcommand.py:403-406); here the transport is an interface so an
+    * operator plugs in whatever channel exists (log line, webhook,
+    * metrics counter) without touching the runner. `onFailure` fires
+    * BEFORE the error propagates — the step's marker is never written,
+    * so a resume retries it. */
+  trait StepObserver {
+    def onStart(index: Int, name: String): Unit = ()
+    def onSuccess(index: Int, name: String): Unit = ()
+    def onFailure(index: Int, name: String, error: Throwable): Unit = ()
+    /** step already checkpointed — resumed run skips it */
+    def onSkip(index: Int, name: String): Unit = ()
+  }
+
+  /** Default observer: one log line per lifecycle event (the reference's
+    * `log-notify` path when Slack is unconfigured). */
+  object LoggingStepObserver extends StepObserver {
+    private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline")
+    override def onStart(i: Int, n: String): Unit =
+      log.info(s"step $i '$n' starting")
+    override def onSuccess(i: Int, n: String): Unit =
+      log.info(s"step $i '$n' completed")
+    override def onFailure(i: Int, n: String, e: Throwable): Unit =
+      log.error(s"step $i '$n' FAILED: $e")
+    override def onSkip(i: Int, n: String): Unit =
+      log.info(s"step $i '$n' already done — skipped (resume)")
+  }
+
   /** Step-granular checkpoint/resume: marker file per completed step, skip
     * on resume — the Spark-side analogue of the reference's shelve-backed
     * last-step-ok index. Driver-side filesystem markers only; all data work
     * happens in Spark jobs. */
-  class PipelineRunner(checkpointDir: String) {
+  class PipelineRunner(checkpointDir: String,
+                       observer: StepObserver = LoggingStepObserver) {
     private val dir = new java.io.File(checkpointDir)
     dir.mkdirs()
     private def marker(i: Int) = new java.io.File(dir, f"step-$i%03d.done")
 
-    /** Runs steps not yet marked done, in order; returns per-step status. */
+    /** Runs steps not yet marked done, in order; returns per-step status.
+      * Observer contract per step: skip → `onSkip` only; success →
+      * `onStart` then `onSuccess` (after the marker is durable); failure →
+      * `onStart` then `onFailure`, marker unwritten, error rethrown. */
     def run(s: SparkSession, steps: Seq[Step]): Seq[(Int, String, String)] =
       steps.zipWithIndex.map { case (st, i) =>
-        if (marker(i).exists()) (i, st.name, "skipped")
-        else {
-          st.run(s)
+        if (marker(i).exists()) {
+          observer.onSkip(i, st.name)
+          (i, st.name, "skipped")
+        } else {
+          observer.onStart(i, st.name)
+          try st.run(s)
+          catch {
+            case e: Throwable => observer.onFailure(i, st.name, e); throw e
+          }
           marker(i).createNewFile()
+          observer.onSuccess(i, st.name)
           (i, st.name, "ran")
         }
       }

@@ -373,6 +373,25 @@ object Scans extends QueryModule {
       s.read.parquet(out).select("r_regionkey", "r_name").orderBy("r_regionkey")
     }),
 
+    // SINK-17 (r13): the object-store write path exercised END-TO-END,
+    // in-process — `s3m://` is a Hadoop FileSystem with real S3 semantics
+    // (flat keys, PUT-on-close atomic visibility, COPY+DELETE per-key
+    // rename, no append; sources/S3MockFileSystem.scala), so the FULL
+    // Spark commit pipeline (task/job temp dirs, renames, _SUCCESS)
+    // runs against object-store behavior rather than POSIX. Offline
+    // stand-in for sink5's s3a:// branch; S3aContractSpec additionally
+    // measures the per-object rename cost that motivates the magic
+    // committer at scale.
+    "sink17_object_store" -> ((s, d) => {
+      graft.sources.S3MockFileSystem.install(
+        s.sparkContext.hadoopConfiguration)
+      val out = "s3m://graft-verify/snapshots/nation"
+      Tables.nation(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
     // SINK-6/SCAN-7: ORC round-trip — the second columnar format; predicate
     // pushdown + pruning apply to the ORC read exactly as to parquet.
     "sink6_orc" -> ((s, d) => {
@@ -722,6 +741,12 @@ object Scans extends QueryModule {
 
     "sink5_uri" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    // the in-process object store must hand back exactly the committed
+    // table — any torn/partial commit visibility would diverge
+    "sink17_object_store" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "sink6_orc" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders

@@ -45,9 +45,9 @@ import org.apache.spark.sql.functions._
   * |keys|-sized count-table join for the exact cardinality; the ppm
   * arithmetic divides BEFORE multiplying by n_keys so nothing overflows
   * long at any realistic scale (max·10⁶ ≤ 10¹⁸ for max ≤ 10¹² rows on
-  * one key). `est_join_rows` itself is the one column a truly adversarial
-  * corpus could overflow (Σ c·c′ over 10¹²-row hot keys); a deploy
-  * widens it to decimal — the advisory thresholds never touch it.
+  * one key). `est_join_rows` (Σ c·c′, which 10¹²-row hot keys CAN push
+  * past long) is computed in decimal(38,0) — unbounded for any physical
+  * corpus; the advisory thresholds never touch it.
   */
 object JoinAdvisor {
 
@@ -72,12 +72,19 @@ object JoinAdvisor {
     val rs = rc.agg(sum("c").as("r_rows"), count(lit(1)).as("r_keys"),
       max("c").as("r_max_key_rows"))
     val ej = lc.join(rc.withColumnRenamed("c", "c2"), "k")
-      .agg(coalesce(sum(col("c") * col("c2")), lit(0L)).as("est_join_rows"))
+      .agg(estJoinRowsAgg)
     ls.crossJoin(rs).crossJoin(ej)
       .select(lit(name).as("join_name"), col("l_rows"), col("l_keys"),
         col("l_max_key_rows"), col("r_rows"), col("r_keys"),
         col("r_max_key_rows"), col("est_join_rows"))
   }
+
+  /** Σ c·c′ over the matched count tables, in decimal(38,0) — exact past
+    * long for adversarial hot keys (two 10¹²-row keys multiply to 10²⁴);
+    * JoinAdvisorSpec pins the overflow fixture. */
+  private[graft] def estJoinRowsAgg: Column =
+    coalesce(sum(col("c").cast("decimal(38,0)") * col("c2")),
+      lit(0L).cast("decimal(38,0)")).as("est_join_rows")
 
   /** Attach the skew statistics and the recommended strategy to evidence
     * rows (one or many — union candidates first). Pure column arithmetic

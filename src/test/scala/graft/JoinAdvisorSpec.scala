@@ -79,14 +79,81 @@ class JoinAdvisorSpec extends SparkSpec {
     val l = spark.range(3000).select((col("id") % 7).as("k"))
     val r = spark.range(2000).select((col("id") % 11).as("k"))
     val predicted = JoinAdvisor.evidence("x", l, col("k"), r, col("k"))
-      .select("est_join_rows").collect().head.getLong(0)
+      .select("est_join_rows").collect().head.getDecimal(0).longValueExact()
     val actual = l.join(r, "k").count()
     assert(predicted === actual)
     // disjoint key spaces predict zero, not null
     val disjoint = JoinAdvisor.evidence("y",
       l, col("k") + 100, r, col("k"))
-      .select("est_join_rows").collect().head.getLong(0)
+      .select("est_join_rows").collect().head.getDecimal(0).longValueExact()
     assert(disjoint === 0L)
+  }
+
+  test("est_join_rows survives the adversarial overflow corpus: two " +
+      "trillion-row hot keys multiply exactly past Long.MaxValue") {
+    val s = spark
+    import s.implicits._
+    // pre-aggregated count tables for two 3·10¹²-row hot keys — the
+    // shape evidence() feeds estJoinRowsAgg after its groupBy collapses
+    val counts = Seq((3000000000000L, 3000000000000L),
+      (2000000000000L, 4000000000000L)).toDF("c", "c2")
+    val est = counts.agg(JoinAdvisor.estJoinRowsAgg)
+      .collect().head.getDecimal(0)
+    val want = new java.math.BigDecimal("17000000000000000000000000")
+    assert(est.compareTo(want) === 0,
+      s"9e24 + 8e24 must stay exact in decimal(38,0), got $est " +
+        "(a long Σ c·c′ would have overflowed)")
+  }
+
+  test("advice→evidence: the broadcast verdict MEASURABLY ships fewer " +
+      "shuffle bytes than the naive shuffle it rejected") {
+    val big = uniform(200000, 1000)
+    val dim = uniform(50, 50)
+    assert(strategyOf(JoinAdvisor.advise("bq", big, col("k"),
+      dim, col("k"), T)) === "broadcast_right")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val naive = graft.plans.PlanMetrics.measureShuffleBytes(
+        big.join(dim.hint("shuffle_hash"), "k")
+          .groupBy("k").agg(count(lit(1)).as("n")))
+      val advised = graft.plans.PlanMetrics.measureShuffleBytes(
+        big.join(broadcast(dim), "k")
+          .groupBy("k").agg(count(lit(1)).as("n")))
+      assert(naive > 0L, "the rejected plan must actually shuffle")
+      assert(advised < naive,
+        s"advised broadcast must ship fewer shuffle bytes: " +
+          s"advised=$advised naive=$naive")
+    }
+  }
+
+  test("advice→evidence: the salt verdict MEASURABLY flattens the hot " +
+      "key — max reducer load drops vs the naive shuffle join") {
+    // join13's fixture shape: 50% of fact rows on key 0
+    val fact = spark.range(40000)
+      .select(when(col("id") % 2 === 0, lit(0L))
+        .otherwise(col("id") % 99 + 1).as("k"), col("id").as("v"))
+    val dim = spark.range(5000).select((col("id") % 100).as("k"),
+      col("id").as("w"))
+    assert(strategyOf(JoinAdvisor.advise("sq", fact, col("k"),
+      dim, col("k"), T)) === "salt")
+    def maxTaskRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val S = 8
+      val naive = fact.join(dim, "k")
+      val salted = fact
+        .withColumn("salt", pmod(xxhash64(col("v")), lit(S)))
+        .join(dim.withColumn("salt",
+            explode(sequence(lit(0L), lit(S - 1L)))),
+          Seq("k", "salt"))
+      assert(salted.count() === naive.count(),
+        "salting must not change the join result size")
+      val (nMax, sMax) = (maxTaskRows(naive), maxTaskRows(salted))
+      assert(sMax.toDouble <= nMax.toDouble / 2,
+        s"salting must split the hot key's reducer load ≥2×: " +
+          s"naive max=$nMax salted max=$sMax")
+    }
   }
 
   test("evidence never executes the candidate join (no join of the raw " +
@@ -94,7 +161,8 @@ class JoinAdvisorSpec extends SparkSpec {
     val l = uniform(10000, 5)  // join would be 10000*2000/5 = 4M rows
     val r = uniform(10000, 5)
     val ev = JoinAdvisor.evidence("z", l, col("k"), r, col("k"))
-    val est = ev.select("est_join_rows").collect().head.getLong(0)
+    val est = ev.select("est_join_rows").collect().head
+      .getDecimal(0).longValueExact()
     assert(est === 5L * 2000L * 2000L)
     // both raw sides collapse through HashAggregate BEFORE any join:
     // every join input in the plan is an aggregate output, so the

@@ -227,6 +227,35 @@ class MigrationSpec extends SparkSpec {
     assert(runner.run(spark, steps).forall(_._3 == "skipped"))
   }
 
+  test("pipeline runner: step observer fires in lifecycle order, incl. " +
+      "failure-before-rethrow and resume-skip (notifications.py:75-82)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck-obs").toString
+    val events = scala.collection.mutable.ArrayBuffer[String]()
+    val obs = new MigrationOps.StepObserver {
+      override def onStart(i: Int, n: String): Unit = events += s"start:$i:$n"
+      override def onSuccess(i: Int, n: String): Unit = events += s"ok:$i:$n"
+      override def onFailure(i: Int, n: String, e: Throwable): Unit =
+        events += s"fail:$i:$n:${e.getMessage}"
+      override def onSkip(i: Int, n: String): Unit = events += s"skip:$i:$n"
+    }
+    val runner = new MigrationOps.PipelineRunner(dir, obs)
+    var fail = true
+    val steps = Seq(
+      Step("load", _ => ()),
+      Step("flaky", _ => if (fail) sys.error("boom")))
+    intercept[RuntimeException](runner.run(spark, steps))
+    assert(events.toSeq === Seq(
+      "start:0:load", "ok:0:load", "start:1:flaky", "fail:1:flaky:boom"),
+      "onFailure must fire before the error propagates; no marker written")
+    events.clear()
+    fail = false
+    runner.run(spark, steps)
+    assert(events.toSeq === Seq(
+      "skip:0:load", "start:1:flaky", "ok:1:flaky"),
+      "resume must report the checkpointed step via onSkip, then retry " +
+        "the failed one")
+  }
+
   test("pipeline runner: reset-to-step re-runs that step and later only") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ck2").toString
     val runner = new MigrationOps.PipelineRunner(dir)

@@ -50,6 +50,99 @@ class S3aContractSpec extends SparkSpec {
       "spark.hadoop.fs.s3a.committer.magic.enabled") === "true")
   }
 
+  // ---- in-process object-store contract (always runs) -------------------
+  // The offline container has no hadoop-aws jars, so the s3a:// tests
+  // below stay env-gated; these run the SAME write path against the
+  // in-process s3m:// FileSystem, whose semantics are S3's (flat keys,
+  // PUT-on-close atomicity, per-key COPY+DELETE rename, no append).
+
+  import graft.sources.S3MockFileSystem
+
+  private def s3mReady(): Unit =
+    S3MockFileSystem.install(spark.sparkContext.hadoopConfiguration)
+
+  test("s3m: parquet snapshot round-trips through the full Spark commit " +
+      "pipeline on object-store semantics") {
+    s3mReady()
+    val out = "s3m://graft-test/contract/region"
+    val want = spark.read.parquet(s"$Sf0001/region.parquet")
+      .select("r_regionkey", "r_name").collect().map(_.toSeq).toSet
+    spark.read.parquet(s"$Sf0001/region.parquet")
+      .write.mode("overwrite").parquet(out)
+    val got = spark.read.parquet(out)
+      .select("r_regionkey", "r_name").collect().map(_.toSeq).toSet
+    assert(got === want)
+    // overwrite commits atomically at the version level: re-write and
+    // re-read — same answer, no torn listing
+    spark.read.parquet(s"$Sf0001/region.parquet")
+      .write.mode("overwrite").parquet(out)
+    assert(spark.read.parquet(out).count() === want.size.toLong)
+  }
+
+  test("s3m: multi-partition write commits every task's file; listing " +
+      "sees only committed objects") {
+    s3mReady()
+    val s = spark
+    import s.implicits._
+    val out = "s3m://graft-test/contract/multi"
+    (1 to 1000).toDF("x").repartition(8)
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.rdd.getNumPartitions >= 1)
+    assert(back.agg(org.apache.spark.sql.functions.sum("x")).head.getLong(0)
+      === 500500L)
+    // no _temporary debris survives the job commit
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath.getName)
+    assert(!names.exists(_.startsWith("_temporary")),
+      s"commit must clean its temp dirs, saw ${names.mkString(",")}")
+  }
+
+  test("s3m: rename is per-object COPY+DELETE — the measured cost that " +
+      "motivates the magic committer at 100 TB") {
+    s3mReady()
+    val fs = new org.apache.hadoop.fs.Path("s3m://graft-test/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path("s3m://graft-test/ren/src")
+    (0 until 7).foreach { i =>
+      val o = fs.create(new org.apache.hadoop.fs.Path(src, s"f$i"))
+      o.write(i); o.close()
+    }
+    val before = S3MockFileSystem.copies.get()
+    assert(fs.rename(src, new org.apache.hadoop.fs.Path(
+      "s3m://graft-test/ren/dst")))
+    assert(S3MockFileSystem.copies.get() - before === 7L,
+      "a 7-object prefix rename must cost 7 server-side copies " +
+        "(one per key — NOT one atomic metadata op)")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(
+      "s3m://graft-test/ren/dst")).length === 7)
+    assert(!fs.exists(src))
+  }
+
+  test("s3m: objects are immutable — append fails; PUT visibility is " +
+      "atomic at close") {
+    s3mReady()
+    val fs = new org.apache.hadoop.fs.Path("s3m://graft-test/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path("s3m://graft-test/imm/a")
+    val o = fs.create(p)
+    o.write("hello".getBytes)
+    // not yet closed → not yet visible (S3 PUT semantics)
+    assert(!fs.exists(p), "an open PUT must not be visible")
+    o.close()
+    assert(fs.exists(p) && fs.getFileStatus(p).getLen === 5L)
+    intercept[UnsupportedOperationException] { fs.append(p) }
+  }
+
+  test("sink17_object_store declared query lands on the nation oracle") {
+    val rows = SparkEntry.queries("sink17_object_store")(spark, Sf0001)
+      .collect()
+    assert(rows.length === 25, s"nation has 25 rows, got ${rows.length}")
+    assert(rows.map(_.getInt(0)).toSeq === (0 until 25))
+  }
+
   test("sink5 round-trips through the object store") {
     assume(s3aConfigured,
       "no object-store env contract — offline container, skipping")
