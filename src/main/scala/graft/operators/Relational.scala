@@ -1644,7 +1644,7 @@ object Relational extends QueryModule {
         |    CAST((SELECT COUNT(*) FROM ${n}_r) AS BIGINT) AS r_keys,
         |    CAST((SELECT MAX(c) FROM ${n}_r) AS BIGINT) AS r_max_key_rows,
         |    CAST((SELECT COALESCE(SUM(a.c * b.c), 0)
-        |          FROM ${n}_l a JOIN ${n}_r b ON a.k = b.k) AS BIGINT)
+        |          FROM ${n}_l a JOIN ${n}_r b ON a.k = b.k) AS DECIMAL(38,0))
         |      AS est_join_rows)""".stripMargin
     }.mkString(",")
     s"""WITH${ctes},

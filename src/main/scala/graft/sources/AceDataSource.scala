@@ -173,7 +173,13 @@ private[sources] class AceScan(path: String, pushed: Array[Filter],
     }.max(1L)
     files.flatMap { st =>
       val len = st.getLen
-      val n = math.max(1L, (len + splitSize - 1) / splitSize).toInt
+      val nLong = math.max(1L, (len + splitSize - 1) / splitSize)
+      // a pathological user-set splitSize on a huge file must fail, not
+      // wrap .toInt negative and silently plan ZERO partitions
+      require(nLong <= Int.MaxValue,
+        s"splitSize=$splitSize yields $nLong splits for ${st.getPath} " +
+          s"(len=$len) — raise splitSize")
+      val n = nLong.toInt
       (0 until n).map { i =>
         val start = i.toLong * splitSize
         AceSplitPartition(st.getPath.toString, start,
@@ -215,9 +221,14 @@ private[sources] case class AceReaderFactory(
   * one-key lookbehind and zero buffering. Writers stage under
   * `_staging-<uuid>/part-<pid>-<tid>.ace` (unique per task attempt, so
   * speculative retries cannot collide) and the driver-side commit
-  * publishes exactly the files named in the commit messages — the
-  * local-FS miniature of a real output committer (at deploy:
-  * HadoopMapReduceCommitProtocol / a table-format transaction).
+  * publishes exactly the files named in the commit messages.
+  *
+  * The ENTIRE write path (staging create, publish rename, truncate,
+  * abort sweep) goes through `path.getFileSystem(conf)` — symmetric with
+  * the read half, so `df.write.format("ace")` commits on hdfs://, s3m://
+  * (the object-store mock, where create is PUT-on-close atomic and
+  * rename is per-key COPY+DELETE), or any other Hadoop FS, not just
+  * local disk. AceSourceSpec pins the s3m:// write→read round trip.
   * Values embedding `"` or a newline cannot be represented by the .ace
   * text format and fail the write loudly rather than corrupt the dump. */
 private[sources] class AceWriteBuilder(path: String, schema: StructType)
@@ -254,39 +265,54 @@ private[sources] class AceWrite(path: String, schema: StructType,
 
   override def toBatch
   : org.apache.spark.sql.connector.write.BatchWrite =
-    new AceBatchWrite(path, schema, truncate)
+    // driver-side: capture the session Hadoop conf once; it rides to the
+    // executors inside the writer factory so every staging create opens
+    // the SAME FileSystem flavor the driver commit will rename on
+    new AceBatchWrite(path, schema, truncate,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active
+          .sessionState.newHadoopConf()))
 }
 
 private[sources] case class AceCommitMessage(stagedFile: String)
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class AceBatchWrite(path: String, schema: StructType,
-                                     truncate: Boolean)
+                                     truncate: Boolean,
+                                     conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val staging =
     s"$path/_staging-${java.util.UUID.randomUUID()}"
+
+  private def fsOf(p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(conf.value), hp)
+  }
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
   : org.apache.spark.sql.connector.write.DataWriterFactory =
     AceWriterFactory(staging,
-      AceDataSource.Schema.fieldNames.map(schema.fieldIndex))
+      AceDataSource.Schema.fieldNames.map(schema.fieldIndex), conf)
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
   : Unit = {
-    val dir = new java.io.File(path)
-    dir.mkdirs()
+    val (fs, dir) = fsOf(path)
+    fs.mkdirs(dir)
     if (truncate)
-      dir.listFiles().filter(_.getName.endsWith(".ace")).foreach(_.delete())
+      fs.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".ace"))
+        .foreach(s => fs.delete(s.getPath, false))
     // "" = the task's partition was empty and staged nothing; any other
     // staged path MUST exist — a committed task whose output vanished is
     // a job-level failure, never a silent drop.
     messages.foreach { case AceCommitMessage(staged) if staged.nonEmpty =>
-      val f = new java.io.File(staged)
-      require(f.exists(), s"commit message names missing staged file $staged")
-      val target = new java.io.File(dir, f.getName)
-      require(f.renameTo(target), s"commit failed publishing $staged")
+      val f = new org.apache.hadoop.fs.Path(staged)
+      require(fs.exists(f), s"commit message names missing staged file $staged")
+      val target = new org.apache.hadoop.fs.Path(dir, f.getName)
+      if (fs.exists(target)) fs.delete(target, false)
+      require(fs.rename(f, target), s"commit failed publishing $staged")
     case _ => ()
     }
     abort(Array.empty) // sweep the (now-empty) staging dir
@@ -295,36 +321,40 @@ private[sources] class AceBatchWrite(path: String, schema: StructType,
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
   : Unit = {
-    val st = new java.io.File(staging)
-    if (st.exists()) {
-      st.listFiles().foreach(_.delete()); st.delete()
-    }
+    val (fs, st) = fsOf(staging)
+    if (fs.exists(st)) fs.delete(st, true): Unit
   }
 }
 
 private[sources] case class AceWriterFactory(staging: String,
-                                             fieldIdx: Array[Int])
+                                             fieldIdx: Array[Int],
+                                             conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new AceDataWriter(staging, s"part-$partitionId-$taskId.ace", fieldIdx)
+    new AceDataWriter(staging, s"part-$partitionId-$taskId.ace", fieldIdx,
+      conf.value)
 }
 
 private[sources] class AceDataWriter(staging: String, name: String,
-                                     fieldIdx: Array[Int])
+                                     fieldIdx: Array[Int],
+                                     hconf: org.apache.hadoop.conf.Configuration)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
-  private val file = new java.io.File(staging, name)
+  private val file = new org.apache.hadoop.fs.Path(staging, name)
   private var out: java.io.BufferedWriter = _
   private var curCls: String = _
   private var curIdent: String = _
 
-  // lazily opened: an empty partition publishes no file at all
+  // lazily opened: an empty partition publishes no file at all. On an
+  // object store this create is a buffered PUT — nothing is visible
+  // until commit() closes the stream, which is exactly the task-attempt
+  // isolation the staging protocol needs.
   private def writer(): java.io.BufferedWriter = {
     if (out == null) {
-      file.getParentFile.mkdirs()
-      out = java.nio.file.Files.newBufferedWriter(file.toPath,
-        java.nio.charset.StandardCharsets.UTF_8)
+      val fs = file.getFileSystem(hconf)
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(file, true), java.nio.charset.StandardCharsets.UTF_8))
     }
     out
   }
@@ -333,7 +363,11 @@ private[sources] class AceDataWriter(staging: String, name: String,
     val v = row.getUTF8String(fieldIdx(i))
     require(v != null, "ace write: null field")
     val s = v.toString
-    require(!s.contains("\"") && !s.contains("\n"),
+    // the read grammar is line-oriented with a `"([^"]*)"$` value tail: a
+    // '"' re-parses with a corrupted path/value, a '\n' splits the line,
+    // and a bare '\r' would make the re-read line whitespace-polluted —
+    // none are representable, so fail the task loudly for EVERY field
+    require(!s.contains("\"") && !s.contains("\n") && !s.contains("\r"),
       s"ace text format cannot represent quotes/newlines: $s")
     s
   }
@@ -373,7 +407,8 @@ private[sources] class AceDataWriter(staging: String, name: String,
   }
   override def abort(): Unit = {
     if (out != null) out.close()
-    file.delete(): Unit
+    val fs = file.getFileSystem(hconf)
+    if (fs.exists(file)) fs.delete(file, false): Unit
   }
   override def close(): Unit = ()
 }
@@ -431,28 +466,36 @@ private[sources] class AcePartitionReader(part: AceSplitPartition,
     while (l != null && !isBlank(l)) l = readLine()
   }
 
-  // position the stream at the first paragraph this split OWNS
-  if (part.start == 0L) openAt(0L)
-  else {
-    // seek back to the start of the line containing byte `start`
-    val back = math.max(0L, part.start - Lookbehind)
-    val window = new Array[Byte]((part.start - back).toInt)
-    raw.readFully(back, window)
-    val nl = window.lastIndexOf('\n'.toByte)
-    if (nl >= 0 || back == 0L) {
-      openAt(if (nl >= 0) back + nl + 1 else 0L)
-      val l0 = readLine() // the full line containing byte `start`
-      // mid-content (or a paragraph starting exactly at `start`, owned
-      // by the previous split): skip through its terminator. Mid-
-      // separator: the next content line already starts > start.
-      if (l0 != null && !isBlank(l0)) skipToSeparator()
-    } else {
-      // >64 KiB without a newline: the line containing `start` is
-      // content (blank lines are short); same skip, minus the seek-back
-      openAt(part.start)
-      readLine() // discard the partial line
-      skipToSeparator()
+  // position the stream at the first paragraph this split OWNS; any
+  // failure mid-initialization must close the already-open stream —
+  // close() is never called on a partially constructed reader
+  try {
+    if (part.start == 0L) openAt(0L)
+    else {
+      // seek back to the start of the line containing byte `start`
+      val back = math.max(0L, part.start - Lookbehind)
+      val window = new Array[Byte]((part.start - back).toInt)
+      raw.readFully(back, window)
+      val nl = window.lastIndexOf('\n'.toByte)
+      if (nl >= 0 || back == 0L) {
+        openAt(if (nl >= 0) back + nl + 1 else 0L)
+        val l0 = readLine() // the full line containing byte `start`
+        // mid-content (or a paragraph starting exactly at `start`, owned
+        // by the previous split): skip through its terminator. Mid-
+        // separator: the next content line already starts > start.
+        if (l0 != null && !isBlank(l0)) skipToSeparator()
+      } else {
+        // >64 KiB without a newline: the line containing `start` is
+        // content (blank lines are short); same skip, minus the seek-back
+        openAt(part.start)
+        readLine() // discard the partial line
+        skipToSeparator()
+      }
     }
+  } catch {
+    case t: Throwable =>
+      try raw.close() catch { case _: Exception => () }
+      throw t
   }
 
   /** next (paragraphText, headerLine) whose start offset this split

@@ -134,6 +134,11 @@ class S3MockFileSystem extends FileSystem {
         }
       }
     }
+    // file-vs-dir shadowing, decided explicitly: when both an object
+    // "a/b" and keys under "a/b/" exist (legal in a flat key space but
+    // unrepresentable as one Hadoop FileStatus), the FILE entry wins —
+    // matching fileStatus()/getFileStatus, which resolve isFile first,
+    // so listing and stat can never disagree about the same path
     (dirs.diff(names).toSeq.map(d => fileStatus(s"$pre$d")) ++
       names.toSeq.map(n => fileStatus(s"$pre$n"))).toArray
   }
@@ -226,7 +231,10 @@ class S3MockFileSystem extends FileSystem {
       val ms = markers.stream.filter(m =>
           m.startsWith(s"$bucket$pre") || m == marker(k))
         .toArray(n => new Array[String](n))
-      if (!recursive && keys.nonEmpty)
+      // markers nested UNDER k are contents too — a dir whose only
+      // children are empty subdirectories is still non-empty for the
+      // recursive=false contract
+      if (!recursive && (keys.nonEmpty || ms.exists(_ != marker(k))))
         throw new IOException(s"directory not empty: $k")
       keys.foreach(store.remove)
       ms.foreach(markers.remove)

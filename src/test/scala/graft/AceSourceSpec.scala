@@ -112,8 +112,9 @@ class AceSourceSpec extends SparkSpec {
       out.write(para); bytes += para.length; i += 1
     }
     out.close()
-    val cp = Seq("target/scala-2.13/classes",
-      "/opt/spark/jars/*").mkString(":")
+    // inherit THIS test JVM's classpath — robust to Scala version, build
+    // layout, and Spark install location (no hardcoded paths)
+    val cp = System.getProperty("java.class.path")
     val cmd = Seq("java", "-Xmx48m", "-cp", cp,
       "graft.sources.AceHeapProbe", f.getAbsolutePath, (16L * 1024 * 1024).toString)
     val sb = new StringBuilder
@@ -207,6 +208,42 @@ class AceSourceSpec extends SparkSpec {
       err.getCause != null, s"poison value must fail the write: $err")
     // the failed write must not have corrupted the committed dump
     assert(spark.read.format("ace").load(tmp).count() === 1)
+  }
+
+  test("write path is FS-agnostic: the full stage→commit→publish cycle " +
+      "runs on the s3m:// object store (PUT-on-close create, non-atomic " +
+      "per-key rename) and round-trips every datom") {
+    val s = spark
+    import s.implicits._
+    graft.sources.S3MockFileSystem.install(
+      spark.sparkContext.hadoopConfiguration)
+    val out = "s3m://graft-test/ace-write/dump"
+    val datoms = Seq(
+      ("Gene", "G2", "CGC_name", "b", "assert"),
+      ("Gene", "G1", "CGC_name", "a", "assert"),
+      ("Gene", "G1", "RNASeq.FPKM", "3.5", "assert"),
+      ("Gene", "G1", "Other_name", "x", "retract"),
+      ("Protein", "P1", "Peptide", "MK", "assert"))
+      .toDF("cls", "ident", "path", "value", "op")
+    datoms.repartition(4).write.format("ace").mode("overwrite").save(out)
+    // read back THROUGH the same connector on the same object store
+    val back = spark.read.format("ace").load(out)
+      .collect().map(_.toSeq).toSet
+    assert(back === datoms.collect().map(_.toSeq).toSet,
+      "s3m write→read round trip must reproduce every datom")
+    // overwrite truncates the prior dump on the object store too
+    Seq(("Gene", "ONLY", "CGC_name", "v", "assert"))
+      .toDF("cls", "ident", "path", "value", "op")
+      .write.format("ace").mode("overwrite").save(out)
+    assert(spark.read.format("ace").load(out)
+      .select("ident").collect().map(_.getString(0)).toSeq === Seq("ONLY"))
+    // no staging residue: only .ace objects remain under the prefix
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath.getName)
+    assert(leftover.forall(_.endsWith(".ace")),
+      s"staging residue left behind: ${leftover.mkString(", ")}")
   }
 
   test("op IN pushdown prunes per datom") {
