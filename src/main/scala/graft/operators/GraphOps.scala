@@ -165,6 +165,64 @@ object GraphOps extends QueryModule {
     (pr, i)
   }
 
+  /** Integer-QUANTIZED PageRank: rank carried as a BIGINT at scale 10¹²,
+    * damping 0.85 applied as the exact rational 17/20, every per-edge
+    * contribution floored once (`(pr·w) DIV outw`) — so a round is pure
+    * integer arithmetic whose sums are order-independent. That is the
+    * property the double-valued [[pagerank]] cannot give an oracle
+    * (float Σ depends on reduction order): here DuckDB replays the SAME
+    * fixed rounds as an unrolled CTE ladder and hash-matches bit-exactly
+    * (the graph4/graph5 discipline applied to rank propagation).
+    *
+    * Quantization error: each floor discards < 1 unit (= 10⁻¹² of mass)
+    * per edge per round — bounded by in-degree·iters ≪ the 10⁶ output
+    * quantum of `pr_ppm`. Execution recipe is [[pagerankRounds]]'s:
+    * rank vector broadcast under the cap, one exchange per round, eager
+    * round cuts via [[RoundCheckpointer]].
+    *
+    * Returns (v BIGINT, pr BIGINT at scale 1e12). No dangling support:
+    * callers pass bidirected graphs (graph1's purchase graph), where
+    * every vertex has out-edges.
+    */
+  def pagerankExactPpm(edges: DataFrame, iters: Int = 5,
+                       broadcastCap: Long = PagerankBroadcastVertexCap,
+                       prebuilt: Option[(DataFrame, DataFrame)] = None)
+  : DataFrame = {
+    val Scale = 1000000000000L // 1e12
+    // (src, dst, w, outw): integer edge table with the source's total
+    // out-weight riding along — the exact-arithmetic analogue of norm
+    val en = prebuilt.map(_._1).getOrElse(edges
+      .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"),
+        col("outw").cast("long").as("outw"))
+      .localCheckpoint())
+    val verts = prebuilt.map(_._2).getOrElse(
+      edges.select(col("src").as("v"))
+        .unionByName(edges.select(col("dst").as("v")))
+        .distinct().localCheckpoint())
+    val n = verts.count()
+    require(n > 0, "pagerankExactPpm on an empty graph")
+    val base = 150000000000L / n // floor(0.15·Scale / n)
+    val bcastRanks = n <= broadcastCap
+    val rc = new RoundCheckpointer
+    var pr = verts.withColumn("pr", lit(Scale / n))
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val prSide = if (bcastRanks) broadcast(pr) else pr
+      val contribs = en.join(prSide, en("src") === prSide("v"))
+        .select(col("dst").as("v"),
+          expr("(pr * w) DIV outw").as("contrib"))
+        .groupBy("v").agg(sum("contrib").as("c"))
+      val cSide = if (bcastRanks) broadcast(contribs) else contribs
+      val next = verts.join(cSide, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr("(17 * coalesce(c, 0L)) DIV 20")).as("pr"))
+      pr = if (i == iters) next else rc.step(next)
+    }
+    pr
+  }
+
   /** Hop-bounded single-source shortest paths (Bellman-Ford relaxation):
     * dist(v) = minimum total edge weight over paths from `source` with at
     * most `maxHops` edges — the K-bounded semantics every distributed SSSP
@@ -446,28 +504,30 @@ object GraphOps extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // GRAPH-1 ⚠: supplier/customer authority over the purchase graph —
-    // PageRank on the bidirected customer↔supplier edge list (edge weight =
-    // items traded), 5 rounds, d=0.85. Bidirection means no dangling
-    // vertices (every vertex that appears has an out-edge), so rank mass
-    // is conserved — GraphSpec pins Σpr = 1, a hand-computed golden graph,
-    // and run-to-run determinism. Rows-only in the driver gate.
+    // GRAPH-1: supplier/customer authority over the purchase graph —
+    // PageRank on the bidirected customer↔supplier edge list (edge weight
+    // = items traded), 5 rounds, d=0.85 as the exact rational 17/20.
+    // Rank is carried as a BIGINT at scale 1e12 (pagerankExactPpm), so
+    // every round is order-independent integer arithmetic and the DuckDB
+    // oracle replays the identical ladder (pagerankSql) to a hash match —
+    // the r13→r14 promotion from rows-only to exact. GraphSpec pins the
+    // double-valued pagerank() API (Σpr=1, goldens) separately; the
+    // quantized and double rankings agree to within the floor bound.
     "graph1_pagerank" -> ((s, d) => {
-      // the normalized edge table + vertex inventory are shared derived
+      // the joined edge table + vertex inventory are shared derived
       // datasets of the memoized edge list — built once per (session,
       // sf-dir), so the timed work is the 5 iteration rounds themselves
       val e = purchaseEdges(s, d)
-      val norm = graft.StageMemo.frame(s, s"graph.pr_norm.$d")(e
+      val en = graft.StageMemo.frame(s, s"graph.prx_en.$d")(e
         .join(e.groupBy("src").agg(sum("w").as("outw")), "src")
-        .select(col("src"), col("dst"),
-          (col("w").cast("double") / col("outw")).as("p")))
-      val vstat = graft.StageMemo.frame(s, s"graph.pr_vstat.$d")(
-        e.select(col("src").as("v"), lit(1).as("out"))
-          .unionByName(e.select(col("dst").as("v"), lit(0).as("out")))
-          .groupBy("v").agg(max("out").as("out")))
-      pagerankRounds(e, prebuilt = Some((norm, vstat)))._1
+        .select(col("src"), col("dst"), col("w").cast("long").as("w"),
+          col("outw").cast("long").as("outw")))
+      val verts = graft.StageMemo.frame(s, s"graph.prx_verts.$d")(
+        e.select(col("src").as("v"))
+          .unionByName(e.select(col("dst").as("v"))).distinct())
+      pagerankExactPpm(e, prebuilt = Some((en, verts)))
         .select(vertexLabel(col("v")).as("v"),
-          round(col("pr") * lit(1e6)).as("pr_ppm"))
+          expr("(pr + 500000) DIV 1000000").as("pr_ppm"))
         .orderBy(col("pr_ppm").desc, col("v"))
         .limit(20)
     }),
@@ -710,7 +770,51 @@ object GraphOps extends QueryModule {
     sb.toString
   }
 
+  /** graph1's DuckDB twin: the SAME quantized integer rounds
+    * [[pagerankExactPpm]] runs, unrolled as a MATERIALIZED CTE ladder
+    * (the kcoreSql/lpaSql discipline). Every term is BIGINT floor
+    * arithmetic — `(pr·w) // outw` per edge, Σ per vertex, damp as
+    * `(17·c) // 20` — so the two engines agree bit-for-bit. */
+  private def pagerankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""
+        |c$i AS (SELECT en.dst AS v, SUM((p.pr * en.w) // en.outw) AS c
+        |        FROM en JOIN p${i - 1} p ON en.src = p.v GROUP BY 1),
+        |p$i AS MATERIALIZED (
+        |  SELECT verts.v,
+        |         (150000000000 // (SELECT n FROM nn)) +
+        |         (17 * COALESCE(c.c, 0)) // 20 AS pr
+        |  FROM verts LEFT JOIN c$i c ON verts.v = c.v)""".stripMargin
+    }.mkString(",")
+    s"""WITH pairs AS (
+      |  SELECT o_custkey * 2 AS cid, l_suppkey * 2 + 1 AS sid,
+      |         COUNT(*) AS w
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT cid AS src, sid AS dst, w FROM pairs
+      |  UNION ALL
+      |  SELECT sid AS src, cid AS dst, w FROM pairs),
+      |en AS MATERIALIZED (
+      |  SELECT e.src, e.dst, e.w, o.outw
+      |  FROM edges e
+      |  JOIN (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1) o
+      |    ON e.src = o.src),
+      |verts AS MATERIALIZED (
+      |  SELECT DISTINCT v FROM
+      |    (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+      |nn AS (SELECT COUNT(*) AS n FROM verts),
+      |p0 AS MATERIALIZED (
+      |  SELECT v, 1000000000000 // (SELECT n FROM nn) AS pr
+      |  FROM verts),$rounds
+      |SELECT (CASE WHEN v % 2 = 0 THEN 'c' ELSE 's' END ||
+      |        CAST(v // 2 AS VARCHAR)) AS v,
+      |  CAST((pr + 500000) // 1000000 AS BIGINT) AS pr_ppm
+      |FROM p$iters ORDER BY pr_ppm DESC, v LIMIT 20""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "graph1_pagerank" -> pagerankSql(iters = 5),
     "graph5_label_communities" -> lpaSql(rounds = 4),
     "graph2_sssp" -> """
       |WITH pairs AS (

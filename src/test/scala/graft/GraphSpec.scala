@@ -170,6 +170,28 @@ class GraphSpec extends SparkSpec {
     assert(df.collect().length == 20)
   }
 
+  test("quantized integer pagerank tracks the double API within the " +
+      "floor bound, and its mass stays within in-degree·iters units") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L),
+      ("a", "c", 1L), ("c", "b", 2L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val exact = GraphOps.pagerankExactPpm(edges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dbl = GraphOps.pagerank(edges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet === dbl.keySet)
+    exact.foreach { case (v, q) =>
+      assert(math.abs(q / 1e12 - dbl(v)) < 1e-9,
+        s"$v: quantized ${q / 1e12} vs double ${dbl(v)}") }
+    // each floor discards < 1 unit per edge per round: Σpr ∈
+    // (Scale - edges·iters - n, Scale]
+    val mass = exact.values.sum
+    assert(mass <= 1000000000000L && mass > 1000000000000L - 6 * 5 - 3,
+      s"quantized mass $mass outside the floor bound")
+  }
+
   test("ranking is deterministic across runs") {
     def run() = SparkEntry.queries("graph1_pagerank")(spark, Sf0001)
       .collect().map(_.toString).toSeq
