@@ -1621,9 +1621,10 @@ object LlmOps extends QueryModule {
     // tokens, shuffle-free. At 100 TB each round costs one map pass plus
     // one pair-count shuffle that map-side combine collapses to ~vocab²
     // rows. Merged units are space-joined, so later rounds merge merged
-    // units exactly like classic BPE. No SQL-expressible oracle (iterative
-    // argmax); BpeSpec pins the golden merge sequence on a tiny corpus and
-    // the fixture corpus.
+    // units exactly like classic BPE. Exact DuckDB oracle (r14): the
+    // fixed-round loop unrolls to a MATERIALIZED CTE ladder where the
+    // greedy merge apply is a delimited-string replace() (bpeTrainCtes);
+    // BpeSpec additionally pins the golden merge sequence.
     "llm22b_bpe_train" -> ((s, d) =>
       bpeTrain(s, Tables.documents(s, d), rounds = 3)),
 
@@ -1631,8 +1632,9 @@ object LlmOps extends QueryModule {
     // llm22b learned (train → encode is the full tokenizer loop). Encoding
     // is merges.size map passes, zero shuffles; per-doc output is the
     // raw-vs-encoded token count (the compression the merges bought).
-    // Rows-only (iterative, not SQL-expressible); BpeSpec pins the encoded
-    // counts against the by-hand merge sequence.
+    // Exact DuckDB oracle (r14): train ladder + the same replace()-based
+    // merge applies (bpeTrainCtes); BpeSpec pins the encoded counts
+    // against the by-hand merge sequence.
     "llm22c_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = bpeTrain(s, docs, rounds = 3)
@@ -2465,6 +2467,50 @@ object LlmOps extends QueryModule {
        |sh AS (SELECT doc_id, CAST($mask AS BIGINT) AS simhash FROM c)""".stripMargin
   }
 
+  /** llm22b/llm22c's DuckDB twin: the deterministic fixed-round BPE loop
+    * replayed as an unrolled MATERIALIZED ladder (the graph4/graph1
+    * discipline). The subtle piece is the merge APPLY: representing each
+    * document as a ``-delimited token string (`␟t₁␟␟t₂␟…`) makes
+    * SQL's global `replace()` — left-to-right, non-overlapping — EXACTLY
+    * the greedy fold `applyMerge` runs: consecutive-pair chains consume
+    * left-first (`y y y` → `[yy, y]`), and because each token keeps its
+    * own delimiters on both sides the replacement string re-enters the
+    * same representation. Tokens cannot contain `` (split on space)
+    * and merged units are space-joined, so the encoding is unambiguous.
+    * Argmax tiebreak: Spark orders by the NUL-joined pair string, which
+    * (NUL < every token byte) equals tuple order (x, y). */
+  private def bpeTrainCtes: String = {
+    val US = "chr(31)"
+    def round(r: Int): String = {
+      val prev = s"c${r - 1}"
+      s"""
+        |m$r AS MATERIALIZED (
+        |  SELECT x, y, n FROM (
+        |    SELECT z[1] AS x, z[2] AS y, COUNT(*) AS n
+        |    FROM (SELECT
+        |            unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]))
+        |              AS z
+        |          FROM $prev)
+        |    GROUP BY 1, 2)
+        |  ORDER BY n DESC, x, y LIMIT 1),
+        |c$r AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(
+        |    replace(
+        |      $US || array_to_string(toks, $US||$US) || $US,
+        |      $US || (SELECT x FROM m$r) || $US||$US ||
+        |        (SELECT y FROM m$r) || $US,
+        |      $US || (SELECT x FROM m$r) || ' ' ||
+        |        (SELECT y FROM m$r) || $US),
+        |    $US), t -> t <> '') AS toks
+        |  FROM $prev)""".stripMargin
+    }
+    """WITH c0 AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+      |           AS toks
+      |  FROM documents),""".stripMargin +
+      (1 to 3).map(round).mkString(",")
+  }
+
   def oracle: Map[String, String] = Map(
     "llm2c_simhash" ->
       s"WITH $simhashSqlCtes\nSELECT doc_id, simhash FROM sh ORDER BY doc_id",
@@ -3017,6 +3063,22 @@ object LlmOps extends QueryModule {
         |                     for i in range(1, len(t))]) AS pair FROM w)
         |SELECT pair, count(*) AS n FROM p WHERE pair <> ' '
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    "llm22b_bpe_train" -> (bpeTrainCtes + """
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS round, x || ' ' || y AS merge,
+        |         CAST(n AS BIGINT) AS n, x, y FROM m1
+        |  UNION ALL
+        |  SELECT CAST(2 AS INT), x || ' ' || y, CAST(n AS BIGINT), x, y FROM m2
+        |  UNION ALL
+        |  SELECT CAST(3 AS INT), x || ' ' || y, CAST(n AS BIGINT), x, y FROM m3)
+        |ORDER BY round""".stripMargin),
+
+    "llm22c_bpe_encode" -> (bpeTrainCtes + """
+        |SELECT c0.doc_id, CAST(len(c0.toks) AS INT) AS n_tok_raw,
+        |       CAST(len(c3.toks) AS INT) AS n_tok_bpe
+        |FROM c0 JOIN c3 ON c0.doc_id = c3.doc_id
+        |ORDER BY c0.doc_id""".stripMargin),
 
     // independent DuckDB implementation of the same canonicalization rules
     // (lowercase scheme+host, strip www., drop trailing slash, drop utm_*
