@@ -127,6 +127,35 @@ object FixtureGen {
     write(s"$Dir/ace_datoms_golden.csv",
       csvQuoteAll(Seq("e", "path", "value", "op", "src"), goldenRows))
 
+    // mig7/mig7b: golden renders of the fixture QA report, hand-modeled
+    // from the fixture object counts (Variation 5/0, Gene 3/2, Protein
+    // 3/3, CDS 2/2 — desc by n_ref, then class_name) — the same dual
+    // discipline as ace_datoms_golden: written from the MODEL, not by
+    // running the renderer, so the DuckDB oracle is an independent pin.
+    // MigrationSpec asserts the identical strings inline.
+    val qaRows = Seq(
+      ("Variation", 5, 0), ("Gene", 3, 2), ("Protein", 3, 3), ("CDS", 2, 2))
+    val mdLines =
+      Seq("| class_name | n_ref | n_db | n_diff |",
+        "| ---------- | ----- | ---- | ------ |") ++
+        qaRows.map { case (c, r, db) =>
+          f"| ${c}%10s | ${r}%5d | ${db}%4d | ${db - r}%6d |" }
+    write(s"$Dir/mig7_markdown_golden.csv",
+      csvQuoteAll(Seq("line_no", "line"),
+        mdLines.zipWithIndex.map { case (l, i) => Seq((i + 1).toString, l) }))
+    val htmlLines =
+      Seq("<html><body><h1>QA report</h1>",
+        "<table>",
+        "<thead><tr><th>class_name</th><th>n_ref</th><th>n_db</th>" +
+          "<th>n_diff</th></tr></thead>",
+        "<tbody>") ++
+        qaRows.map { case (c, r, db) =>
+          s"<tr><td>$c</td><td>$r</td><td>$db</td><td>${db - r}</td></tr>" } ++
+        Seq("</tbody></table></body></html>")
+    write(s"$Dir/mig7b_html_golden.csv",
+      csvQuoteAll(Seq("line_no", "line"),
+        htmlLines.zipWithIndex.map { case (l, i) => Seq((i + 1).toString, l) }))
+
     // scan4: QUOTE_ALL QA-report-shaped csv
     write(s"$Dir/qa_report.csv",
       csvQuoteAll(Seq("class_name", "ident", "n_ref", "n_db"), Seq(

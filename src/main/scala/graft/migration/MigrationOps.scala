@@ -327,12 +327,15 @@ object MigrationOps extends QueryModule {
       (2L, "<table>"),
       (3L, "<thead><tr>" + cols.map(c => s"<th>${escStr(c)}</th>").mkString +
         "</tr></thead>"),
-      (4L, "<tbody>"),
-      // report is tiny (post-aggregation); a large sentinel sorts the
-      // closing tags after every data row
-      (1000000L, "</tbody></table></body></html>"))
+      (4L, "<tbody>"))
       .toDF("line_no", "line")
-    frame.unionByName(dataLines).orderBy("line_no")
+    // closing tags numbered 4 + n_data + 1 so line_no is a dense 1..N
+    // sequence (the mig7b golden CSV pins it) — the count() is one job
+    // over the already-aggregated tiny report, the same cost class as
+    // the render itself
+    val closing = Seq((4L + asStr.count() + 1L,
+      "</tbody></table></body></html>")).toDF("line_no", "line")
+    frame.unionByName(dataLines).unionByName(closing).orderBy("line_no")
   }
 
   // ---- checkpoint/resume runner (runcommand.py:389-409) ------------------
@@ -592,11 +595,12 @@ object MigrationOps extends QueryModule {
     }),
 
     // MIG-7: markdown render of the QA report (util.py:74-99 semantics).
-    // Rows-only for the driver; MigrationSpec pins the golden string.
+    // Oracle (r14): golden-dual CSV hand-modeled from the fixture counts
+    // in FixtureGen; MigrationSpec pins the identical strings inline.
     "mig7_markdown_report" -> ((s, _) => markdownReport(qaReport(s))),
 
     // MIG-7b: HTML render of the QA report (qa_report_to_html,
-    // pseudoace.py:152-158). Rows-only; MigrationSpec pins the golden doc.
+    // pseudoace.py:152-158). Oracle (r14): golden-dual CSV, as mig7.
     "mig7b_html_report" -> ((s, _) =>
       htmlReport(qaReport(s), "QA report")),
 
@@ -648,6 +652,21 @@ object MigrationOps extends QueryModule {
          |FROM read_csv('$FixturesDir/edn/edn_log_*.csv', header=true,
          |              all_varchar=true)""".stripMargin) +
       "\nORDER BY e, path, value"),
+
+    // golden-dual CSVs (the scan3/mig1 pattern): the rendered report
+    // lines, hand-modeled from the fixture object counts in FixtureGen —
+    // an independent pin of the renderer, not a replay of it
+    "mig7_markdown_report" ->
+      s"""SELECT CAST(line_no AS BIGINT) AS line_no, line
+         |FROM read_csv('$FixturesDir/mig7_markdown_golden.csv', header=true,
+         |              all_varchar=true)
+         |ORDER BY CAST(line_no AS BIGINT)""".stripMargin,
+
+    "mig7b_html_report" ->
+      s"""SELECT CAST(line_no AS BIGINT) AS line_no, line
+         |FROM read_csv('$FixturesDir/mig7b_html_golden.csv', header=true,
+         |              all_varchar=true)
+         |ORDER BY CAST(line_no AS BIGINT)""".stripMargin,
 
     "mig3_apply_patches" ->
       (latestWinsSql(patchedLogSql) + "\nORDER BY e, path"),
