@@ -201,7 +201,9 @@ object GraphOps extends QueryModule {
         .unionByName(edges.select(col("dst").as("v")))
         .distinct().localCheckpoint())
     val n = verts.count()
-    require(n > 0, "pagerankExactPpm on an empty graph")
+    // empty graph → empty rank vector (empty inputs are routine at scale;
+    // EmptyAudit pins that no query throws on a zero-row lake)
+    if (n == 0) return verts.withColumn("pr", lit(0L))
     val base = 150000000000L / n // floor(0.15·Scale / n)
     val bcastRanks = n <= broadcastCap
     val rc = new RoundCheckpointer
