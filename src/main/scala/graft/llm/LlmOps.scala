@@ -330,10 +330,13 @@ object LlmOps extends QueryModule {
   def ivfpqProbe(q0: DataFrame, corpus: DataFrame, store: String,
                  m: Int = 8, dim: Int = 64, nprobe: Int = 4,
                  residual: Boolean = false,
-                 codes0: Option[DataFrame] = None): DataFrame = {
+                 codes0: Option[DataFrame] = None,
+                 cents0: Option[DataFrame] = None): DataFrame = {
     val q = q0.limit(1)
     val s = q.sparkSession
-    val cents = s.read.parquet(s"$store/centroids")
+    // cents0: serve a centroid generation maintained OUTSIDE the build
+    // layout — STRM-22's drift-retrained manifest generation
+    val cents = cents0.getOrElse(s.read.parquet(s"$store/centroids"))
     val probeCells = q.crossJoin(broadcast(cents))
       .select(col("cent_id"), l2sq(col("embedding"), col("cent")).as("cdist"))
       .orderBy(col("cdist"), col("cent_id")).limit(nprobe)

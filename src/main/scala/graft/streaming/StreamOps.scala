@@ -546,6 +546,104 @@ object StreamOps extends QueryModule {
       appId, batchId, partitionBy = Seq("cell"))
   }
 
+  // ---- STRM-22 drift-triggered retrain (r14) ------------------------------
+
+  /** Hottest-cell share of the maintained codes snapshot, in ppm of total
+    * rows — prof3's hot-share statistic applied to the index layout. Codes
+    * are exactly m rows per vector, so row share == vector share. The
+    * ready-made drift signal: ingest drift herds new vectors into few
+    * cells, nprobe pruning degrades toward a scan of those cells, and this
+    * one agg (map-side combined, nCells rows out) detects it. */
+  def cellImbalancePpm(codes: DataFrame): Long =
+    codes.groupBy("cell").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max("c"), lit(0L)).as("mx"),
+        coalesce(sum("c"), lit(0L)).as("tot"))
+      .select(when(col("tot") === 0L, lit(0L))
+        .otherwise(expr("mx * 1000000 DIV tot")).as("ppm"))
+      .collect()(0).getLong(0)
+
+  /** Manifest store root: the tiny versioned pointer that names the SERVED
+    * centroid generation (one row: gen, cents_dir). */
+  private def manifestDir(store: String): String = s"$store/manifest"
+
+  /** The centroid table the serve path should probe with: the latest
+    * manifest generation if a retrain has committed one, else the
+    * build-time `centroids/` dir. */
+  def servedCentroids(s: org.apache.spark.sql.SparkSession,
+                      store: String): DataFrame = {
+    import graft.operators.VersionedStore
+    VersionedStore.latestVersion(manifestDir(store)) match {
+      case Some(_) =>
+        val dir = VersionedStore.read(s, manifestDir(store),
+          schema = Some("gen long, cents_dir string"))
+          .orderBy(col("gen").desc).limit(1)
+          .collect()(0).getString(1)
+        s.read.parquet(dir)
+      case None => s.read.parquet(s"$store/centroids")
+    }
+  }
+
+  /** Drift-triggered OFFLINE retrain of the IVF coarse quantizer (the
+    * carried r12 #6 gap: without it the maintained index's recall decays
+    * under distribution drift with no detection hook).
+    *
+    * Trigger: [[cellImbalancePpm]] ≥ `thresholdPpm` (default: one cell
+    * holding half the index). Retrain re-fits centroids on the CURRENT
+    * snapshot's vectors (ids from the codes store joined back to the raw
+    * embedding source — codes don't carry raw vectors), RE-ASSIGNS every
+    * vector's cell, and swaps the generation in via the versioned store:
+    *
+    *  1. the new centroid table lands in an immutable per-generation dir
+    *     (`gen-<txn>/centroids` — overwrite-idempotent, so a crashed
+    *     retrain re-runs to the same bytes);
+    *  2. the cell-reassigned codes commit to the SAME codes store under
+    *     txn tag (`appId`-retrain, txn) — PQ codes are untouched (the
+    *     codebook is cell-independent in the non-residual layout), so
+    *     this rewrites one long column, not the quantization;
+    *  3. a one-row manifest commit flips the served-centroids pointer.
+    *
+    * Each step is idempotent under its txn tag, so a crash mid-sequence
+    * resumes to completion on replay — the same exactly-once recipe as
+    * the ingest path. No lost ingest: the snapshot is re-read HERE (not
+    * at detection time), and retrain runs serialized in the single
+    * maintenance writer (the foreachBatch thread's discipline), so every
+    * batch committed before the call is carried into the new generation
+    * and batches after it land on the reassigned snapshot unchanged.
+    * Ingest txn tags live in the same marker history, untouched by the
+    * retrain's own appId — a crash-replay of a pre-swap batch is still a
+    * no-op after the swap (StructuredStreamingSpec pins it).
+    *
+    * Returns Left(imbalance ppm) when below threshold (one cheap agg, no
+    * retrain), Right(generation) after a committed swap. */
+  def maybeRetrainIvfpq(s: org.apache.spark.sql.SparkSession, store: String,
+                        codesDir: String, corpus: DataFrame, appId: String,
+                        txnId: Long, thresholdPpm: Long = 500000L,
+                        m: Int = 8, dim: Int = 64): Either[Long, Long] = {
+    import graft.operators.VersionedStore
+    val codes = VersionedStore.read(s, codesDir, schema = Some(CodesDdl))
+    val ppm = cellImbalancePpm(codes)
+    if (ppm < thresholdPpm) Left(ppm)
+    else {
+      val ids = codes.select("vec_id").distinct()
+      val vecs = corpus.select(col("vec_id"), col("embedding"))
+        .join(ids, "vec_id")
+      val cents = graft.llm.LlmOps.ivfCentroids(vecs).localCheckpoint()
+      val gdir = s"$store/gen-$txnId/centroids"
+      cents.write.mode("overwrite").parquet(gdir)
+      val reassigned = codes.drop("cell")
+        .join(graft.llm.LlmOps.ivfAssignCells(vecs, cents), "vec_id")
+        .select(col("vec_id").cast("long"), col("sub").cast("int"),
+          col("code").cast("int"), col("cell").cast("long"))
+      VersionedStore.commitTxn(reassigned.repartition(col("cell")),
+        codesDir, s"$appId-retrain", txnId, partitionBy = Seq("cell"))
+      import s.implicits._
+      VersionedStore.commitTxn(
+        Seq((txnId, gdir)).toDF("gen", "cents_dir"),
+        manifestDir(store), s"$appId-retrain", txnId)
+      Right(txnId)
+    }
+  }
+
   /** STRM-22 driver: drain `vectors` (a streaming frame of (vec_id,
     * embedding)) through [[ivfpqIngestBatch]] micro-batches. */
   def runIvfpqIngestStream(vectors: DataFrame, store: String,
@@ -896,9 +994,14 @@ object StreamOps extends QueryModule {
         require(replay.isLeft,
           s"replayed batch $last must be skipped, got $replay")
       }
+      // drift check after the drain (r14): one cheap agg on the uniform
+      // corpus stays below threshold — the HOOK is exercised every run,
+      // the retrain itself is pinned by the spec's skewed fixture
+      maybeRetrainIvfpq(s, store, codesDir, e, "strm22", txnId = 1L)
       graft.llm.LlmOps.ivfpqProbe(e.filter(col("vec_id") === 0), e, store,
         codes0 = Some(VersionedStore.read(s, codesDir,
-          schema = Some(CodesDdl))))
+          schema = Some(CodesDdl))),
+        cents0 = Some(servedCentroids(s, store)))
     }),
 
     // STRM-16 batch-replay: same windowedQuantiles transform the

@@ -653,6 +653,90 @@ class StructuredStreamingSpec extends SparkSpec {
     assert(freshCodes !== maintained.filter(_._1 == rid),
       "re-embedded vector's codes must change")
   }
+  test("strm22 drift retrain: skewed ingest trips the imbalance trigger; " +
+      "the generation swap preserves full-probe parity, loses no ingested " +
+      "vector, and keeps pre-swap replay a txn no-op") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.VersionedStore
+    import graft.llm.LlmOps
+    val root = java.nio.file.Files
+      .createTempDirectory("strm22-drift").toString
+    val (store, codesDir) = (s"$root/store", s"$root/codes")
+    // bootstrap corpus: 32 one-hot vectors spread over dims 0..15 — the
+    // trained centroids tile that subspace
+    def oneHot(d: Int, mag: Float) =
+      Array.tabulate(64)(j => if (j == d) mag else 0f)
+    val hist = (1L to 32L).map(i =>
+      (i, oneHot((i % 16).toInt, 1f + 0.01f * (i % 3))))
+    // drifted arrivals: 4 tight subclusters in dims 56..59 — ORTHOGONAL
+    // to every bootstrap centroid, so the old quantizer routes ALL of
+    // them into one tie-broken cell (the drift pathology)
+    val arrivals = (0 until 48).map { i =>
+      val v = oneHot(56 + i % 4, 5f)
+      v(61) = 0.01f * i // in-subcluster jitter
+      (100L + i, v)
+    }
+    val histDf = hist.toDF("vec_id", "embedding")
+    LlmOps.ivfpqBuild(train = histDf, index = histDf, store = store)
+    VersionedStore.commitTxn(s.read.parquet(s"$store/codes"), codesDir,
+      "boot", 0L, partitionBy = Seq("cell"))
+    StreamOps.ivfpqIngestBatch(arrivals.toDF("vec_id", "embedding"),
+      store, codesDir, "drift", batchId = 1L)
+    val corpus = (hist ++ arrivals).toDF("vec_id", "embedding")
+    val CodesDdl = "vec_id long, sub int, code int, cell long"
+    def snapshot() = VersionedStore.read(s, codesDir, schema = Some(CodesDdl))
+    val preImbalance = StreamOps.cellImbalancePpm(snapshot())
+    assert(preImbalance >= 500000L,
+      s"skewed ingest must trip the default threshold, got $preImbalance ppm")
+    // full-probe baseline BEFORE the swap (nprobe = all cells → the ADC
+    // shortlist ignores cell assignment entirely, so the swap must not
+    // change a single row of this)
+    def fullProbe(qid: Long) = LlmOps.ivfpqProbe(
+        corpus.filter(col("vec_id") === qid), corpus, store, nprobe = 16,
+        codes0 = Some(snapshot()),
+        cents0 = Some(StreamOps.servedCentroids(s, store)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val preProbe = fullProbe(100L)
+    // the swap
+    val swapped = StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus,
+      "drift", txnId = 2L)
+    assert(swapped === Right(2L), s"retrain must fire and commit: $swapped")
+    val postImbalance = StreamOps.cellImbalancePpm(snapshot())
+    assert(postImbalance < preImbalance,
+      s"retrained quantizer must spread the hot mass: " +
+        s"$preImbalance -> $postImbalance ppm")
+    // a second check on the healthy index is a no-op (one agg, Left)
+    assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus,
+      "drift", txnId = 3L) === Left(postImbalance))
+    // probe parity across the swap
+    assert(fullProbe(100L) === preProbe,
+      "full-nprobe probe must be bit-identical across the generation swap")
+    // no lost vectors: the reassigned snapshot carries exactly the same
+    // (vec_id, sub, code) set, only cells changed
+    val preIds = (hist ++ arrivals).map(_._1).toSet
+    assert(snapshot().select("vec_id").distinct().collect()
+      .map(_.getLong(0)).toSet === preIds)
+    // ingest continues onto the new generation and is retrievable
+    val b2 = (0 until 4).map(i => (200L + i, oneHot(56, 5f + 0.1f * i)))
+    StreamOps.ivfpqIngestBatch(b2.toDF("vec_id", "embedding"),
+      store, codesDir, "drift", batchId = 4L)
+    val corpus2 = (hist ++ arrivals ++ b2).toDF("vec_id", "embedding")
+    val got = LlmOps.ivfpqProbe(
+        corpus2.filter(col("vec_id") === 201L), corpus2, store, nprobe = 16,
+        codes0 = Some(snapshot()),
+        cents0 = Some(StreamOps.servedCentroids(s, store)))
+      .collect().map(_.getLong(0))
+    assert(got.head === 201L,
+      s"post-swap ingest must be retrievable, got ${got.head}")
+    // crash-replay of the PRE-swap batch after the swap: still a no-op
+    val nVersions = VersionedStore.versions(codesDir).size
+    val replay = StreamOps.ivfpqIngestBatch(
+      arrivals.toDF("vec_id", "embedding"), store, codesDir,
+      "drift", batchId = 1L)
+    assert(replay.isLeft && VersionedStore.versions(codesDir).size ===
+      nVersions, "pre-swap batch replay must not commit after the swap")
+  }
 }
 
 /** documents-shaped record for the corpus-dedup stream. */
