@@ -1610,6 +1610,10 @@ object Relational extends QueryModule {
             li, hot90, ord, pmod(col("o_orderkey"), lit(97))))
           .unionByName(graft.plans.JoinAdvisor.evidence("lineitem_hot5",
             li, hot5, ord, pmod(col("o_orderkey"), lit(997)))))
+        // decimal(38,0) internally (overflow-proof — JoinAdvisorSpec);
+        // bigint at the declared boundary so both engines hash alike
+        // (gate-SF values are ≤10⁷, nowhere near long range).
+        .withColumn("est_join_rows", col("est_join_rows").cast("bigint"))
         .orderBy("join_name")
     })
   )
@@ -1644,7 +1648,7 @@ object Relational extends QueryModule {
         |    CAST((SELECT COUNT(*) FROM ${n}_r) AS BIGINT) AS r_keys,
         |    CAST((SELECT MAX(c) FROM ${n}_r) AS BIGINT) AS r_max_key_rows,
         |    CAST((SELECT COALESCE(SUM(a.c * b.c), 0)
-        |          FROM ${n}_l a JOIN ${n}_r b ON a.k = b.k) AS DECIMAL(38,0))
+        |          FROM ${n}_l a JOIN ${n}_r b ON a.k = b.k) AS BIGINT)
         |      AS est_join_rows)""".stripMargin
     }.mkString(",")
     s"""WITH${ctes},

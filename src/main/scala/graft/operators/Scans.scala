@@ -474,13 +474,14 @@ object Scans extends QueryModule {
     // flip to each version is one atomic marker create — no torn reads.
     "sink9_versioned" -> ((s, d) => {
       val root = s"$SinkDir/sink9_versioned"
+      // through the backend-agnostic trait (parquet binding here;
+      // the same program runs on Delta via spark.graft.store.backend)
+      val store = SnapshotStore.forConf(s)
       VersionedStore.destroy(root)
       val orders = Tables.orders(s, d)
-      VersionedStore.commit(
-        orders.filter(col("o_orderstatus") === "F"), root)
-      VersionedStore.commit(
-        orders.filter(col("o_orderstatus") === "O"), root)
-      VersionedStore.read(s, root, version = 1L)
+      store.commit(orders.filter(col("o_orderstatus") === "F"), root)
+      store.commit(orders.filter(col("o_orderstatus") === "O"), root)
+      store.read(s, root, version = 1L)
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
@@ -512,10 +513,11 @@ object Scans extends QueryModule {
     // (v1 stays time-travel readable; sink9 proves that isolation).
     "sink10_merge" -> ((s, d) => {
       val root = s"$SinkDir/sink10_merge"
+      val store = SnapshotStore.forConf(s)
       VersionedStore.destroy(root)
       val cust = Tables.customer(s, d)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-      VersionedStore.commit(cust, root)
+      store.commit(cust, root)
       val changes =
         cust.filter(col("c_mktsegment") === "BUILDING")
           .withColumn("c_acctbal", col("c_acctbal") + 100)
@@ -528,8 +530,8 @@ object Scans extends QueryModule {
               col("s_acctbal").as("c_acctbal"),
               lit("SUPPLIER").as("c_mktsegment"))
             .withColumn("op", lit("upsert")))
-      VersionedStore.merge(s, root, changes, Seq("c_custkey"))
-      VersionedStore.read(s, root)
+      store.merge(s, root, changes, Seq("c_custkey"))
+      store.read(s, root)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), Det.dsum(col("c_acctbal")).as("sum_bal"))
         .orderBy("c_mktsegment")

@@ -163,7 +163,13 @@ object DeltaSnapshotStore extends SnapshotStore {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(root)
     val after = latestVersion(root)
-    // Delta skips an idempotent replay WITHOUT advancing the version
+    // Delta skips an idempotent replay WITHOUT advancing the version.
+    // Divergences from the trait contract, both rooted in Delta not
+    // exposing writer-txn tags: the Left carries the skipped txnVersion
+    // (a lower bound on lastRecorded, which Delta keeps internal), and
+    // the before/after comparison assumes no concurrent writer advanced
+    // the table between the two reads — single-writer-per-appId is the
+    // operating assumption, as with the parquet binding's marker scan.
     if (after == before && before.isDefined) Left(txnVersion)
     else Right(after.getOrElse(0L))
   }
@@ -220,10 +226,15 @@ object DeltaSnapshotStore extends SnapshotStore {
     latestVersion(root).get
   }
 
-  def vacuum(root: String, keep: Int): Unit = {
-    // Delta retention is time-based; 0 hours with the safety check off is
-    // test-only — production callers configure
-    // delta.deletedFileRetentionDuration on the table instead
-    SparkSession.active.sql(s"VACUUM ${tbl(root)}"): Unit
-  }
+  def vacuum(root: String, keep: Int): Unit =
+    // Delta retention is time-based (VACUUM ... RETAIN n HOURS); there is
+    // no count-based "newest keep versions" primitive, and silently
+    // running a time-based VACUUM would violate the trait contract while
+    // appearing to succeed. Same posture as lastTxn: refuse loudly —
+    // callers needing version-count retention stay on the parquet
+    // binding; Delta deployments configure
+    // delta.deletedFileRetentionDuration on the table instead.
+    throw new UnsupportedOperationException(
+      s"delta backend has no version-count retention (asked keep=$keep); " +
+        "configure delta.deletedFileRetentionDuration on the table")
 }
