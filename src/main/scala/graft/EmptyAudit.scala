@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
   * table present but zero rows — and report which queries throw. Empty
   * inputs are routine at scale (a filter or a partition prune can empty
   * any stage); the engine must degrade to empty results, not exceptions.
-  * EmptyAuditSpec asserts the failure list stays empty; the `main` is
-  * the standalone diagnostic form of the same audit.
+  * EmptyInputSpec asserts the failure list stays empty (through this
+  * object, with its shared-path exclusions passed as `exclude`); the
+  * `main` is the standalone full-set diagnostic form of the same audit.
   */
 object EmptyAudit {
 
@@ -19,12 +20,17 @@ object EmptyAudit {
         .parquet(s"$out/$t.parquet")
     }
 
-  /** Execute every `SparkEntry.queries` entry against the empty lake;
-    * returns (ok count, failures as "name: root cause" lines). */
-  def audit(s: SparkSession, emptyLakeDir: String): (Int, Seq[String]) = {
+  /** Execute every `SparkEntry.queries` entry against the empty lake
+    * (minus any `exclude` matches — EmptyInputSpec passes its shared-path
+    * writers, which other suites read concurrently in the parallel test
+    * JVM); returns (ok count, failures as "name: root cause" lines). */
+  def audit(s: SparkSession, emptyLakeDir: String,
+            exclude: String => Boolean = _ => false): (Int, Seq[String]) = {
     var ok = 0
     val failures = Seq.newBuilder[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => exclude(n) }
+      .foreach { case (name, fn) =>
       try {
         fn(s, emptyLakeDir).count()
         ok += 1

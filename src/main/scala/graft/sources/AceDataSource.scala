@@ -281,8 +281,8 @@ private[sources] class AceBatchWrite(path: String, schema: StructType,
                                      truncate: Boolean,
                                      conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.BatchWrite {
-  private val staging =
-    s"$path/_staging-${java.util.UUID.randomUUID()}"
+  private val jobUid = java.util.UUID.randomUUID().toString
+  private val staging = s"$path/_staging-$jobUid"
 
   private def fsOf(p: String) = {
     val hp = new org.apache.hadoop.fs.Path(p)
@@ -310,8 +310,18 @@ private[sources] class AceBatchWrite(path: String, schema: StructType,
     messages.foreach { case AceCommitMessage(staged) if staged.nonEmpty =>
       val f = new org.apache.hadoop.fs.Path(staged)
       require(fs.exists(f), s"commit message names missing staged file $staged")
-      val target = new org.apache.hadoop.fs.Path(dir, f.getName)
-      if (fs.exists(target)) fs.delete(target, false)
+      // partitionId/taskId restart per job, so append-mode names carry the
+      // job uid: a prior job's part-0-0.ace is DATA under append semantics
+      // and must never be silently replaced. Under truncate the sweep
+      // above already cleared .ace files, so bare names stay stable and a
+      // leftover same-named target (crashed prior commit) is refuse-worthy
+      // too — publish never overwrites.
+      val name =
+        if (truncate) f.getName
+        else f.getName.stripSuffix(".ace") + s"-${jobUid.take(8)}.ace"
+      val target = new org.apache.hadoop.fs.Path(dir, name)
+      require(!fs.exists(target),
+        s"refusing to overwrite existing $target during append publish")
       require(fs.rename(f, target), s"commit failed publishing $staged")
     case _ => ()
     }

@@ -621,8 +621,19 @@ object StreamOps extends QueryModule {
                         m: Int = 8, dim: Int = 64): Either[Long, Long] = {
     import graft.operators.VersionedStore
     val codes = VersionedStore.read(s, codesDir, schema = Some(CodesDdl))
-    val ppm = cellImbalancePpm(codes)
-    if (ppm < thresholdPpm) Left(ppm)
+    // Crash-resume guard: if a prior attempt of THIS retrain already
+    // committed the reassigned codes (step 2) but died before the manifest
+    // flip (step 3), the snapshot is already balanced — re-running the
+    // imbalance gate would return Left and strand the swap half-applied
+    // (probes would pair old-generation centroids with new assignments,
+    // silently collapsing recall). The codes-store txn tag is the durable
+    // record of how far the sequence got: when it says step 2 landed,
+    // skip the gate and fall through to the idempotent steps.
+    val retrainApp = s"$appId-retrain"
+    val resuming =
+      VersionedStore.lastTxn(codesDir, retrainApp).exists(_ >= txnId)
+    val ppm = if (resuming) -1L else cellImbalancePpm(codes)
+    if (!resuming && ppm < thresholdPpm) Left(ppm)
     else {
       val ids = codes.select("vec_id").distinct()
       val vecs = corpus.select(col("vec_id"), col("embedding"))
@@ -635,11 +646,11 @@ object StreamOps extends QueryModule {
         .select(col("vec_id").cast("long"), col("sub").cast("int"),
           col("code").cast("int"), col("cell").cast("long"))
       VersionedStore.commitTxn(reassigned.repartition(col("cell")),
-        codesDir, s"$appId-retrain", txnId, partitionBy = Seq("cell"))
+        codesDir, retrainApp, txnId, partitionBy = Seq("cell"))
       import s.implicits._
       VersionedStore.commitTxn(
         Seq((txnId, gdir)).toDF("gen", "cents_dir"),
-        manifestDir(store), s"$appId-retrain", txnId)
+        manifestDir(store), retrainApp, txnId)
       Right(txnId)
     }
   }

@@ -210,6 +210,28 @@ class AceSourceSpec extends SparkSpec {
     assert(spark.read.format("ace").load(tmp).count() === 1)
   }
 
+  test("write path: append jobs never clobber a prior job's parts — " +
+      "partitionId/taskId restart per job, so published names are " +
+      "job-unique and both dumps survive") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ace-append").toString
+    def one(ident: String) =
+      Seq(("Gene", ident, "CGC_name", "v", "assert"))
+        .toDF("cls", "ident", "path", "value", "op")
+        .coalesce(1) // both jobs publish from partition 0 — the collision
+    one("FIRST").write.format("ace").mode("append").save(tmp)
+    one("SECOND").write.format("ace").mode("append").save(tmp)
+    val idents = spark.read.format("ace").load(tmp)
+      .select("ident").collect().map(_.getString(0)).toSet
+    assert(idents === Set("FIRST", "SECOND"),
+      "second append silently replaced the first job's part file")
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".ace")).map(_.getName)
+    assert(files.length === 2 && files.toSet.size === 2,
+      s"expected two distinct published parts, got ${files.mkString(", ")}")
+  }
+
   test("write path is FS-agnostic: the full stage→commit→publish cycle " +
       "runs on the s3m:// object store (PUT-on-close create, non-atomic " +
       "per-key rename) and round-trips every datom") {

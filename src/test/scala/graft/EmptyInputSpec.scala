@@ -26,18 +26,14 @@ class EmptyInputSpec extends SparkSpec {
 
   test("every query runs (does not throw) against an empty lake") {
     val out = "/root/repo/target/empty-lake-spec"
-    Tables.all.foreach { t =>
-      Tables.load(spark, Sf0001, t).limit(0).write.mode("overwrite")
-        .parquet(s"$out/$t.parquet")
-    }
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => sharedPathWriters(n) }
-      .flatMap { case (name, fn) =>
-        try { fn(spark, out).count(); None }
-        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
-      }
+    // one sweep implementation: the spec IS EmptyAudit with the suite's
+    // exclusions passed in, so the two can't drift
+    EmptyAudit.buildEmptyLake(spark, Sf0001, out)
+    val (ok, failures) = EmptyAudit.audit(spark, out,
+      exclude = sharedPathWriters)
     assert(failures.isEmpty,
       s"${failures.size} queries throw on an empty lake:\n" +
         failures.mkString("\n"))
+    assert(ok > 250, s"audit actually ran the query set (ok=$ok)")
   }
 }

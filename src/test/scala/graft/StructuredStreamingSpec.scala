@@ -737,6 +737,68 @@ class StructuredStreamingSpec extends SparkSpec {
     assert(replay.isLeft && VersionedStore.versions(codesDir).size ===
       nVersions, "pre-swap batch replay must not commit after the swap")
   }
+
+  test("strm22 drift retrain: a crash between the codes commit and the " +
+      "manifest flip resumes to a completed generation swap on replay") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.VersionedStore
+    import graft.llm.LlmOps
+    val root = java.nio.file.Files
+      .createTempDirectory("strm22-crash").toString
+    val (store, codesDir) = (s"$root/store", s"$root/codes")
+    def oneHot(d: Int, mag: Float) =
+      Array.tabulate(64)(j => if (j == d) mag else 0f)
+    val hist = (1L to 32L).map(i =>
+      (i, oneHot((i % 16).toInt, 1f + 0.01f * (i % 3))))
+    val arrivals = (0 until 48).map { i =>
+      val v = oneHot(56 + i % 4, 5f)
+      v(61) = 0.01f * i
+      (100L + i, v)
+    }
+    val histDf = hist.toDF("vec_id", "embedding")
+    LlmOps.ivfpqBuild(train = histDf, index = histDf, store = store)
+    VersionedStore.commitTxn(s.read.parquet(s"$store/codes"), codesDir,
+      "boot", 0L, partitionBy = Seq("cell"))
+    StreamOps.ivfpqIngestBatch(arrivals.toDF("vec_id", "embedding"),
+      store, codesDir, "crash", batchId = 1L)
+    val corpus = (hist ++ arrivals).toDF("vec_id", "embedding")
+    // run the retrain to completion, then erase the manifest store: the
+    // exact on-disk state of a writer that died after the codes commitTxn
+    // (step 2, txn-tagged) but before the manifest flip (step 3) — cells
+    // already reassigned to new centroids, serve path still on the old
+    // generation
+    assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus,
+      "crash", txnId = 2L) === Right(2L))
+    VersionedStore.destroy(s"$store/manifest")
+    assert(VersionedStore.lastTxn(codesDir, "crash-retrain") === Some(2L))
+    val stranded = StreamOps.servedCentroids(s, store)
+      .collect().map(_.toString).toSet
+    val bootstrap = s.read.parquet(s"$store/centroids")
+      .collect().map(_.toString).toSet
+    assert(stranded === bootstrap,
+      "without the manifest the serve path is stranded on the bootstrap " +
+        "generation — the recall-collapse state the resume guard targets")
+    // replay of the same retrain txn: the imbalance gate must NOT veto
+    // (the snapshot is already balanced); the sequence must fall through
+    // its idempotent steps and complete the manifest flip
+    assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus,
+      "crash", txnId = 2L) === Right(2L),
+      "resume must complete the swap, not Left on the balanced snapshot")
+    val served = StreamOps.servedCentroids(s, store)
+      .collect().map(_.toString).toSet
+    val newGen = s.read.parquet(s"$store/gen-2/centroids")
+      .collect().map(_.toString).toSet
+    assert(served === newGen, "manifest must now name generation 2")
+    // the codes store took no duplicate commit on resume
+    val CodesDdl = "vec_id long, sub int, code int, cell long"
+    val snap = VersionedStore.read(s, codesDir, schema = Some(CodesDdl))
+    assert(snap.groupBy("vec_id").count()
+      .filter(col("count") =!= 8).isEmpty, "one row per (vec, sub), m=8")
+    // a later healthy-index check is an ordinary Left again
+    assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus,
+      "crash", txnId = 3L).isLeft)
+  }
 }
 
 /** documents-shaped record for the corpus-dedup stream. */
