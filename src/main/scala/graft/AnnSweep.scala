@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN recall sweep — the measurement behind PqSpec's recall floors
+  * (VERDICT r14 #3: "sweep nprobe at sf0.1, pick the knee, pin
+  * measured-minus-margin floors"). For each nprobe it reports recall@20
+  * against the exact L2 top-20, (a) for the declared query vector 0 (the
+  * PqSpec fixture) and (b) averaged over the first `NQ` vectors as
+  * queries — one query's recall@20 moves in 0.05 steps, so floors pinned
+  * on it alone need the average as context.
+  *
+  *   sbt "runMain graft.AnnSweep /root/testdata/sf0.01"
+  *
+  * Probes the SAME memoized persisted stores the declared queries serve
+  * from (raw + residual), so the sweep measures the production path, not
+  * a rebuild.
+  */
+object AnnSweep {
+  private val NQ = 16
+
+  private def l2sq(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exact L2 top-20 ids for query `q` over corpus (all vecs except 0,
+    * minus the query itself is NOT excluded — members retrieve
+    * themselves, same contract as the probe). */
+  private def exactTop20(e: DataFrame, q: Long): Set[Long] = {
+    val qe = e.filter(col("vec_id") === q)
+      .select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qe))
+      .select(col("vec_id"), l2sq(col("embedding"), col("q_emb")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val s: SparkSession = Graft.session("graft-ann-sweep")
+    val e = Tables.embeddings(s, d).localCheckpoint()
+    val exact = (0L until NQ.toLong).map(q => q -> exactTop20(e, q)).toMap
+    val stores = Seq(
+      ("raw", graft.llm.LlmOps.memoIvfpqStore(s, d), false),
+      ("residual", graft.StageMemo.value(s, s"llm28e.store.$d") {
+        val st = graft.TmpStores.scratch("llm28e")
+        graft.llm.LlmOps.ivfpqBuild(train = e,
+          index = e.filter(col("vec_id") =!= 0), st, residual = true,
+          cents0 = Some(graft.llm.LlmOps.memoIvfCentroids(s, d)))
+        st
+      }, true))
+    println(f"${"store"}%-9s ${"nprobe"}%6s ${"short"}%5s " +
+      f"${"recall@20(q0)"}%14s ${"mean recall@20"}%15s ${"ms/probe"}%9s")
+    for ((label, store, residual) <- stores; nprobe <- Seq(4, 6, 8, 12);
+         shortlist <- Seq(100, 200, 400)) {
+      val t0 = System.nanoTime()
+      val recalls = (0L until NQ.toLong).map { q =>
+        val got = graft.llm.LlmOps.ivfpqProbe(
+            e.filter(col("vec_id") === q), e.filter(col("vec_id") =!= 0),
+            store, nprobe = nprobe, residual = residual,
+            shortlistN = shortlist)
+          .collect().map(_.getLong(0)).toSet
+        got.intersect(exact(q)).size / 20.0
+      }
+      val ms = (System.nanoTime() - t0) / 1e6 / NQ
+      println(f"$label%-9s $nprobe%6d $shortlist%5d ${recalls.head}%14.2f " +
+        f"${recalls.sum / NQ}%15.3f $ms%9.0f")
+    }
+    s.stop()
+  }
+}

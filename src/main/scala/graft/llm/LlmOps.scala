@@ -88,27 +88,37 @@ object LlmOps extends QueryModule {
       .withColumnRenamed("col", "bucket")
 
   /** IVF coarse-quantizer training (shared by llm3e and llm28c): k
-    * deterministically hash-sampled seed vectors refined by ONE Lloyd
-    * round. Assignment is cosine; cell means ride DECIMAL so the centroid
+    * deterministically hash-sampled seed vectors refined by `rounds` Lloyd
+    * rounds. Assignment is cosine; cell means ride DECIMAL so the centroid
     * table is bit-deterministic across partition orders. At 100 TB this
     * trains on a hash-sample of the corpus, not all of it — the per-query
-    * assignment pass is the only full-corpus pass. Returns (cent_id,
-    * cent: array<float>). */
-  def ivfCentroids(e: DataFrame, k: Int = 16): DataFrame = {
+    * assignment pass is the only full-corpus pass. Each round is one
+    * assign-and-average sweep over the training set with the previous
+    * round's centroids localCheckpoint'd (plan depth stays O(1), the
+    * RoundCheckpointer discipline); rounds is a TRAINING-time knob — the
+    * probe path never pays for it, it just serves tighter cells (AnnSweep
+    * r15: 4 rounds lifted probe recall@20 at nprobe=8 from 0.68 to 0.79
+    * mean with zero probe-time cost). Returns (cent_id, cent:
+    * array<float>). */
+  def ivfCentroids(e: DataFrame, k: Int = 16, rounds: Int = 4): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
     val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    e.crossJoin(broadcast(seeds))
-      .withColumn("sim", cosine(col("embedding"), col("cent")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cent_id", "pos")
-      .agg(avg(col("v").cast("decimal(28,12)")).as("m"))
-      .groupBy("cent_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m").cast("float")).as("cent"))
+    (1 to rounds).foldLeft(seeds) { (cents, r) =>
+      val next = e.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine(col("embedding"), col("cent")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cent_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg(avg(col("v").cast("decimal(28,12)")).as("m"))
+        .groupBy("cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("cent"))
+      if (r == rounds) next else next.localCheckpoint()
+    }
   }
 
   // ---- product quantization (LLM-28) ------------------------------------
@@ -328,10 +338,11 @@ object LlmOps extends QueryModule {
     * hard-limits to the first row; batch retrieval is llm3f's shape (one
     * ranked scan per query via a windowed join), not this one. */
   def ivfpqProbe(q0: DataFrame, corpus: DataFrame, store: String,
-                 m: Int = 8, dim: Int = 64, nprobe: Int = 4,
+                 m: Int = 8, dim: Int = 64, nprobe: Int = 8,
                  residual: Boolean = false,
                  codes0: Option[DataFrame] = None,
-                 cents0: Option[DataFrame] = None): DataFrame = {
+                 cents0: Option[DataFrame] = None,
+                 shortlistN: Int = 200): DataFrame = {
     val q = q0.limit(1)
     val s = q.sparkSession
     // cents0: serve a centroid generation maintained OUTSIDE the build
@@ -383,7 +394,7 @@ object LlmOps extends QueryModule {
       .groupBy("vec_id")
       .agg(sum(col("pdist").cast("decimal(28,12)")).as("adc"))
       .orderBy(col("adc"), col("vec_id"))
-      .limit(100)
+      .limit(shortlistN)
       .select("vec_id")
     corpus.join(broadcast(shortlist), "vec_id")
       .crossJoin(broadcast(q.select(col("embedding").as("q_emb"))))
@@ -410,8 +421,8 @@ object LlmOps extends QueryModule {
     * same decimal ADC, same tie-breaks — PqSpec pins the parity).
     * Output: (q_id, vec_id, l2_dist), k rows per query. */
   def ivfpqProbeBatch(qs0: DataFrame, corpus: DataFrame, store: String,
-                      m: Int = 8, dim: Int = 64, nprobe: Int = 4,
-                      k: Int = 20, shortlistN: Int = 100,
+                      m: Int = 8, dim: Int = 64, nprobe: Int = 8,
+                      k: Int = 20, shortlistN: Int = 200,
                       residual: Boolean = false): DataFrame = {
     val s = qs0.sparkSession
     import s.implicits._
@@ -859,9 +870,9 @@ object LlmOps extends QueryModule {
     }),
 
     // LLM-3e ⚠: IVF ANN — coarse quantizer of 16 centroids: deterministic
-    // hash-sampled seeds refined by ONE Lloyd iteration (per-cell mean);
+    // hash-sampled seeds refined by Lloyd iterations (per-cell mean);
     // every vector is assigned to its nearest centroid (inverted file =
-    // cell column), the query probes its nprobe=4 nearest cells and
+    // cell column), the query probes its nprobe=8 nearest cells and
     // exact-cosine re-ranks only those candidates. At 100 TB the training
     // runs on a hash-sample, the assignment is one broadcast-join pass and
     // the probe reads ~nprobe/C of the corpus; rows-only + ApproxSpec
@@ -877,7 +888,7 @@ object LlmOps extends QueryModule {
         .localCheckpoint()  // reused for corpus cells AND query probe cells
       val corpus = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 4)
+      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 8)
         .select(col("cent_id").as("cell"))
       val qEmb = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
@@ -1595,6 +1606,110 @@ object LlmOps extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // LLM-44 ⚠: SemDeDup (Abbas et al. '23, arXiv:2303.09540) — semantic
+    // dedup in EMBEDDING space, the IVF-cell scale path for llm21's exact
+    // leader rule (llm21b is the sign-LSH path): vectors cluster onto the
+    // SHARED IVF coarse quantizer, posted to their top-2 COSINE cells
+    // (assignment metric = dedup metric; top-2 is the boundary-pair fix
+    // — a pair straddling one Voronoi face still meets in the runner-up
+    // cell), candidate pairs form only inside a SHARED cell, and a
+    // vector is dropped iff a lower-id candidate sits at cosine ≥ τ.
+    // Pairwise work is Σ|cell|² over 2-posted cells, not n² — the
+    // paper's trade: far-apart near-dups are sacrificed for
+    // tractability, so rows-only + ApproxSpec drop-recall floor vs
+    // llm21 (measured 1.0 at sf0.01: all 14 exact pairs share a posted
+    // cell). Survivors sharing ANY posted cell are provably pairwise
+    // < τ (a surviving pair would make the higher id a dropout), which
+    // the spec also pins.
+    "llm44_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      // assignment metric = dedup metric: COSINE to centroid (llm28's
+      // probe assigns by L2 because its re-rank is L2; here a τ-cosine
+      // pair assigned by L2 can straddle cells that cosine keeps together)
+      val wc = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cent_id"))
+      val cells = e.crossJoin(broadcast(memoIvfCentroids(s, d)))
+        .withColumn("sim", cosine(col("embedding"), col("cent")))
+        .withColumn("rn", row_number().over(wc))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        .localCheckpoint() // both sides of the within-cell self-join
+      val pa = cells.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      val pb = cells.select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+      val dupIds = pa.join(pb, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(round(cosine(col("a_emb"), col("b_emb")), 6) >= 0.45)
+        .select(col("b_id").as("vec_id")).distinct()
+      e.select(col("vec_id"))
+        .join(dupIds.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dup").isNull.as("is_kept"))
+        .orderBy("vec_id")
+    }),
+
+    // LLM-45: leakage-free split assignment — train/val/test carved at
+    // the SOURCE (domain) grain, not the document grain: every doc of a
+    // source lands in one split, so same-domain templates/boilerplate
+    // can never straddle train and eval (the contamination vector a
+    // doc-level random split leaves open; llm16 decontaminates content,
+    // this prevents the split-level leak). Assignment is the cross-engine
+    // md5 protocol (samp1/llm2c): first 8 md5 hex of the source → mod 100
+    // → 90/5/5. Pure map + one map-side-combined agg — no shuffle beyond
+    // the 3-row final; at 100 TB the split column is a generated
+    // partition column, not a table rewrite.
+    "llm45_leakage_split" -> ((s, d) => {
+      val bucket = pmod(conv(substring(
+        md5(col("source").cast("binary")), 1, 8), 16, 10).cast("bigint"),
+        lit(100))
+      val split = when(bucket < 90, "train")
+        .when(bucket < 95, "val").otherwise("test")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          split.as("split"))
+        .groupBy("split")
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    }),
+
+    // LLM-46: chunk-grain exact dedup (Dolma/C4 paragraph dedup recast
+    // for a corpus without newlines): each doc splits into consecutive
+    // 25-word chunks (row-local transform+explode — no self-join), a
+    // chunk INSTANCE is a duplicate iff an earlier instance of the same
+    // chunk text exists anywhere in the corpus (earliest (doc_id,
+    // chunk_idx) keeps — the llm1 leader rule pushed below document
+    // grain, catching the templated-span duplication llm1/llm2's
+    // whole-doc keys are blind to, and unlike llm32's inventory this
+    // yields the per-doc KEEP/CUT decision a pipeline acts on). One
+    // window exchange keyed by chunk decides winners, one doc-grain agg
+    // summarizes. At 100 TB the exchange must carry xxhash64(chunk)
+    // (8 B, llm32b's trick), not the ~150 B strings shipped here for the
+    // oracle hash-match; the window state per key is O(instances of one
+    // chunk) — bounded by the dup multiplicity, not the corpus.
+    "llm46_chunk_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("t"))
+        .filter(size(col("t")) >= 1)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), ceil(size(col("t")) / lit(25.0)).cast("int") - 1),
+          i => struct(i.as("chunk_idx"),
+            concat_ws(" ", slice(col("t"), i * 25 + 1, lit(25))).as("chunk"),
+            size(slice(col("t"), i * 25 + 1, lit(25))).as("n_words")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.chunk").as("chunk"), col("c.n_words").as("n_words"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("rn") === 1, col("n_words"))
+            .otherwise(0L)).as("kept_words"))
+        .orderBy("doc_id")
+    }),
+
     // LLM-22: adjacent-token-pair counting — the corpus statistic behind
     // the first BPE merge (count all adjacent pairs, take the most
     // frequent). slice+zip_with builds per-doc bigram arrays with no
@@ -2245,8 +2360,12 @@ object LlmOps extends QueryModule {
 
     // LLM-28c ⚠: IVF-PQ — the billion-vector architecture (FAISS IVFPQ
     // shape, minus residual encoding): an IVF coarse quantizer narrows
-    // the search to nprobe=4 of 16 cells, then ADC runs over the PQ CODES
-    // of just those cells, then exact re-rank of the top-100 shortlist.
+    // the search to nprobe=8 of 16 cells, then ADC runs over the PQ CODES
+    // of just those cells, then exact re-rank of the top-200 shortlist.
+    // (nprobe=8/shortlist=200 is the r15 AnnSweep knee: recall@20 0.77
+    // mean / 0.80 on the declared query at sf0.01 vs 0.49/0.40 at the old
+    // 4/100 — at 100 TB nCells grows with the corpus and nprobe stays the
+    // serve-time dial, so the probed FRACTION shrinks, not the recall.)
     // At 100 TB the codes table is stored partitioned BY CELL, so the
     // probe reads nprobe/C of an already-64×-compressed table — compute
     // AND IO shrink multiplicatively (llm3e prunes IO only, llm28b
@@ -2266,7 +2385,7 @@ object LlmOps extends QueryModule {
         .localCheckpoint() // corpus cells AND query probe cells reuse it
       val cells = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
         .select(col("vec_id"), col("cent_id").as("cell"))
-      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 4)
+      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 8)
         .select(col("cent_id").as("cell"))
       val codebook = memoCodebook(s, d, 8)
       val qsub = pqSubvectors(q, 8, 8)
@@ -2281,7 +2400,7 @@ object LlmOps extends QueryModule {
         .groupBy("vec_id")
         .agg(sum(col("pdist").cast("decimal(28,12)")).as("adc"))
         .orderBy(col("adc"), col("vec_id"))
-        .limit(100)
+        .limit(200)
         .select("vec_id")
       corpus.join(broadcast(shortlist), "vec_id")
         .crossJoin(broadcast(q.select(col("embedding").as("q_emb"))))
@@ -2572,6 +2691,49 @@ object LlmOps extends QueryModule {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM grams GROUP BY gram HAVING count(*) >= 2
         |ORDER BY n_occ DESC, gram LIMIT 50""".stripMargin,
+
+    // source-grain md5 bucket split replayed verbatim — the cross-engine
+    // md5 protocol (first 8 hex → bigint), 90/5/5 cutoffs
+    "llm45_leakage_split" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // chunk-grain dedup replayed verbatim: same 25-word chunking (llm32
+    // token protocol), same earliest-(doc_id, chunk_idx) winner rule
+    "llm46_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents
+        |),
+        |chunks AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(t[(i*25+1):(i*25+25)], ' ') AS chunk,
+        |    len(t[(i*25+1):(i*25+25)]) AS n_words
+        |  FROM toks, unnest(range(0, CAST(ceil(len(t)/25.0) AS BIGINT))) AS g(i)
+        |  WHERE len(t) >= 1
+        |),
+        |ranked AS (
+        |  SELECT doc_id, n_words,
+        |    row_number() OVER (PARTITION BY chunk
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM chunks
+        |)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN n_words ELSE 0 END) AS BIGINT)
+        |    AS kept_words
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1015,6 +1015,51 @@ object StreamOps extends QueryModule {
         cents0 = Some(servedCentroids(s, store)))
     }),
 
+    // STRM-22b batch-replay: codes-table AUDIT of the strm22 pipeline —
+    // the hash-checkable half of the streaming index (VERDICT r14 #6).
+    // The probe's top-k is the approximate part; the MAINTAINED snapshot
+    // itself obeys exact invariants independent of what k-means learned:
+    // after bootstrap + 3 micro-batches + the replay no-op, EVERY corpus
+    // vector (vec 0 is the held-out query) is present with exactly m=8
+    // sub-codes, each code in [0,16), all 8 riding ONE cell — i.e. the
+    // stream lost nothing, double-applied nothing, and encoded fully.
+    // DuckDB replays the contract, not the training: 8/8/1/true per
+    // vec_id straight off the embeddings table.
+    "strm22b_ivfpq_codes_audit" -> ((s, d) => {
+      import graft.operators.VersionedStore
+      val tmp = graft.TmpStores.scratch("strm22b")
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val hist = e.filter(col("vec_id") % 4 === 0 && col("vec_id") =!= 0)
+      val arrivals = e.filter(col("vec_id") % 4 =!= 0 && col("vec_id") =!= 0)
+      val store = s"$tmp/store"
+      graft.llm.LlmOps.ivfpqBuild(train = e, index = hist, store = store,
+        cents0 = Some(graft.llm.LlmOps.memoIvfCentroids(s, d)),
+        codebook0 = Some(graft.llm.LlmOps.memoCodebook(s, d, 8)))
+      val codesDir = s"$tmp/codes"
+      VersionedStore.commitTxn(
+        s.read.schema(CodesDdl).parquet(s"$store/codes"),
+        codesDir, "strm22b-bootstrap", 0L, partitionBy = Seq("cell"))
+      val src = s"$tmp/src"
+      arrivals.repartition(2).write.parquet(src)
+      runIvfpqIngestStream(
+        s.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        store, codesDir, s"$tmp/ckpt", appId = "strm22b")
+      VersionedStore.lastTxn(codesDir, "strm22b").foreach { last =>
+        val replay = ivfpqIngestBatch(s.read.parquet(src), store, codesDir,
+          "strm22b", batchId = last)
+        require(replay.isLeft,
+          s"replayed batch $last must be skipped, got $replay")
+      }
+      VersionedStore.read(s, codesDir, schema = Some(CodesDdl))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_codes"),
+          countDistinct(col("sub")).as("n_subs"),
+          countDistinct(col("cell")).as("n_cells"),
+          min(col("code") >= 0 && col("code") < 16).as("codes_in_range"))
+        .orderBy("vec_id")
+    }),
+
     // STRM-16 batch-replay: same windowedQuantiles transform the
     // MemoryStream spec drives incrementally; hash-matches (agg23/24
     // bucket protocol, zero bucket = Long.MinValue sentinel)
@@ -1069,6 +1114,17 @@ object StreamOps extends QueryModule {
     "strm15_idempotent_ingest" ->
       """SELECT user_id, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streaming-index completeness contract (training-independent): every
+    // non-query vector fully PQ-encoded exactly once — m=8 sub-codes in
+    // [0,16) on a single cell. A dropped batch breaks n_codes, a
+    // double-applied replay inflates it, a cross-generation mix breaks
+    // n_cells.
+    "strm22b_ivfpq_codes_audit" ->
+      """SELECT vec_id, CAST(8 AS BIGINT) AS n_codes,
+        |  CAST(8 AS BIGINT) AS n_subs, CAST(1 AS BIGINT) AS n_cells,
+        |  true AS codes_in_range
+        |FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id""".stripMargin,
 
     // replicates the deterministic DDSketch protocol (see agg23/agg24 in
     // Relational.scala) per 1-hour tumbling window

@@ -80,10 +80,12 @@ class PqSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     val recall = got.intersect(exact).size / 20.0
     info(s"IVF-PQ recall@20 = $recall")
-    // measured 0.55 here — below llm28b's 0.85 because the nprobe=4/16
-    // cell restriction prunes candidates (the IVF speed/recall dial);
-    // floor = measured − 0.1 margin (VERDICT r11 #3)
-    assert(recall >= 0.45, s"IVF-PQ recall too low: $recall")
+    // measured 0.70 here (r15: 4 Lloyd rounds + nprobe=8/shortlist=200,
+    // the AnnSweep knee — up from 0.55 at the old 1-round/4/100 settings);
+    // below llm28b's 0.85 because the cell restriction still prunes
+    // candidates (the IVF speed/recall dial); floor = measured − 0.1
+    // margin (VERDICT r11 #3, production-credible per VERDICT r14 #3)
+    assert(recall >= 0.6, s"IVF-PQ recall too low: $recall")
   }
 
   private def exactTop20: Set[Long] = {
@@ -135,8 +137,8 @@ class PqSpec extends SparkSpec {
     assert(codeScans.nonEmpty, "probe must read the persisted codes store")
     // the "number of partitions read" driver metric, populated at execution
     val partsRead = codeScans.map(_.metrics("numPartitions").value).sum
-    assert(partsRead > 0 && partsRead <= 4,
-      s"nprobe=4 probe read $partsRead cell partitions")
+    assert(partsRead > 0 && partsRead <= 8,
+      s"nprobe=8 probe read $partsRead cell partitions")
   }
 
   test("llm28f: batch probe matches N sequential single probes") {
@@ -189,8 +191,8 @@ class PqSpec extends SparkSpec {
       s"batch retrieval must read the codes store EXACTLY once, " +
         s"got ${codeScans.length} scans")
     val partsRead = codeScans.map(_.metrics("numPartitions").value).sum
-    assert(partsRead > 0 && partsRead <= 5 * 4,
-      s"5 queries at nprobe=4 read $partsRead cell partitions")
+    assert(partsRead > 0 && partsRead <= 5 * 8,
+      s"5 queries at nprobe=8 read $partsRead cell partitions")
   }
 
   test("llm28e: residual encoding does not lose recall at equal nprobe") {
@@ -204,5 +206,8 @@ class PqSpec extends SparkSpec {
     info(s"recall@20: raw-encoded $rBase, residual-encoded $rRes")
     assert(rRes >= rBase,
       s"residual encoding lost recall: $rRes < $rBase")
+    // absolute floor for the residual serve path: measured 0.75 at r15's
+    // nprobe=8/shortlist=200 knee; floor = measured − 0.1 margin
+    assert(rRes >= 0.65, s"residual IVF-PQ recall too low: $rRes")
   }
 }
