@@ -1710,6 +1710,92 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // LLM-47: embedding-level decontamination — llm16 removes eval
+    // contamination by exact n-gram probe; this catches PARAPHRASED
+    // contamination the way semantic-decontamination pipelines do: a
+    // corpus vector is contaminated iff its max cosine against ANY
+    // benchmark embedding ≥ τ=0.32. The benchmark side is tiny by nature
+    // (eval sets), so it BROADCASTS and the corpus never shuffles — one
+    // scan, map-side crossJoin, per-vector max: embarrassingly parallel
+    // at 100 TB. Exact brute force against the small side (the honest
+    // tier; the IVF-bucketed probe of the llm28 family is the scale
+    // path when the "benchmark" is itself huge), so DuckDB hash-checks
+    // it end to end — same cosine protocol as llm3's oracle.
+    "llm47_embed_decontaminate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val bench = e.filter(col("vec_id") % 25 === 1)
+        .select(col("embedding").as("b_emb"))
+      e.filter(col("vec_id") % 25 =!= 1)
+        .crossJoin(broadcast(bench))
+        .groupBy("vec_id")
+        .agg(round(max(cosine(col("embedding"), col("b_emb"))), 6)
+          .as("max_cos"))
+        .select(col("vec_id"), col("max_cos"),
+          (col("max_cos") >= 0.32).as("contaminated"))
+        .orderBy("vec_id")
+    }),
+
+    // LLM-48: SOFT (probabilistic) dedup at the template grain — hard
+    // dedup (llm1/llm46) keeps exactly one instance per cluster;
+    // frequency-weighted DOWNSAMPLING instead keeps each member of a
+    // duplicate cluster with probability 1/|cluster| (expected surviving
+    // mass of every template = one document), avoiding the hard rule's
+    // bias against popular-but-legitimate content. Cluster key = the
+    // first-10-word prefix (the template/boilerplate grain llm20
+    // profiles); the survival coin is a deterministic md5 ppm bucket on
+    // doc_id (llm45's cross-engine protocol), kept iff ppm·c < 10⁶ —
+    // pure integer compare, no division rounding to disagree on. Plan:
+    // row-local key extraction, one count shuffle keyed by template,
+    // one join back — at 100 TB the sizes table is ~|distinct templates|
+    // rows and the corpus text never shuffles (the key is 10 words; at
+    // scale you'd ship xxhash64(prefix) exactly like llm46 documents).
+    "llm48_soft_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), concat_ws(" ",
+          slice(filter(split(col("text"), " "), t => t =!= ""), 1, 10))
+          .as("tpl"))
+      val sizes = docs.groupBy("tpl").agg(count(lit(1)).as("c"))
+      val ppm = pmod(conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint"), lit(1000000))
+      docs.join(sizes, "tpl")
+        .withColumn("kept", ppm * col("c") < 1000000L)
+        .groupBy("c")
+        .agg(countDistinct(col("tpl")).as("n_templates"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("c")
+    }),
+
+    // LLM-49: temperature-scaled source mixture (the multilingual-LM
+    // rebalancing rule, XLM-R arXiv:1911.02116 §3.1): sampling share
+    // ∝ share^(1/T), T=2 — upweights tail sources without llm42's hard
+    // quotas. share is one IEEE division of two exact longs and T=2
+    // makes the power a correctly-rounded sqrt, so both engines compute
+    // bit-identical weights; NORMALIZATION then runs in exact integer
+    // micro-units (llm42's DIV protocol) so the cross-engine hash never
+    // depends on float summation order. One partial-agg shuffle of
+    // ~|sources| rows; the whole-table window runs on that metadata-
+    // sized agg output, not the corpus.
+    "llm49_temperature_mix" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum("n_tok").as("src_tokens"))
+      val all = Window.partitionBy()
+      per
+        .withColumn("total", sum(col("src_tokens")).over(all))
+        .withColumn("w_micro",
+          round(sqrt(col("src_tokens") / col("total")) * 1e12, 0)
+            .cast("long"))
+        .withColumn("w_sum", sum(col("w_micro")).over(all))
+        .select(col("source"), col("src_tokens"),
+          expr("src_tokens * 1000000 DIV total").as("share_ppm"),
+          expr("w_micro * 1000000 DIV w_sum").as("temp_share_ppm"),
+          expr("100000 * w_micro DIV w_sum").as("budget_tokens"))
+        .orderBy("source")
+    }),
+
     // LLM-22: adjacent-token-pair counting — the corpus statistic behind
     // the first BPE merge (count all adjacent pairs, take the most
     // frequent). slice+zip_with builds per-doc bigram arrays with no
@@ -2734,6 +2820,64 @@ object LlmOps extends QueryModule {
         |  CAST(sum(CASE WHEN rn = 1 THEN n_words ELSE 0 END) AS BIGINT)
         |    AS kept_words
         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same cosine protocol as llm3's oracle (dot / sqrt / sqrt, then
+    // round 6dp AFTER the max — identical IEEE op order both engines)
+    "llm47_embed_decontaminate" ->
+      """WITH b AS (SELECT embedding::DOUBLE[] be FROM embeddings
+        |           WHERE vec_id % 25 = 1),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings
+        |      WHERE vec_id % 25 <> 1)
+        |SELECT c.vec_id,
+        |  round(max(list_dot_product(c.e, b.be) /
+        |        sqrt(list_dot_product(c.e, c.e)) /
+        |        sqrt(list_dot_product(b.be, b.be))), 6) AS max_cos,
+        |  round(max(list_dot_product(c.e, b.be) /
+        |        sqrt(list_dot_product(c.e, c.e)) /
+        |        sqrt(list_dot_product(b.be, b.be))), 6) >= 0.32
+        |    AS contaminated
+        |FROM c, b GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin,
+
+    // md5-ppm survival coin replayed verbatim; kept iff ppm*c < 1e6
+    // (integer compare — no division rounding to disagree on)
+    "llm48_soft_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_filter(string_split(text, ' '),
+        |                                x -> x <> '')[1:10], ' ') AS tpl,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 1000000 AS ppm
+        |  FROM documents),
+        |s AS (SELECT tpl, count(*) AS c FROM d GROUP BY tpl)
+        |SELECT c, CAST(count(DISTINCT d.tpl) AS BIGINT) AS n_templates,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN d.ppm * s.c < 1000000 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_kept
+        |FROM d JOIN s ON d.tpl = s.tpl
+        |GROUP BY c ORDER BY c""".stripMargin,
+
+    // T=2 power = correctly-rounded sqrt (bit-identical both engines);
+    // normalization in exact integer micro-units (llm42's DIV protocol)
+    "llm49_temperature_mix" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS src_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, src_tokens,
+        |    CAST(sum(src_tokens) OVER () AS BIGINT) AS total,
+        |    CAST(round(sqrt(src_tokens /
+        |      CAST(sum(src_tokens) OVER () AS DOUBLE)) * 1e12) AS BIGINT)
+        |      AS w_micro
+        |  FROM per)
+        |SELECT source, src_tokens,
+        |  src_tokens * 1000000 // total AS share_ppm,
+        |  w_micro * 1000000 // CAST(sum(w_micro) OVER () AS BIGINT)
+        |    AS temp_share_ppm,
+        |  100000 * w_micro // CAST(sum(w_micro) OVER () AS BIGINT)
+        |    AS budget_tokens
+        |FROM w ORDER BY source""".stripMargin,
 
     "llm1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

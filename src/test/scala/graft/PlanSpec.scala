@@ -45,6 +45,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
   }
 
+  test("llm47: benchmark side broadcasts; corpus fan-out collapses " +
+      "map-side before the shuffle") {
+    val p = planOf("llm47_embed_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the benchmark embeddings broadcast:\n$p")
+    // partial max per vec_id runs BEFORE the exchange, so the shuffle
+    // carries n rows, not n×|benchmark| — the property that makes the
+    // brute-force decontamination probe a single-scan job at 100 TB
+    val idx = p.indexOf("Exchange hashpartitioning(vec_id")
+    assert(idx >= 0, s"expected a vec_id exchange:\n$p")
+    assert(p.indexOf("HashAggregate", idx) >= 0 &&
+      p.substring(idx).contains("BroadcastNestedLoopJoin"),
+      s"expected partial HashAggregate below the exchange:\n$p")
+  }
+
   test("llm5: document-frequency join is NOT force-broadcast") {
     val df = SparkEntry.queries("llm5_tfidf")(spark, Sf0001)
     val logical = df.queryExecution.optimizedPlan.toString
