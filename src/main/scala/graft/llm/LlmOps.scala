@@ -232,6 +232,36 @@ object LlmOps extends QueryModule {
           .reduce(_ + _).cast("double"), 6).as("recon_err"))
   }
 
+  /** BM25 score per document against the fixed query terms (the llm27
+    * scorer, shared with llm50's rank fusion): Robertson k1=1.2 b=0.75,
+    * per-term scores summed in exact decimal then rounded 6 dp so the
+    * value (and any ranking derived from it) is cross-engine stable.
+    * Only docs containing ≥1 query term appear — BM25's natural support. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("data", "model", "training", "pipeline")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("tk"))
+      .filter(col("tk") =!= "")
+      .localCheckpoint() // dl and tf both consume the tokenize chain
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dlen").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("tk").isin(qTerms: _*))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).cast("double").as("tfreq"))
+    val df = tf.groupBy("tk").agg(count(lit(1)).cast("double").as("dfreq"))
+    val term = tf.join(df, "tk").join(dl, "doc_id").crossJoin(stats)
+      .withColumn("term_score",
+        log((col("n_docs") - col("dfreq") + lit(0.5)) /
+            (col("dfreq") + lit(0.5)) + lit(1.0)) *
+        col("tfreq") * lit(2.2) /
+        (col("tfreq") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl"))))
+    term.groupBy("doc_id")
+      .agg(round(sum(col("term_score").cast("decimal(28,12)"))
+        .cast("double"), 6).as("bm25"))
+  }
+
   // ---- shared llm28-family training stages -------------------------------
 
   /** Memoized PQ codebook over the embeddings table of `d`
@@ -1796,6 +1826,51 @@ object LlmOps extends QueryModule {
         .orderBy("source")
     }),
 
+    // LLM-50: reciprocal-rank fusion of lexical and semantic retrieval
+    // (Cormack et al. SIGIR'09) — the standard hybrid-retrieval stack:
+    // BM25 ranks (llm27's scorer, shared helper) fuse with cosine ranks
+    // (llm3's protocol, query = vec 0) as Σ 1/(60+rank), each list
+    // contributing only where the doc appears. Ranks come from rounded
+    // 6-dp scores with id tiebreaks, so both rankings — and the fused
+    // one — are cross-engine exact; the two-term fused sum is a single
+    // IEEE add. Plan: two independent ranked lists (each one agg + one
+    // metadata-sized window over ~n scored rows), full-outer-joined on
+    // doc id, top-20. At 100 TB each ranking is the respective family's
+    // documented scale path; fusion itself touches only the rank lists.
+    "llm50_rrf_fusion" -> ((s, d) => {
+      // fuse TOP-1000 lists, the production contract: each side's cap is
+      // a distributed TakeOrderedAndProject and the rank window then
+      // runs over ≤1000 rows (metadata-sized) — never a corpus-wide
+      // single-partition window. Exactness survives the cap: a doc past
+      // rank 1000 on both lists contributes < 2/1060 and cannot reach
+      // the fused top-20 (both engines apply the identical cap anyway).
+      val bm = bm25Scores(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(1000)
+        .withColumn("r_bm",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val cos = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id")).limit(1000)
+        .withColumn("r_cos", row_number().over(
+          Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+      // ranks coalesce to 0 ("absent from that list") and cast to long:
+      // nullable ints normalize differently across engines' parquet/
+      // pandas paths — the prof6 lesson applied at design time
+      bm.join(cos, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)), 6)
+            .as("rrf"),
+          coalesce(col("r_bm"), lit(0)).cast("long").as("r_bm"),
+          coalesce(col("r_cos"), lit(0)).cast("long").as("r_cos"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // LLM-22: adjacent-token-pair counting — the corpus statistic behind
     // the first BPE merge (count all adjacent pairs, take the most
     // frequent). slice+zip_with builds per-doc bigram arrays with no
@@ -1973,32 +2048,8 @@ object LlmOps extends QueryModule {
     // per-doc sum rides DECIMAL so Spark's partial-agg order can't flip a
     // ULP vs DuckDB, then rounds to 6 dp. Top-20 = TakeOrderedAndProject,
     // no global sort.
-    "llm27_bm25" -> ((s, d) => {
-      val qTerms = Seq("data", "model", "training", "pipeline")
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tk"))
-        .filter(col("tk") =!= "")
-        .localCheckpoint() // dl and tf both consume the tokenize chain
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-        (sum("dlen").cast("double") / count(lit(1))).as("avgdl"))
-      val tf = toks.filter(col("tk").isin(qTerms: _*))
-        .groupBy("doc_id", "tk").agg(count(lit(1)).cast("double").as("tfreq"))
-      val df = tf.groupBy("tk").agg(count(lit(1)).cast("double").as("dfreq"))
-      val term = tf.join(df, "tk").join(dl, "doc_id").crossJoin(stats)
-        .withColumn("term_score",
-          log((col("n_docs") - col("dfreq") + lit(0.5)) /
-              (col("dfreq") + lit(0.5)) + lit(1.0)) *
-          col("tfreq") * lit(2.2) /
-          (col("tfreq") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl"))))
-      term.groupBy("doc_id")
-        .agg(round(sum(col("term_score").cast("decimal(28,12)"))
-          .cast("double"), 6).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(20)
-    }),
+    "llm27_bm25" -> ((s, d) =>
+      bm25Scores(s, d).orderBy(col("bm25").desc, col("doc_id")).limit(20)),
 
     // LLM-29: bigram language-model quality score — one order up from
     // llm24's unigram LM (the better perplexity proxy: word-order-aware).
@@ -2878,6 +2929,63 @@ object LlmOps extends QueryModule {
         |  100000 * w_micro // CAST(sum(w_micro) OVER () AS BIGINT)
         |    AS budget_tokens
         |FROM w ORDER BY source""".stripMargin,
+
+    // both rankings replayed verbatim (llm27's BM25 CTE, llm3's cosine
+    // protocol), fused as a single two-term IEEE add; absent ranks -> 0
+    "llm50_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tk
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, tk FROM toks WHERE tk <> ''),
+        |dl AS (SELECT doc_id, COUNT(*) AS dlen FROM t2 GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+        |          FROM dl),
+        |tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS DOUBLE) AS tfreq
+        |       FROM t2 WHERE tk IN ('data','model','training','pipeline')
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT tk, CAST(COUNT(*) AS DOUBLE) AS dfreq
+        |        FROM tf GROUP BY 1),
+        |term AS (
+        |  SELECT t.doc_id,
+        |    LN((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+        |      * t.tfreq * 2.2
+        |      / (t.tfreq + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl))
+        |      AS term_score
+        |  FROM tf t JOIN dfq d ON t.tk = d.tk
+        |  JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN stats s),
+        |bm AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(SUM(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE),
+        |          6) AS bm25
+        |  FROM term GROUP BY doc_id),
+        |bmc AS (SELECT doc_id, bm25 FROM bm
+        |        ORDER BY bm25 DESC, doc_id LIMIT 1000),
+        |bmr AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+        |        FROM bmc),
+        |q AS (SELECT embedding::DOUBLE[] qe FROM embeddings
+        |      WHERE vec_id = 0),
+        |cs AS (SELECT vec_id AS doc_id,
+        |         round(list_dot_product(embedding::DOUBLE[], q.qe) /
+        |           sqrt(list_dot_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) /
+        |           sqrt(list_dot_product(q.qe, q.qe)), 6) AS cos_sim
+        |       FROM embeddings, q WHERE vec_id <> 0),
+        |csc AS (SELECT doc_id, cos_sim FROM cs
+        |        ORDER BY cos_sim DESC, doc_id LIMIT 1000),
+        |csr AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+        |            AS r_cos
+        |        FROM csc)
+        |SELECT COALESCE(bmr.doc_id, csr.doc_id) AS doc_id,
+        |  round(COALESCE(1.0 / (60 + bmr.r_bm), 0.0) +
+        |        COALESCE(1.0 / (60 + csr.r_cos), 0.0), 6) AS rrf,
+        |  COALESCE(bmr.r_bm, 0) AS r_bm,
+        |  COALESCE(csr.r_cos, 0) AS r_cos
+        |FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "llm1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -79,6 +79,73 @@ object StreamOps extends QueryModule {
         col("col.est").as("est_n"),
         col("col.err").as("err_n"))
 
+  /** STRM-23 state half: per event-time hour, the 10-bucket histogram of
+    * `value` (bucket = min(⌊value/10⌋, 9)). Streaming-valid: a watermarked
+    * groupBy(window × bucket) whose state is ≤10 counters per open window
+    * — the monitor's ENTIRE streaming footprint, evicted with the window.
+    * PSI itself is a stateless finisher over closed windows
+    * ([[driftPsiFromCounts]]), the split that keeps the stream's state
+    * bounded no matter how many windows the monitor has ever scored. */
+  def windowedBucketCounts(ev: DataFrame): DataFrame =
+    ev.filter(col("value").isNotNull)
+      .groupBy(window(col("event_ts"), "1 hour"),
+        least(floor(col("value") / lit(10.0)), lit(9L)).cast("long")
+          .as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("bucket"),
+        col("c"))
+
+  /** STRM-23 finisher: smoothed PSI of each window's bucket histogram
+    * against the broadcast reference histogram `ref` (bucket, rc) —
+    * llm30's drift statistic applied per event-time window, the
+    * training-data observability loop (llm30 scores two static sources;
+    * this scores a live stream hour-by-hour against the corpus the model
+    * was trained on). The full window×bucket grid is generated so ABSENT
+    * buckets contribute their smoothed term — pa=(c+.5)/(n+5),
+    * pb=(rc+.5)/(N+5), PSI = Σ(pa−pb)·ln(pa/pb), decimal-summed (order-
+    * free) then rounded 6 dp, llm30's cross-engine protocol. Everything
+    * downstream of the counts is metadata-sized: |windows|·10 rows. */
+  def driftPsiFromCounts(s: SparkSession, counts: DataFrame,
+                         ref: DataFrame): DataFrame = {
+    val refT = ref.agg(sum(col("rc")).cast("double").as("rn"))
+    // ONE ws_us exchange builds the full 10-bucket vector per window
+    // (absent buckets pinned to 0), then explodes it back to long form —
+    // no distinct+crossJoin+self-join (which both costs an extra
+    // exchange and trips attribute-conflict resolution when `counts` is
+    // a memory-sink table)
+    val perBucket = (0L until 10L).map(b =>
+      coalesce(sum(when(col("bucket") === b, col("c"))), lit(0L))
+        .as(s"c$b"))
+    val g = counts.groupBy("ws_us")
+      .agg(sum(col("c")).cast("double").as("n"), perBucket: _*)
+      .select(col("ws_us"), col("n"), explode(array((0 until 10).map(b =>
+        struct(lit(b.toLong).as("bucket"), col(s"c$b").as("c"))): _*))
+        .as("e"))
+      .select(col("ws_us"), col("n"), col("e.bucket").as("bucket"),
+        col("e.c").as("c"))
+    g.join(broadcast(ref), Seq("bucket"), "left")
+      .crossJoin(broadcast(refT))
+      .select(col("ws_us"), col("n"),
+        ((col("c").cast("double") + lit(0.5)) / (col("n") + lit(5.0)))
+          .as("pa"),
+        ((coalesce(col("rc"), lit(0L)).cast("double") + lit(0.5)) /
+          (col("rn") + lit(5.0))).as("pb"))
+      .groupBy("ws_us")
+      .agg(max(col("n")).cast("long").as("n_events"),
+        (round(sum(((col("pa") - col("pb")) * log(col("pa") / col("pb")))
+          .cast("decimal(28,12)")).cast("double") * lit(1e6)) / lit(1e6))
+          .as("psi"))
+      .orderBy("ws_us")
+  }
+
+  /** STRM-23 streaming: the watermarked state half — windowed bucket
+    * counts whose per-window state is 10 counters, dropped when the
+    * watermark closes the window. The PSI finisher runs downstream on
+    * the emitted (closed) windows. */
+  def windowedBucketCountsStream(ev: DataFrame,
+                                 watermark: String = "1 hour"): DataFrame =
+    windowedBucketCounts(ev.withWatermark("event_ts", watermark))
+
   /** STRM-3: 30-minute-gap session windows per user. */
   def sessionAgg(ev: DataFrame): DataFrame =
     ev.groupBy(session_window(col("event_ts"), "30 minutes"), col("user_id"))
@@ -1077,7 +1144,22 @@ object StreamOps extends QueryModule {
 
     "strm3b_dynamic_session" -> ((s, d) =>
       dynamicSessionAgg(withEventTs(Tables.events(s, d)))
-        .orderBy("user_id", "sess_start_us"))
+        .orderBy("user_id", "sess_start_us")),
+
+    // STRM-23 batch replay: per-hour PSI of the value distribution vs the
+    // whole lake's reference histogram — the drift MONITOR (llm30 is the
+    // one-shot statistic; this is its streaming-shaped deployment: state
+    // half = watermarked window×bucket counts, stateless PSI finisher on
+    // closed windows). Exact DuckDB oracle via llm30's smoothing/decimal
+    // protocol over the full window×bucket grid.
+    "strm23_drift_monitor" -> ((s, d) => {
+      val ev = withEventTs(Tables.events(s, d))
+      val ref = ev.filter(col("value").isNotNull)
+        .groupBy(least(floor(col("value") / lit(10.0)), lit(9L))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("rc"))
+      driftPsiFromCounts(s, windowedBucketCounts(ev), ref)
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -1129,6 +1211,35 @@ object StreamOps extends QueryModule {
 
     // replicates the deterministic DDSketch protocol (see agg23/agg24 in
     // Relational.scala) per 1-hour tumbling window
+    // llm30's smoothed-PSI protocol per hour window over the FULL
+    // window×bucket grid (absent buckets contribute their +0.5 term)
+    "strm23_drift_monitor" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+        |    LEAST(CAST(FLOOR(value / 10.0) AS BIGINT), 9) AS bucket
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT ws_us, bucket, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |ref AS (SELECT bucket, COUNT(*) AS rc FROM e GROUP BY 1),
+        |reft AS (SELECT CAST(SUM(rc) AS DOUBLE) AS rn FROM ref),
+        |grid AS (SELECT ws_us, g.range AS bucket
+        |         FROM (SELECT DISTINCT ws_us FROM e), range(10) g),
+        |g2 AS (SELECT grid.ws_us, grid.bucket, COALESCE(b.c, 0) AS c
+        |       FROM grid LEFT JOIN b
+        |         ON grid.ws_us = b.ws_us AND grid.bucket = b.bucket),
+        |wn AS (SELECT ws_us, CAST(SUM(c) AS DOUBLE) AS n
+        |       FROM g2 GROUP BY 1),
+        |p AS (SELECT g2.ws_us, wn.n,
+        |        (CAST(g2.c AS DOUBLE) + 0.5) / (wn.n + 5.0) AS pa,
+        |        (CAST(COALESCE(ref.rc, 0) AS DOUBLE) + 0.5)
+        |          / (reft.rn + 5.0) AS pb
+        |      FROM g2 JOIN wn ON g2.ws_us = wn.ws_us
+        |      LEFT JOIN ref ON g2.bucket = ref.bucket CROSS JOIN reft)
+        |SELECT ws_us, CAST(MAX(n) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(CAST((pa - pb) * LN(pa / pb)
+        |                      AS DECIMAL(28,12))) AS DOUBLE)
+        |        * 1000000.0) / 1000000.0 AS psi
+        |FROM p GROUP BY ws_us ORDER BY ws_us""".stripMargin,
+
     "strm16_windowed_quantiles" -> {
       val g = s"CAST(${(1 + 0.01) / (1 - 0.01)} AS DOUBLE)"
       val zb = Long.MinValue.toString

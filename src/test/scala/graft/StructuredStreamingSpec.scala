@@ -113,6 +113,56 @@ class StructuredStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor stream: window×bucket state folds across batches; " +
+      "finisher PSI == batch replay and flags the drifted hour") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val counts = StreamOps.windowedBucketCountsStream(
+      StreamOps.withEventTs(input.toDF()), "1 hour")
+    val q = counts.writeStream.format("memory").queryName("dm_t")
+      .outputMode("append").start()
+    // hour A (600min): values matching the reference spread; hour B
+    // (660min): all mass herded into one bucket — the drifted hour.
+    // Rows are SPLIT mid-window so bucket counters must merge batches.
+    // hour A dominates the reference (40 spread rows vs 10 herded), so
+    // the blended ref ≈ hour A's shape and hour B is the outlier
+    val hourA = (1 to 40).map(i =>
+      Ev(i.toLong, 1, "m", (i % 5) * 20.0 + 1.0, nanosAt(600 + i % 30)))
+    val hourB = (1 to 10).map(i =>
+      Ev(100 + i.toLong, 1, "m", 95.0, nanosAt(660 + i % 30)))
+    val all = hourA ++ hourB
+    try {
+      input.addData(hourA.take(17) ++ hourB.take(4): _*)
+      q.processAllAvailable()
+      input.addData(hourA.drop(17) ++ hourB.drop(4): _*)
+      q.processAllAvailable()
+      input.addData(Ev(999, 9, "m", 1.0, nanosAt(900))) // close both
+      q.processAllAvailable()
+      val emitted = s.table("dm_t")
+        .filter($"ws_us" < nanosAt(720) / 1000)
+      // state half: closed-window bucket counts == one-shot batch agg
+      val batchCounts = StreamOps.windowedBucketCounts(
+        StreamOps.withEventTs(all.toDF()))
+      assert(emitted.orderBy("ws_us", "bucket").collect().toSeq ===
+        batchCounts.orderBy("ws_us", "bucket").collect().toSeq)
+      // finisher over the streamed counts == finisher over batch counts,
+      // and the herded hour B scores strictly higher drift than hour A
+      val ref = all.toDF().groupBy(
+          least(floor($"value" / 10.0), lit(9L)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("rc"))
+      val psi = StreamOps.driftPsiFromCounts(s, emitted, ref)
+        .collect().map(r => r.getLong(2 - 2) -> r.getDouble(2)).toMap
+      val psiBatch = StreamOps.driftPsiFromCounts(s, batchCounts, ref)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(psi === psiBatch)
+      val a = psi(nanosAt(600) / 1000); val b = psi(nanosAt(660) / 1000)
+      assert(b > a && b > 0.25,
+        s"herded hour must flag drift: psiA=$a psiB=$b")
+    } finally q.stop()
+  }
+
   test("windowed top-k stream: k-bounded counters emit at window close " +
       "with valid bounds; heavy key surfaces at rank 1 despite eviction") {
     val s = spark
