@@ -1871,6 +1871,41 @@ object LlmOps extends QueryModule {
         .limit(20)
     }),
 
+    // LLM-51: winnowing fingerprints (Schleimer et al. SIGMOD'03, the
+    // MOSS scheme) — the guaranteed-detection middle ground between
+    // llm8's one-hash-per-doc and llm32's every-gram inventory: hash all
+    // word 3-grams, slide a w=4 window, keep each window's MIN hash.
+    // Density 2/(w+1) of grams, yet any shared run of ≥ k+w−1 words
+    // shares ≥1 fingerprint (the paper's guarantee). Selection keeps the
+    // SET of window minima, so no tie-position protocol is needed
+    // cross-engine. Entirely row-local HOFs (no explode until the 8-byte
+    // fingerprints) → one fp-keyed exchange for the pair join: at
+    // 100 TB the shuffle carries ~25% of gram count × 8 B, and pair
+    // fan-out is bounded by fingerprint hotness the same way llm2e caps
+    // df. Gram hash = md5 first-8-hex (llm45's cross-engine protocol) →
+    // exact DuckDB hash-match.
+    "llm51_winnowing" -> ((s, d) => {
+      val t = filter(split(col("text"), " "), x => x =!= "")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"))
+        .filter(size(col("t")) >= 6) // k+w-1 words → ≥1 window
+        .withColumn("hs", transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i => conv(substring(
+            md5(concat_ws(" ", slice(col("t"), i, lit(3))).cast("binary")),
+            1, 8), 16, 10).cast("long")))
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("hs")) - 3),
+          j => array_min(slice(col("hs"), j, lit(4)))))).as("fp"))
+      docs.as("a").join(docs.as("b"),
+          col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("a_id", "b_id")
+    }),
+
     // LLM-22: adjacent-token-pair counting — the corpus statistic behind
     // the first BPE merge (count all adjacent pairs, take the most
     // frequent). slice+zip_with builds per-doc bigram arrays with no
@@ -2986,6 +3021,31 @@ object LlmOps extends QueryModule {
         |  COALESCE(csr.r_cos, 0) AS r_cos
         |FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // winnowing replayed verbatim: 3-gram md5-hash ladder, w=4 window
+    // minima, distinct fingerprint set, shared-fp pair counts
+    "llm51_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')),
+        |                          1, 8)) AS BIGINT)
+        |     for i in range(1, len(t) - 1)] AS hs
+        |  FROM d WHERE len(t) >= 6),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_min(hs[j:j+3])
+        |                   for j in range(1, len(hs) - 2)]) AS fps
+        |  FROM g),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  count(*) AS n_shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "llm1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
