@@ -144,6 +144,45 @@ object MultimodalOps extends QueryModule {
     }
   }
 
+  /** REAL perceptual hash from a decoded PNG (MM-10): the standard dHash
+    * — resample the image to a 9×8 gray grid, emit one bit per adjacent-
+    * column comparison (g[cx+1] > g[cx]), 8 bits × 8 rows packed as 16
+    * hex chars. Resampling is NEAREST-NEIGHBOR at integer block centers
+    * (x = ⌊(2·cx+1)·w/18⌋, y = ⌊(2·cy+1)·h/16⌋) — total for any w,h ≥ 8
+    * (block-mean dies on w < 9) and exact integer arithmetic, so the
+    * oracle can replay the generator's ground truth without float
+    * resize semantics. Works from genuinely inflated IDAT samples like
+    * [[decodePng]]; partition-local, binary → string, no shuffle. */
+  val pngDhash = udf { payload: Array[Byte] =>
+    if (payload == null) null
+    else {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) null
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        val sb = new StringBuilder(16)
+        var cy = 0
+        while (cy < 8) {
+          val y = (2 * cy + 1) * h / 16
+          var b = 0
+          var cx = 0
+          while (cx < 8) {
+            val x0 = (2 * cx + 1) * w / 18
+            val x1 = (2 * (cx + 1) + 1) * w / 18
+            if (r.getSample(x1, y, 0) > r.getSample(x0, y, 0))
+              b |= 1 << cx
+            cx += 1
+          }
+          sb.append(f"$b%02x")
+          cy += 1
+        }
+        sb.toString
+      }
+    }
+  }
+
   /** Feature extraction stub: fixed-dim float vector from payload bytes
     * (xxhash-remixed rolling statistics). Real contract: binary → dense
     * float array of dim 8, partition-local, no shuffle. */
@@ -258,6 +297,27 @@ object MultimodalOps extends QueryModule {
             (pmod(col("doc_id"), lit(12)) + 8).cast("int")))))
         .select(col("doc_id"), col("pos").as("bin"), col("col").as("n_px"))
         .orderBy("doc_id", "bin")),
+
+    // MM-10: perceptual-hash buckets over GENUINELY decoded pixels — the
+    // dedup tier between mm7 (byte-exact digests: any re-encode breaks
+    // the match) and mm8 (stripe-sum near-dup on raw bytes): dHash
+    // buckets group images by visual structure from decoded samples, so
+    // pixel-identical images bucket together regardless of compressor
+    // byte choices. Partition-local encode→decode→hash; the only shuffle
+    // carries (16-char hash, count) — at 100 TB the hash table is
+    // |distinct structures|, the classic map-side-combined dedup shape.
+    // Exactly oracle-checked against the generator's gradient ground
+    // truth (a decoder or resampler returning wrong samples mismatches).
+    "mm10_png_dhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"),
+          pngDhash(encodePng(col("doc_id"),
+            (pmod(col("doc_id"), lit(16)) + 8).cast("int"),
+            (pmod(col("doc_id"), lit(12)) + 8).cast("int"))).as("dhash"))
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n_imgs"), min("doc_id").as("min_doc"))
+        .orderBy("dhash")),
 
     // MM-6: binary header parse — the metadata-from-magic-bytes pattern
     // (image dims from a PNG IHDR, sample rate from a WAV header): fixed
@@ -463,6 +523,25 @@ object MultimodalOps extends QueryModule {
         |  COALESCE(c.n_px, 0) AS n_px
         |FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.b = g.b
         |ORDER BY g.doc_id, bin""".stripMargin,
+
+    // dHash ground truth: pixel (x,y) = (id+x)%256 is y-constant, so all
+    // 8 grid rows emit the same byte and dhash = that byte ×8; the byte
+    // replays the nearest-neighbor centers x = (2cx+1)·w//18 exactly
+    "mm10_png_dhash" ->
+      """WITH img AS (
+        |  SELECT doc_id, CAST(doc_id % 16 + 8 AS BIGINT) AS w
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (
+        |  SELECT i.doc_id,
+        |    CAST(SUM(CASE WHEN
+        |        (i.doc_id + ((2*(cx.c+1)+1) * i.w) // 18) % 256 >
+        |        (i.doc_id + ((2*cx.c+1) * i.w) // 18) % 256
+        |      THEN 1 << cx.c ELSE 0 END) AS BIGINT) AS b
+        |  FROM img i, unnest(range(0, 8)) AS cx(c) GROUP BY 1),
+        |hx AS (SELECT doc_id, repeat(printf('%02x', b), 8) AS dhash
+        |       FROM bits)
+        |SELECT dhash, count(*) AS n_imgs, min(doc_id) AS min_doc
+        |FROM hx GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ground truth of the PNG generator: w = id%16+8, h = id%12+8, every
     // row carries the same (id + x) % 256 gradient → px_sum = h · Σ_x

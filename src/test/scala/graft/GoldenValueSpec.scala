@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions._
   * arithmetic — against silent drift. */
 class GoldenValueSpec extends SparkSpec {
 
+  test("pngDhash: pinned hash for a handcrafted non-gradient raster") {
+    val s = spark
+    import s.implicits._
+    // 18×16 gray image: column 17 bright, the rest dark on odd rows and
+    // mid-gray on even rows. With w=18/h=16 the nearest-neighbor grid
+    // centers are exactly x = 2cx+1, y = 2cy+1 (all odd), so the sampled
+    // row is the DARK one: bits 0–6 compare 0 > 0 (off) and bit 7
+    // compares 255 > 0 (on) → dhash = "80" × 8. A resampler that lands
+    // on the wrong x-center or a decoder returning wrong samples breaks
+    // the pin — independent of the corpus generator's gradient.
+    val img = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until 16; x <- 0 until 18)
+      r.setSample(x, y, 0,
+        if (x == 17) 255 else if (y % 2 == 0) 200 else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val got = Seq(bos.toByteArray).toDF("payload")
+      .select(graft.multimodal.MultimodalOps.pngDhash(col("payload")))
+      .collect()(0).getString(0)
+    assert(got === "80" * 8,
+      s"dhash must read the handcrafted raster at the documented grid: $got")
+  }
+
   test("xxhash64: pinned seed-42 values for known strings") {
     val s = spark
     import s.implicits._
