@@ -1784,11 +1784,15 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"), col("source"), concat_ws(" ",
           slice(filter(split(col("text"), " "), t => t =!= ""), 1, 10))
           .as("tpl"))
-      val sizes = docs.groupBy("tpl").agg(count(lit(1)).as("c"))
       val ppm = pmod(conv(substring(
         md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
         .cast("bigint"), lit(1000000))
-      docs.join(sizes, "tpl")
+      // cluster size via ONE tpl-keyed window exchange (a count-agg +
+      // join-back would shuffle the same key twice); survival is then
+      // row-local and the final c-keyed agg is metadata-sized
+      docs
+        .withColumn("c",
+          count(lit(1)).over(Window.partitionBy("tpl")))
         .withColumn("kept", ppm * col("c") < 1000000L)
         .groupBy("c")
         .agg(countDistinct(col("tpl")).as("n_templates"),
