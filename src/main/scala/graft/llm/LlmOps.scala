@@ -262,6 +262,26 @@ object LlmOps extends QueryModule {
         .cast("double"), 6).as("bm25"))
   }
 
+  /** Winnowing fingerprint extraction (llm51's row-local half, public so
+    * ApproxSpec can pin the SIGMOD'03 guarantee on planted duplicates):
+    * word 3-gram md5 hashes, w=4 window minima, distinct set, exploded
+    * to (doc_id, fp). Docs shorter than k+w−1 = 6 words have no window
+    * and emit nothing. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val t = filter(split(col("text"), " "), x => x =!= "")
+    docs
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 6)
+      .withColumn("hs", transform(
+        sequence(lit(1), size(col("t")) - 2),
+        i => conv(substring(
+          md5(concat_ws(" ", slice(col("t"), i, lit(3))).cast("binary")),
+          1, 8), 16, 10).cast("long")))
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("hs")) - 3),
+        j => array_min(slice(col("hs"), j, lit(4)))))).as("fp"))
+  }
+
   // ---- shared llm28-family training stages -------------------------------
 
   /** Memoized PQ codebook over the embeddings table of `d`
@@ -1889,18 +1909,7 @@ object LlmOps extends QueryModule {
     // df. Gram hash = md5 first-8-hex (llm45's cross-engine protocol) →
     // exact DuckDB hash-match.
     "llm51_winnowing" -> ((s, d) => {
-      val t = filter(split(col("text"), " "), x => x =!= "")
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), t.as("t"))
-        .filter(size(col("t")) >= 6) // k+w-1 words → ≥1 window
-        .withColumn("hs", transform(
-          sequence(lit(1), size(col("t")) - 2),
-          i => conv(substring(
-            md5(concat_ws(" ", slice(col("t"), i, lit(3))).cast("binary")),
-            1, 8), 16, 10).cast("long")))
-        .select(col("doc_id"), explode(array_distinct(transform(
-          sequence(lit(1), size(col("hs")) - 3),
-          j => array_min(slice(col("hs"), j, lit(4)))))).as("fp"))
+      val docs = winnowFingerprints(Tables.documents(s, d))
       docs.as("a").join(docs.as("b"),
           col("a.fp") === col("b.fp") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -21,6 +21,58 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("llm51 winnowing: HOF pipeline == scalar reference on random docs; " +
+      "planted shared runs of ≥ k+w−1 words always share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    // scalar reference: the SIGMOD'03 selection computed independently
+    // (MessageDigest md5, first 4 bytes unsigned == Spark's
+    // conv(substring(hex,1,8),16,10))
+    def refFps(text: String): Set[Long] = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      if (t.length < 6) Set.empty
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hs = (0 to t.length - 3).map { i =>
+          val dig = md.digest(t.slice(i, i + 3).mkString(" ")
+            .getBytes("UTF-8"))
+          ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+            ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        }
+        (0 to hs.length - 4).map(j => hs.slice(j, j + 4).min).toSet
+      }
+    }
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    def randDoc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // 20 random docs + 10 pairs with a planted shared run (length 6..15
+    // — the guarantee threshold and above) at random offsets
+    val base = (0 until 20).map(i => (i.toLong, randDoc(6 + rnd.nextInt(35))))
+    val planted = (0 until 10).flatMap { p =>
+      val run = randDoc(6 + rnd.nextInt(10))
+      val ida = 100L + 2 * p; val idb = ida + 1
+      Seq((ida, s"${randDoc(rnd.nextInt(8))} $run ${randDoc(rnd.nextInt(8))}"
+            .trim),
+          (idb, s"${randDoc(rnd.nextInt(8))} $run ${randDoc(rnd.nextInt(8))}"
+            .trim))
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val got = LlmOps.winnowFingerprints(docs)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // full equivalence vs the scalar reference, every doc
+    for ((id, text) <- base ++ planted)
+      assert(got.getOrElse(id, Set.empty) === refFps(text),
+        s"doc $id fingerprints diverge from the scalar reference")
+    // the winnowing guarantee: each planted pair shares ≥ 1 fingerprint
+    for (p <- 0 until 10) {
+      val (a, b) = (100L + 2 * p, 101L + 2 * p)
+      assert(got(a).intersect(got(b)).nonEmpty,
+        s"planted pair ($a,$b) must share a fingerprint")
+    }
+  }
+
   test("agg15: approx percentile within 1% relative error of exact") {
     val exact = Tables.lineitem(spark, Sf0001)
       .groupBy("l_returnflag")
