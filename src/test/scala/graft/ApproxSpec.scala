@@ -73,6 +73,21 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("llm49 temperature mix: T=2 compresses shares toward uniform and " +
+      "budgets never exceed the token pool") {
+    val rows = SparkEntry.queries("llm49_temperature_mix")(
+      spark, Sf0001).collect()
+    val share = rows.map(_.getLong(2)); val temp = rows.map(_.getLong(3))
+    // compression: the head source loses share, the tail gains
+    assert(temp.max <= share.max && temp.min >= share.min,
+      s"T=2 must compress: raw [${share.min},${share.max}] " +
+        s"temp [${temp.min},${temp.max}]")
+    // integer-floor normalization can undershoot but never overshoot
+    val budgets = rows.map(_.getLong(4)).sum
+    assert(budgets <= 100000L && budgets >= 100000L - rows.length,
+      s"budgets sum $budgets out of [100000-n, 100000]")
+  }
+
   test("agg15: approx percentile within 1% relative error of exact") {
     val exact = Tables.lineitem(spark, Sf0001)
       .groupBy("l_returnflag")
