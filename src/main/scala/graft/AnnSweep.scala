@@ -70,6 +70,34 @@ object AnnSweep {
       println(f"$label%-9s $nprobe%6d $shortlist%5d ${recalls.head}%14.2f " +
         f"${recalls.sum / NQ}%15.3f $ms%9.0f")
     }
+    // ---- nCells scaling sweep: the 100 TB dial -------------------------
+    // The serve tables above hold nCells=16 while the corpus grows with
+    // SF — recall at a fixed (nprobe, shortlist) then decays because each
+    // cell fattens. The production design grows nCells with the corpus
+    // (FAISS convention ~√n) and keeps nprobe as the serve dial; this
+    // section measures exactly that: same corpus, k ∈ {16,32,64}, probed
+    // at fixed nprobe=8 AND at nprobe=k/2 (fixed 50% probed fraction).
+    println(f"%n${"nCells"}%6s ${"nprobe"}%6s ${"short"}%5s " +
+      f"${"recall@20(q0)"}%14s ${"mean recall@20"}%15s ${"ms/probe"}%9s")
+    for (k <- Seq(16, 32, 64)) {
+      val st = graft.TmpStores.scratch(s"annsweep-k$k")
+      graft.llm.LlmOps.ivfpqBuild(train = e,
+        index = e.filter(col("vec_id") =!= 0), st,
+        cents0 = Some(graft.llm.LlmOps.ivfCentroids(e, k = k)))
+      for (nprobe <- Seq(8, k / 2).distinct; shortlist <- Seq(200)) {
+        val t0 = System.nanoTime()
+        val recalls = (0L until NQ.toLong).map { q =>
+          val got = graft.llm.LlmOps.ivfpqProbe(
+              e.filter(col("vec_id") === q), e.filter(col("vec_id") =!= 0),
+              st, nprobe = nprobe, shortlistN = shortlist)
+            .collect().map(_.getLong(0)).toSet
+          got.intersect(exact(q)).size / 20.0
+        }
+        val ms = (System.nanoTime() - t0) / 1e6 / NQ
+        println(f"$k%6d $nprobe%6d $shortlist%5d ${recalls.head}%14.2f " +
+          f"${recalls.sum / NQ}%15.3f $ms%9.0f")
+      }
+    }
     s.stop()
   }
 }
