@@ -118,6 +118,18 @@ class PlanSpec extends SparkSpec {
       s"expected class-partition pruning on the homology store read:\n$p")
   }
 
+  test("llm51: fingerprint pair join shuffles (doc_id, fp) only — " +
+      "the text never reaches an exchange") {
+    val df = SparkEntry.queries("llm51_winnowing")(spark, Sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // every Exchange row must project only ids/fingerprints: the ~150 B
+    // strings reduce to 8 B window minima BEFORE any shuffle
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text"))
+    assert(!badExchange, s"text must not cross an exchange:\n$p")
+  }
+
   test("llm9: dedup semi-join ships ids only; text is never joined on") {
     val df = SparkEntry.queries("llm9_pipeline")(spark, Sf0001)
     df.count()
