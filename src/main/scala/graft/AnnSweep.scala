@@ -46,13 +46,7 @@ object AnnSweep {
     val exact = (0L until NQ.toLong).map(q => q -> exactTop20(e, q)).toMap
     val stores = Seq(
       ("raw", graft.llm.LlmOps.memoIvfpqStore(s, d), false),
-      ("residual", graft.StageMemo.value(s, s"llm28e.store.$d") {
-        val st = graft.TmpStores.scratch("llm28e")
-        graft.llm.LlmOps.ivfpqBuild(train = e,
-          index = e.filter(col("vec_id") =!= 0), st, residual = true,
-          cents0 = Some(graft.llm.LlmOps.memoIvfCentroids(s, d)))
-        st
-      }, true))
+      ("residual", graft.llm.LlmOps.memoIvfpqStoreResidual(s, d), true))
     println(f"${"store"}%-9s ${"nprobe"}%6s ${"short"}%5s " +
       f"${"recall@20(q0)"}%14s ${"mean recall@20"}%15s ${"ms/probe"}%9s")
     for ((label, store, residual) <- stores; nprobe <- Seq(4, 6, 8, 12);

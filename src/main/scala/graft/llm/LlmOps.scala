@@ -321,6 +321,20 @@ object LlmOps extends QueryModule {
       st
     }
 
+  /** Memoized RESIDUAL-encoded persisted store (llm28e's index; also
+    * probed by AnnSweep) — one build recipe, one memo key: a second copy
+    * of this lambda elsewhere could silently diverge and poison the memo
+    * for whichever caller runs second. */
+  private[graft] def memoIvfpqStoreResidual(s: SparkSession,
+                                            d: String): String =
+    graft.StageMemo.value(s, s"llm28e.store.$d") {
+      val e = Tables.embeddings(s, d)
+      val st = graft.TmpStores.scratch("llm28e")
+      ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
+        residual = true, cents0 = Some(memoIvfCentroids(s, d)))
+      st
+    }
+
   // ---- persisted IVF-PQ index (LLM-28d/28e) -----------------------------
 
   /** Builds and PERSISTS the IVF-PQ index under `store` — the piece that
@@ -1850,7 +1864,12 @@ object LlmOps extends QueryModule {
             .cast("long"))
         .withColumn("w_sum", sum(col("w_micro")).over(all))
         .select(col("source"), col("src_tokens"),
-          expr("src_tokens * 1000000 DIV total").as("share_ppm"),
+          // decimal intermediate: src_tokens × 10⁶ wraps a long past
+          // ~9.2e12 tokens/source — exactly the scale this protocol
+          // claims to serve (the prof6 est_join_rows lesson); w_micro is
+          // bounded ≤1e12 by construction so its products stay in range
+          expr("CAST(CAST(src_tokens AS DECIMAL(38,0)) * 1000000 DIV total " +
+            "AS BIGINT)").as("share_ppm"),
           expr("w_micro * 1000000 DIV w_sum").as("temp_share_ppm"),
           expr("100000 * w_micro DIV w_sum").as("budget_tokens"))
         .orderBy("source")
@@ -2646,12 +2665,7 @@ object LlmOps extends QueryModule {
       // shares the memoized IVF centroids; the residual codebook is its
       // own (trained on residuals) but the whole store builds once per
       // (session, sf-dir) and is swept on JVM exit
-      val store = graft.StageMemo.value(s, s"llm28e.store.$d") {
-        val st = graft.TmpStores.scratch("llm28e")
-        ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
-          residual = true, cents0 = Some(memoIvfCentroids(s, d)))
-        st
-      }
+      val store = memoIvfpqStoreResidual(s, d)
       ivfpqProbe(e.filter(col("vec_id") === 0),
         e.filter(col("vec_id") =!= 0), store, residual = true)
     })

@@ -479,9 +479,12 @@ object Scans extends QueryModule {
       val store = SnapshotStore.forConf(s)
       VersionedStore.destroy(root)
       val orders = Tables.orders(s, d)
-      store.commit(orders.filter(col("o_orderstatus") === "F"), root)
+      // time-travel to the version the FIRST commit returned — version
+      // numbering is backend-dependent (parquet 1-based, Delta 0-based),
+      // so a hardcoded 1L would silently read the wrong snapshot on Delta
+      val v1 = store.commit(orders.filter(col("o_orderstatus") === "F"), root)
       store.commit(orders.filter(col("o_orderstatus") === "O"), root)
-      store.read(s, root, version = 1L)
+      store.read(s, root, version = v1)
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),

@@ -186,7 +186,14 @@ object DeltaSnapshotStore extends SnapshotStore {
 
   def latestVersion(root: String): Option[Long] = {
     val s = SparkSession.active
-    if (!new java.io.File(root, "_delta_log").exists()) None
+    // table-existence probe through the Hadoop FileSystem of the PATH —
+    // a java.io.File check is always false on s3a://-style roots, which
+    // would make commit() throw after a successful write and commitTxn
+    // misread every replay as a fresh commit on exactly the object
+    // stores Delta deploys to
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val fs = log.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(log)) None
     else s.sql(s"DESCRIBE HISTORY ${tbl(root)} LIMIT 1")
       .select("version").collect().headOption.map(_.getLong(0))
   }

@@ -89,8 +89,12 @@ object StreamOps extends QueryModule {
   def windowedBucketCounts(ev: DataFrame): DataFrame =
     ev.filter(col("value").isNotNull)
       .groupBy(window(col("event_ts"), "1 hour"),
-        least(floor(col("value") / lit(10.0)), lit(9L)).cast("long")
-          .as("bucket"))
+        // clamped to [0, 9] on BOTH ends: a negative value must land in
+        // bucket 0, not an off-grid bucket the finisher's 0..9 pivot
+        // would drop from pa while counting in n (and the oracle's grid
+        // join would drop from n too — cross-engine divergence)
+        greatest(least(floor(col("value") / lit(10.0)), lit(9L)), lit(0L))
+          .cast("long").as("bucket"))
       .agg(count(lit(1)).as("c"))
       .select(unix_micros(col("window.start")).as("ws_us"), col("bucket"),
         col("c"))
@@ -645,7 +649,9 @@ object StreamOps extends QueryModule {
           schema = Some("gen long, cents_dir string"))
           .orderBy(col("gen").desc).limit(1)
           .collect()(0).getString(1)
-        s.read.parquet(dir)
+        // per-generation centroids are a versioned store (txn-tagged by
+        // the retrain so a resume reuses the stored fit), not bare parquet
+        VersionedStore.read(s, dir)
       case None => s.read.parquet(s"$store/centroids")
     }
   }
@@ -660,9 +666,13 @@ object StreamOps extends QueryModule {
     * embedding source — codes don't carry raw vectors), RE-ASSIGNS every
     * vector's cell, and swaps the generation in via the versioned store:
     *
-    *  1. the new centroid table lands in an immutable per-generation dir
-    *     (`gen-<txn>/centroids` — overwrite-idempotent, so a crashed
-    *     retrain re-runs to the same bytes);
+    *  1. the new centroid table lands in a per-generation VERSIONED
+    *     store (`gen-<txn>/centroids`) under the retrain's txn tag, and
+    *     every later step derives from the STORED bytes — a resumed
+    *     retrain reuses the committed fit instead of refitting (the
+    *     snapshot may have advanced since the crash, so a refit could
+    *     produce centroids that mismatch an already-committed step-2
+    *     reassignment);
     *  2. the cell-reassigned codes commit to the SAME codes store under
     *     txn tag (`appId`-retrain, txn) — PQ codes are untouched (the
     *     codebook is cell-independent in the non-residual layout), so
@@ -702,12 +712,23 @@ object StreamOps extends QueryModule {
     val ppm = if (resuming) -1L else cellImbalancePpm(codes)
     if (!resuming && ppm < thresholdPpm) Left(ppm)
     else {
+      val gdir = s"$store/gen-$txnId/centroids"
+      // Step 1 — centroids land as a txn-tagged VERSIONED commit, and
+      // every later step derives from the STORED bytes, never from this
+      // attempt's fit: a resumed retrain must not refit on the current
+      // snapshot (an ingest batch may have landed since the crashed
+      // attempt → different centroids than the ones the already-committed
+      // step-2 reassignment used → served centroids mismatching stored
+      // cells, the silent recall collapse this guard exists to prevent).
+      // On replay the tag short-circuits the fit entirely.
       val ids = codes.select("vec_id").distinct()
       val vecs = corpus.select(col("vec_id"), col("embedding"))
         .join(ids, "vec_id")
-      val cents = graft.llm.LlmOps.ivfCentroids(vecs).localCheckpoint()
-      val gdir = s"$store/gen-$txnId/centroids"
-      cents.write.mode("overwrite").parquet(gdir)
+      if (VersionedStore.lastTxn(gdir, retrainApp).forall(_ < txnId))
+        VersionedStore.commitTxn(
+          graft.llm.LlmOps.ivfCentroids(vecs), gdir, retrainApp, txnId)
+      // Step 2 — reassignment computed against the stored generation
+      val cents = VersionedStore.read(s, gdir).localCheckpoint()
       val reassigned = codes.drop("cell")
         .join(graft.llm.LlmOps.ivfAssignCells(vecs, cents), "vec_id")
         .select(col("vec_id").cast("long"), col("sub").cast("int"),
@@ -1155,8 +1176,8 @@ object StreamOps extends QueryModule {
     "strm23_drift_monitor" -> ((s, d) => {
       val ev = withEventTs(Tables.events(s, d))
       val ref = ev.filter(col("value").isNotNull)
-        .groupBy(least(floor(col("value") / lit(10.0)), lit(9L))
-          .cast("long").as("bucket"))
+        .groupBy(greatest(least(floor(col("value") / lit(10.0)), lit(9L)),
+            lit(0L)).cast("long").as("bucket"))
         .agg(count(lit(1)).as("rc"))
       driftPsiFromCounts(s, windowedBucketCounts(ev), ref)
     })
@@ -1216,7 +1237,8 @@ object StreamOps extends QueryModule {
     "strm23_drift_monitor" ->
       """WITH e AS (
         |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
-        |    LEAST(CAST(FLOOR(value / 10.0) AS BIGINT), 9) AS bucket
+        |    GREATEST(LEAST(CAST(FLOOR(value / 10.0) AS BIGINT), 9), 0)
+        |      AS bucket
         |  FROM events WHERE value IS NOT NULL),
         |b AS (SELECT ws_us, bucket, COUNT(*) AS c FROM e GROUP BY 1, 2),
         |ref AS (SELECT bucket, COUNT(*) AS rc FROM e GROUP BY 1),

@@ -829,15 +829,34 @@ class StructuredStreamingSpec extends SparkSpec {
     assert(stranded === bootstrap,
       "without the manifest the serve path is stranded on the bootstrap " +
         "generation — the recall-collapse state the resume guard targets")
+    // an ingest batch lands BETWEEN the crash and the resume: the resume
+    // must reuse the STORED generation-2 fit, not refit on the advanced
+    // snapshot (a refit would produce centroids mismatching the already-
+    // committed step-2 reassignment — the silent recall collapse)
+    val lateArrivals = (0 until 4).map { i =>
+      val v = oneHot(40 + i, 3f); (200L + i, v)
+    }
+    StreamOps.ivfpqIngestBatch(lateArrivals.toDF("vec_id", "embedding"),
+      store, codesDir, "crash", batchId = 5L)
+    val storedGen2 = VersionedStore.read(s, s"$store/gen-2/centroids")
+      .collect().map(_.toString).toSet
+    val corpus2 = (hist ++ arrivals ++ lateArrivals)
+      .toDF("vec_id", "embedding")
     // replay of the same retrain txn: the imbalance gate must NOT veto
     // (the snapshot is already balanced); the sequence must fall through
     // its idempotent steps and complete the manifest flip
-    assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus,
+    assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus2,
       "crash", txnId = 2L) === Right(2L),
       "resume must complete the swap, not Left on the balanced snapshot")
+    assert(VersionedStore.read(s, s"$store/gen-2/centroids")
+      .collect().map(_.toString).toSet === storedGen2,
+      "resume must reuse the stored generation fit, never refit on a " +
+        "snapshot an ingest batch advanced after the crash")
     val served = StreamOps.servedCentroids(s, store)
       .collect().map(_.toString).toSet
-    val newGen = s.read.parquet(s"$store/gen-2/centroids")
+    // per-generation centroids live in a VERSIONED store (txn-tagged so
+    // the resume reuses the stored fit instead of refitting)
+    val newGen = VersionedStore.read(s, s"$store/gen-2/centroids")
       .collect().map(_.toString).toSet
     assert(served === newGen, "manifest must now name generation 2")
     // the codes store took no duplicate commit on resume
