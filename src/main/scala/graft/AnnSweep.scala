@@ -20,12 +20,12 @@ import org.apache.spark.sql.functions._
 object AnnSweep {
   private val NQ = 16
 
+  // the exact-L2 metric IS LlmOps.l2sq — the sweep's recall numbers
+  // calibrate PqSpec/ApproxSpec floors, so a private copy that drifted
+  // from the engine's metric would mis-pin them
   private def l2sq(a: org.apache.spark.sql.Column,
                    b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) =>
-      (x.cast("double") - y.cast("double")) *
-        (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    graft.llm.LlmOps.l2sq(a, b)
 
   /** Exact L2 top-20 ids for query `q` over corpus (all vecs except 0,
     * minus the query itself is NOT excluded — members retrieve

@@ -134,7 +134,7 @@ object LlmOps extends QueryModule {
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.subvec").as("subvec"))
 
   /** Squared L2 distance of two float arrays, accumulated in double. */
-  private def l2sq(a: Column, b: Column): Column =
+  private[graft] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       (x.cast("double") - y.cast("double")) *
         (x.cast("double") - y.cast("double"))),
@@ -2991,7 +2991,8 @@ object LlmOps extends QueryModule {
         |      AS w_micro
         |  FROM per)
         |SELECT source, src_tokens,
-        |  src_tokens * 1000000 // total AS share_ppm,
+        |  CAST(CAST(src_tokens AS HUGEINT) * 1000000 // total AS BIGINT)
+        |    AS share_ppm,
         |  w_micro * 1000000 // CAST(sum(w_micro) OVER () AS BIGINT)
         |    AS temp_share_ppm,
         |  100000 * w_micro // CAST(sum(w_micro) OVER () AS BIGINT)

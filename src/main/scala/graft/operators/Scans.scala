@@ -477,7 +477,7 @@ object Scans extends QueryModule {
       // through the backend-agnostic trait (parquet binding here;
       // the same program runs on Delta via spark.graft.store.backend)
       val store = SnapshotStore.forConf(s)
-      VersionedStore.destroy(root)
+      store.destroy(root) // backend-aware (Delta needs its log cache dropped)
       val orders = Tables.orders(s, d)
       // time-travel to the version the FIRST commit returned — version
       // numbering is backend-dependent (parquet 1-based, Delta 0-based),
@@ -517,7 +517,7 @@ object Scans extends QueryModule {
     "sink10_merge" -> ((s, d) => {
       val root = s"$SinkDir/sink10_merge"
       val store = SnapshotStore.forConf(s)
-      VersionedStore.destroy(root)
+      store.destroy(root) // backend-aware (Delta needs its log cache dropped)
       val cust = Tables.customer(s, d)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
       store.commit(cust, root)

@@ -64,6 +64,11 @@ trait SnapshotStore {
 
   /** Retention: drop all but the newest `keep` versions. */
   def vacuum(root: String, keep: Int): Unit
+
+  /** Remove the store entirely (test/rerun hygiene). Backend-specific:
+    * a bare directory delete corrupts a Delta table whose DeltaLog this
+    * JVM has cached. */
+  def destroy(root: String): Unit
 }
 
 object SnapshotStore {
@@ -118,6 +123,8 @@ object ParquetSnapshotStore extends SnapshotStore {
     VersionedStore.merge(s, root, source, keys, opCol)
   def vacuum(root: String, keep: Int): Unit =
     VersionedStore.vacuum(root, keep)
+  def destroy(root: String): Unit =
+    VersionedStore.destroy(root)
 }
 
 /** The real-Delta binding. Every operation is a string-level Spark API —
@@ -244,4 +251,24 @@ object DeltaSnapshotStore extends SnapshotStore {
     throw new UnsupportedOperationException(
       s"delta backend has no version-count retention (asked keep=$keep); " +
         "configure delta.deletedFileRetentionDuration on the table")
+
+  def destroy(root: String): Unit = {
+    // delete through the path's FileSystem (works on s3a://), then
+    // invalidate the JVM-cached DeltaLog for the path — a bare directory
+    // delete leaves a stale cached log and the next commit against the
+    // same root fails or mis-versions. Reflective (string-level binding:
+    // no compile-time Delta types); cache invalidation is best-effort —
+    // the delete itself must succeed.
+    val s = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    try {
+      val cls = Class.forName("org.apache.spark.sql.delta.DeltaLog$")
+      val module = cls.getField("MODULE$").get(null)
+      cls.getMethod("invalidateCache",
+          classOf[SparkSession], classOf[org.apache.hadoop.fs.Path])
+        .invoke(module, s, p)
+    } catch { case _: ReflectiveOperationException => () }
+  }
 }

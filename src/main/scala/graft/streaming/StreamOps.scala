@@ -590,7 +590,13 @@ object StreamOps extends QueryModule {
                        m: Int = 8, dim: Int = 64): Either[Long, Long] = {
     import graft.operators.VersionedStore
     val s = batch.sparkSession
-    val cents = s.read.parquet(s"$store/centroids")
+    // bin against the SERVED generation, not the bootstrap table: after a
+    // committed retrain every new batch must land on cells the probe's
+    // nprobe partition filter (computed from servedCentroids) can reach —
+    // binning by stale centroids makes post-retrain vectors unreachable
+    // at any nprobe < nCells. Falls back to the bootstrap centroids until
+    // a manifest exists.
+    val cents = servedCentroids(s, store)
     val cb = s.read.parquet(s"$store/codebook")
     val vecs = batch.select(col("vec_id"), col("embedding"))
     // pinned code-table shape (the llm28d probe schema): one row per
@@ -679,16 +685,21 @@ object StreamOps extends QueryModule {
     *     this rewrites one long column, not the quantization;
     *  3. a one-row manifest commit flips the served-centroids pointer.
     *
-    * Each step is idempotent under its txn tag, so a crash mid-sequence
-    * resumes to completion on replay — the same exactly-once recipe as
-    * the ingest path. No lost ingest: the snapshot is re-read HERE (not
-    * at detection time), and retrain runs serialized in the single
-    * maintenance writer (the foreachBatch thread's discipline), so every
-    * batch committed before the call is carried into the new generation
-    * and batches after it land on the reassigned snapshot unchanged.
-    * Ingest txn tags live in the same marker history, untouched by the
-    * retrain's own appId — a crash-replay of a pre-swap batch is still a
-    * no-op after the swap (StructuredStreamingSpec pins it).
+    * Each step is idempotent under its txn tag, and a crash mid-sequence
+    * is healed by ANY later call (not just a replay of the same txnId):
+    * a half-applied swap is detected by comparing the codes and manifest
+    * txn ledgers, late-ingested rows binned by the then-served old
+    * generation are reconciled against the stored generation fit (a
+    * checked, resume-only scan committed under a sibling app id — the
+    * original codes tag would replay-skip), and the manifest flip then
+    * completes. No lost ingest: the snapshot is re-read HERE (not at
+    * detection time), retrain runs serialized in the single maintenance
+    * writer (the foreachBatch thread's discipline), and post-swap
+    * batches bin against [[servedCentroids]] so they land on cells the
+    * probe's partition filter reaches. Ingest txn tags live in the same
+    * marker history, untouched by the retrain's own appId — a
+    * crash-replay of a pre-swap batch is still a no-op after the swap
+    * (StructuredStreamingSpec pins it).
     *
     * Returns Left(imbalance ppm) when below threshold (one cheap agg, no
     * retrain), Right(generation) after a committed swap. */
@@ -707,10 +718,64 @@ object StreamOps extends QueryModule {
     // record of how far the sequence got: when it says step 2 landed,
     // skip the gate and fall through to the idempotent steps.
     val retrainApp = s"$appId-retrain"
-    val resuming =
-      VersionedStore.lastTxn(codesDir, retrainApp).exists(_ >= txnId)
-    val ppm = if (resuming) -1L else cellImbalancePpm(codes)
-    if (!resuming && ppm < thresholdPpm) Left(ppm)
+    // A HALF-APPLIED swap — codes reassigned under some txn C but the
+    // manifest still older — must be completed no matter what txnId THIS
+    // call carries: a later drift check (higher txnId) would otherwise
+    // run the imbalance gate on the already-balanced snapshot, return
+    // Left, and strand the serve path on old centroids against new cell
+    // assignments forever. Detection compares the two txn ledgers, not
+    // the caller's argument.
+    val lastCodes = VersionedStore.lastTxn(codesDir, retrainApp)
+    val lastManifest =
+      VersionedStore.lastTxn(manifestDir(store), retrainApp)
+    val pendingSwap = lastCodes.filter(c => lastManifest.forall(_ < c))
+    if (pendingSwap.isDefined) {
+      val c = pendingSwap.get
+      val gdirC = s"$store/gen-$c/centroids" // committed before the codes
+      val cents = VersionedStore.read(s, gdirC).localCheckpoint()
+      // RECONCILE before the flip: any batch ingested between the crash
+      // and this resume was binned by the then-served (old) generation;
+      // the original (retrainApp, c) codes tag would replay-skip a
+      // re-commit, so inconsistent rows are fixed under a fresh txn on a
+      // sibling app id. Checked, not assumed — the scan is resume-only.
+      val snap = VersionedStore.read(s, codesDir, schema = Some(CodesDdl))
+      val vecsAll = corpus.select(col("vec_id"), col("embedding"))
+        .join(snap.select("vec_id").distinct(), "vec_id")
+      val want = graft.llm.LlmOps.ivfAssignCells(vecsAll, cents)
+        .withColumnRenamed("cell", "want")
+      val stale = snap.join(want, "vec_id")
+        .filter(col("cell") =!= col("want")).limit(1).count() > 0
+      if (stale) {
+        val fixed = snap.drop("cell")
+          .join(want.withColumnRenamed("want", "cell"), "vec_id")
+          .select(col("vec_id").cast("long"), col("sub").cast("int"),
+            col("code").cast("int"), col("cell").cast("long"))
+        VersionedStore.commitTxn(fixed.repartition(col("cell")), codesDir,
+          s"$retrainApp-fix",
+          VersionedStore.latestVersion(codesDir).getOrElse(0L),
+          partitionBy = Seq("cell"))
+      }
+      import s.implicits._
+      VersionedStore.commitTxn(
+        Seq((c, gdirC)).toDF("gen", "cents_dir"),
+        manifestDir(store), retrainApp, c)
+      return Right(c)
+    }
+    maybeRetrainGated(s, store, codesDir, corpus, appId, txnId,
+      thresholdPpm, codes, lastCodes)
+  }
+
+  /** The gate-and-swap half of [[maybeRetrainIvfpq]] (split so the
+    * pending-swap completion above can early-return cleanly). */
+  private def maybeRetrainGated(s: org.apache.spark.sql.SparkSession,
+      store: String, codesDir: String, corpus: DataFrame, appId: String,
+      txnId: Long, thresholdPpm: Long, codes: DataFrame,
+      lastCodes: Option[Long]): Either[Long, Long] = {
+    import graft.operators.VersionedStore
+    val retrainApp = s"$appId-retrain"
+    val alreadyApplied = lastCodes.exists(_ >= txnId)
+    val ppm = if (alreadyApplied) -1L else cellImbalancePpm(codes)
+    if (!alreadyApplied && ppm < thresholdPpm) Left(ppm)
     else {
       val gdir = s"$store/gen-$txnId/centroids"
       // Step 1 — centroids land as a txn-tagged VERSIONED commit, and
@@ -761,7 +826,7 @@ object StreamOps extends QueryModule {
 
   /** Memoized MAINTAINED IVF-PQ index over the embeddings of `d`
     * ([[graft.StageMemo]]): the full strm22 ingest pipeline — train-once
-    * bootstrap (vec_id%4==0), 3-file AvailableNow micro-batch ingest of
+    * bootstrap (vec_id%4==0), 2-file AvailableNow micro-batch ingest of
     * the rest, a SIMULATED crash-replay of the last batch (asserted a
     * txn-tag no-op), and the drift-retrain hook — run ONCE per (session,
     * sf-dir). Returns (store, codesDir). strm22 probes this snapshot and
@@ -1107,7 +1172,7 @@ object StreamOps extends QueryModule {
 
     // STRM-22 batch-replay ⚠: the embeddings corpus split — vec_id%4==0
     // bootstraps the persisted IVF-PQ index (train-once), the rest arrive
-    // as a 3-file stream and are cell-assigned + PQ-encoded into the
+    // as a 2-file stream and are cell-assigned + PQ-encoded into the
     // versioned codes snapshot per micro-batch; a crash-replay of the
     // last batch is then SIMULATED and must be a txn-tag no-op. Output:
     // the probe of the MAINTAINED snapshot for query vec 0 (exact re-rank
@@ -1129,8 +1194,8 @@ object StreamOps extends QueryModule {
     // the hash-checkable half of the streaming index (VERDICT r14 #6).
     // The probe's top-k is the approximate part; the MAINTAINED snapshot
     // itself obeys exact invariants independent of what k-means learned:
-    // after bootstrap + 3 micro-batches + the replay no-op, EVERY corpus
-    // vector (vec 0 is the held-out query) is present with exactly m=8
+    // after bootstrap + the micro-batch drain + replay no-op, EVERY
+    // corpus vector (vec 0 is the held-out query) carries exactly m=8
     // sub-codes, each code in [0,16), all 8 riding ONE cell — i.e. the
     // stream lost nothing, double-applied nothing, and encoded fully.
     // DuckDB replays the contract, not the training: 8/8/1/true per

@@ -842,12 +842,14 @@ class StructuredStreamingSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     val corpus2 = (hist ++ arrivals ++ lateArrivals)
       .toDF("vec_id", "embedding")
-    // replay of the same retrain txn: the imbalance gate must NOT veto
-    // (the snapshot is already balanced); the sequence must fall through
-    // its idempotent steps and complete the manifest flip
+    // the resume arrives as a LATER drift check (txnId 9, not a replay of
+    // txn 2): the half-applied swap must still be detected from the txn
+    // ledgers and completed — gating on the balanced snapshot here would
+    // strand the old generation forever
     assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus2,
-      "crash", txnId = 2L) === Right(2L),
-      "resume must complete the swap, not Left on the balanced snapshot")
+      "crash", txnId = 9L) === Right(2L),
+      "resume must complete the PENDING swap (txn 2), not gate on the " +
+        "balanced snapshot")
     assert(VersionedStore.read(s, s"$store/gen-2/centroids")
       .collect().map(_.toString).toSet === storedGen2,
       "resume must reuse the stored generation fit, never refit on a " +
@@ -864,9 +866,20 @@ class StructuredStreamingSpec extends SparkSpec {
     val snap = VersionedStore.read(s, codesDir, schema = Some(CodesDdl))
     assert(snap.groupBy("vec_id").count()
       .filter(col("count") =!= 8).isEmpty, "one row per (vec, sub), m=8")
+    // GENERATION CONSISTENCY after the resume: every stored cell —
+    // including the late batch binned by the old generation between the
+    // crash and the resume — must equal the assignment under the SERVED
+    // centroids, or those vectors are unreachable at any nprobe < nCells
+    val wantCells = LlmOps.ivfAssignCells(corpus2,
+        StreamOps.servedCentroids(s, store))
+      .withColumnRenamed("cell", "want")
+    assert(snap.join(wantCells, "vec_id")
+      .filter(col("cell") =!= col("want")).isEmpty,
+      "every stored cell must match the served generation's assignment " +
+        "(late-ingested rows must be reconciled, not stranded)")
     // a later healthy-index check is an ordinary Left again
-    assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus,
-      "crash", txnId = 3L).isLeft)
+    assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus2,
+      "crash", txnId = 10L).isLeft)
   }
 }
 
