@@ -779,6 +779,16 @@ class StructuredStreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(got.head === 201L,
       s"post-swap ingest must be retrievable, got ${got.head}")
+    // the post-swap batch must be BINNED by the served (new) generation,
+    // not the bootstrap table — stale binning leaves new vectors outside
+    // every pruned probe (reachable only at nprobe = nCells, which the
+    // full-probe check above cannot distinguish)
+    val wantB2 = LlmOps.ivfAssignCells(b2.toDF("vec_id", "embedding"),
+        StreamOps.servedCentroids(s, store))
+      .withColumnRenamed("cell", "want")
+    assert(snapshot().filter(col("vec_id") >= 200L)
+      .join(wantB2, "vec_id").filter(col("cell") =!= col("want")).isEmpty,
+      "post-swap ingest must bin against the served generation")
     // crash-replay of the PRE-swap batch after the swap: still a no-op
     val nVersions = VersionedStore.versions(codesDir).size
     val replay = StreamOps.ivfpqIngestBatch(
