@@ -75,9 +75,12 @@ object AnnSweep {
       f"${"recall@20(q0)"}%14s ${"mean recall@20"}%15s ${"ms/probe"}%9s")
     for (k <- Seq(16, 32, 64)) {
       val st = graft.TmpStores.scratch(s"annsweep-k$k")
+      // the PQ codebook is cell-count-independent: reuse the memoized
+      // training artifact instead of re-running k-means per k
       graft.llm.LlmOps.ivfpqBuild(train = e,
         index = e.filter(col("vec_id") =!= 0), st,
-        cents0 = Some(graft.llm.LlmOps.ivfCentroids(e, k = k)))
+        cents0 = Some(graft.llm.LlmOps.ivfCentroids(e, k = k)),
+        codebook0 = Some(graft.llm.LlmOps.memoCodebook(s, d, 8)))
       for (nprobe <- Seq(8, k / 2).distinct; shortlist <- Seq(200)) {
         val t0 = System.nanoTime()
         val recalls = (0L until NQ.toLong).map { q =>

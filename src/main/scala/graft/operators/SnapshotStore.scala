@@ -269,6 +269,15 @@ object DeltaSnapshotStore extends SnapshotStore {
       cls.getMethod("invalidateCache",
           classOf[SparkSession], classOf[org.apache.hadoop.fs.Path])
         .invoke(module, s, p)
-    } catch { case _: ReflectiveOperationException => () }
+    } catch {
+      // best-effort covers only LOOKUP failures (no such class/method on
+      // this Delta build); an invocation that FAILED must propagate —
+      // swallowing it leaves the stale cached log this method exists to
+      // drop, and the next commit on the root fails or mis-versions
+      case _: ClassNotFoundException | _: NoSuchMethodException |
+           _: NoSuchFieldException => ()
+      case e: java.lang.reflect.InvocationTargetException =>
+        throw e.getCause
+    }
   }
 }

@@ -739,10 +739,12 @@ object StreamOps extends QueryModule {
       // re-commit, so inconsistent rows are fixed under a fresh txn on a
       // sibling app id. Checked, not assumed — the scan is resume-only.
       val snap = VersionedStore.read(s, codesDir, schema = Some(CodesDdl))
+      requireCorpusCovers(corpus, snap, "retrain resume")
       val vecsAll = corpus.select(col("vec_id"), col("embedding"))
         .join(snap.select("vec_id").distinct(), "vec_id")
+      // one assignment scan feeds both the stale probe and the fix write
       val want = graft.llm.LlmOps.ivfAssignCells(vecsAll, cents)
-        .withColumnRenamed("cell", "want")
+        .withColumnRenamed("cell", "want").localCheckpoint()
       val stale = snap.join(want, "vec_id")
         .filter(col("cell") =!= col("want")).limit(1).count() > 0
       if (stale) {
@@ -765,6 +767,23 @@ object StreamOps extends QueryModule {
       thresholdPpm, codes, lastCodes)
   }
 
+  /** Retrain/reconcile rebuild the codes snapshot through an INNER join
+    * to `corpus` — any indexed vec_id missing from the corpus would be
+    * silently DELETED from the index (and invisible to the stale probe).
+    * Codes don't carry raw vectors, so a missing embedding is
+    * unreassignable; the only safe posture is to refuse loudly. One
+    * anti-join count, retrain-only. */
+  private def requireCorpusCovers(corpus: DataFrame, codes: DataFrame,
+                                  what: String): Unit = {
+    val missing = codes.select("vec_id").distinct()
+      .join(corpus.select("vec_id"), Seq("vec_id"), "left_anti")
+      .limit(5).collect().map(_.getLong(0))
+    require(missing.isEmpty,
+      s"$what: corpus is missing embeddings for indexed vec_ids " +
+        s"${missing.mkString(",")}… — reassignment would silently drop " +
+        "them from the index; pass the full embedding source")
+  }
+
   /** The gate-and-swap half of [[maybeRetrainIvfpq]] (split so the
     * pending-swap completion above can early-return cleanly). */
   private def maybeRetrainGated(s: org.apache.spark.sql.SparkSession,
@@ -777,6 +796,7 @@ object StreamOps extends QueryModule {
     val ppm = if (alreadyApplied) -1L else cellImbalancePpm(codes)
     if (!alreadyApplied && ppm < thresholdPpm) Left(ppm)
     else {
+      requireCorpusCovers(corpus, codes, "retrain")
       val gdir = s"$store/gen-$txnId/centroids"
       // Step 1 — centroids land as a txn-tagged VERSIONED commit, and
       // every later step derives from the STORED bytes, never from this

@@ -122,12 +122,27 @@ class PlanSpec extends SparkSpec {
       "the text never reaches an exchange") {
     val df = SparkEntry.queries("llm51_winnowing")(spark, Sf0001)
     df.count()
-    val p = df.queryExecution.executedPlan.toString
-    // every Exchange row must project only ids/fingerprints: the ~150 B
-    // strings reduce to 8 B window minima BEFORE any shuffle
-    val badExchange = p.linesIterator.exists(l =>
-      l.contains("Exchange") && l.contains("text"))
-    assert(!badExchange, s"text must not cross an exchange:\n$p")
+    // inspect each shuffle's INPUT SCHEMA, not the plan text: an Exchange
+    // line prints only its partitioning expressions, so a regression that
+    // ships text as PAYLOAD keyed by fp would never show 'text' on the
+    // Exchange line — the ~150 B strings must reduce to 8 B window minima
+    // BEFORE any shuffle, which means no exchange child may OUTPUT text
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AQE hides exchanges inside query stages — recurse through both
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      })).flatMap(all)
+    val shuffled = all(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike => e.children.flatMap(_.output.map(_.name))
+    }.flatten
+    assert(shuffled.nonEmpty, "expected at least one exchange in the plan")
+    assert(!shuffled.exists(_.contains("text")),
+      s"text must not cross an exchange; shuffled columns: $shuffled")
   }
 
   test("llm9: dedup semi-join ships ids only; text is never joined on") {

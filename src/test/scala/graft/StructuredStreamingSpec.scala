@@ -150,7 +150,8 @@ class StructuredStreamingSpec extends SparkSpec {
       // finisher over the streamed counts == finisher over batch counts,
       // and the herded hour B scores strictly higher drift than hour A
       val ref = all.toDF().groupBy(
-          least(floor($"value" / 10.0), lit(9L)).cast("long").as("bucket"))
+          greatest(least(floor($"value" / 10.0), lit(9L)), lit(0L))
+            .cast("long").as("bucket"))
         .agg(count(lit(1)).as("rc"))
       val psi = StreamOps.driftPsiFromCounts(s, emitted, ref)
         .collect().map(r => r.getLong(2 - 2) -> r.getDouble(2)).toMap
