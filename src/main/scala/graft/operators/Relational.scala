@@ -1332,6 +1332,53 @@ object Relational extends QueryModule {
         .orderBy("fd")
     }),
 
+    // PROF-7: categorical-dependence profile — Cramér's V (χ² normalized
+    // to [0,1]) per column pair, the STATISTICAL complement of prof4's
+    // functional dependencies (an FD is V=1; prof4 can't see the soft
+    // association a mixture/skew audit needs). One contingency-cell agg
+    // per pair (map-side combined to |a|×|b| rows — KBs), then windows
+    // over that metadata-sized grid for the marginals; expected counts
+    // and χ² terms in IEEE doubles with the llm30 decimal-sum protocol,
+    // and V derived from the ROUNDED χ² so both engines hash-match. At
+    // 100 TB each pair costs one partial-agg shuffle of cell cardinality,
+    // nothing touches the raw rows twice.
+    "prof7_cramers_v" -> ((s, d) => {
+      def pair(df: DataFrame, name: String, a: String, b: String) = {
+        val cells = df.select(col(a).cast("string").as("a"),
+            col(b).cast("string").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("o"))
+        val grid = cells
+          .withColumn("ra", sum("o").over(Window.partitionBy("a")))
+          .withColumn("cb", sum("o").over(Window.partitionBy("b")))
+          .withColumn("n", sum("o").over(Window.partitionBy()))
+          .withColumn("exp",
+            col("ra").cast("double") * col("cb").cast("double") /
+              col("n").cast("double"))
+          .withColumn("term",
+            (col("o").cast("double") - col("exp")) *
+              (col("o").cast("double") - col("exp")) / col("exp"))
+        grid.agg(
+            max(col("n")).as("n"),
+            countDistinct(col("a")).as("r"),
+            countDistinct(col("b")).as("c"),
+            (round(sum(col("term").cast("decimal(28,12)")).cast("double")
+              * lit(1e6)) / lit(1e6)).as("chi2"))
+          .select(lit(name).as("pair"), col("n"), col("r"), col("c"),
+            col("chi2"),
+            round(sqrt(col("chi2") / (col("n").cast("double") *
+              least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+              .as("v"))
+      }
+      val li = Tables.lineitem(s, d)
+      pair(Tables.orders(s, d), "o_orderstatus~o_orderpriority",
+          "o_orderstatus", "o_orderpriority")
+        .unionAll(pair(li, "l_returnflag~l_linestatus",
+          "l_returnflag", "l_linestatus"))
+        .unionAll(pair(Tables.customer(s, d), "c_mktsegment~c_nationkey",
+          "c_mktsegment", "c_nationkey"))
+        .orderBy("pair")
+    }),
+
     // AGG-29: exact weighted median — the quantity-weighted middle price
     // per return flag (each row votes with its weight, the robust center
     // a plain median of line rows gets wrong when quantities skew).
@@ -2163,6 +2210,40 @@ object Relational extends QueryModule {
            |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS nrhs
            |      FROM $tbl GROUP BY 1)""".stripMargin }
       .mkString("", "\nUNION ALL\n", "\nORDER BY fd"),
+
+    // χ² terms in IEEE doubles in the same op order as the Spark side;
+    // decimal-summed then rounded, and V derived from the ROUNDED χ²
+    "prof7_cramers_v" -> Seq(
+      ("o_orderstatus~o_orderpriority", "orders",
+        "o_orderstatus", "o_orderpriority"),
+      ("l_returnflag~l_linestatus", "lineitem",
+        "l_returnflag", "l_linestatus"),
+      ("c_mktsegment~c_nationkey", "customer",
+        "c_mktsegment", "c_nationkey"))
+      .map { case (name, tbl, a, b) =>
+        s"""SELECT '$name' AS pair, n, r, c, chi2,
+           |  ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) *
+           |    CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6) AS v
+           |FROM (
+           |  SELECT CAST(MAX(n) AS BIGINT) AS n,
+           |    CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+           |    CAST(COUNT(DISTINCT b) AS BIGINT) AS c,
+           |    ROUND(CAST(SUM(CAST(
+           |        (CAST(o AS DOUBLE) - exp) * (CAST(o AS DOUBLE) - exp)
+           |          / exp AS DECIMAL(28,12))) AS DOUBLE)
+           |      * 1000000.0) / 1000000.0 AS chi2
+           |  FROM (
+           |    SELECT a, b, o,
+           |      SUM(o) OVER (PARTITION BY a) AS ra,
+           |      SUM(o) OVER (PARTITION BY b) AS cb,
+           |      SUM(o) OVER () AS n,
+           |      CAST(SUM(o) OVER (PARTITION BY a) AS DOUBLE) *
+           |        CAST(SUM(o) OVER (PARTITION BY b) AS DOUBLE) /
+           |        CAST(SUM(o) OVER () AS DOUBLE) AS exp
+           |    FROM (SELECT CAST($a AS VARCHAR) AS a,
+           |            CAST($b AS VARCHAR) AS b, COUNT(*) AS o
+           |          FROM $tbl GROUP BY 1, 2)))""".stripMargin }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY pair"),
 
     "agg29_weighted_median" -> """
       |WITH vals AS (
