@@ -962,6 +962,34 @@ object Analytics extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // WIN-17: last-touch attribution — each purchase is credited to the
+    // most recent click by the same user within a 30-minute lookback,
+    // the standard conversion-attribution rule (win10's funnel counts a
+    // fixed ordered pattern; attribution answers "which touch gets the
+    // credit" per conversion). Plan: ONE user-keyed exchange, a running
+    // last-click carry via last_value(ignoreNulls) over preceding rows
+    // (O(1) state per row — no per-purchase as-of join), then a
+    // metadata-sized per-user rollup. Ties on ts break by event_id so
+    // both engines walk the identical order. At 100 TB this is the
+    // sessionization shuffle with a cheaper frame.
+    "win17_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          col("event_type"), expr("ts div 1000").as("ts_us"))
+        .withColumn("last_click_us",
+          last(when(col("event_type") === "click", col("ts_us")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("last_click_us").isNotNull &&
+              col("ts_us") - col("last_click_us") <= 1800000000L, 1L)
+            .otherwise(0L)).as("n_attributed"))
+        .orderBy("user_id")
+    }),
+
     // TS-9: offline mean-shift changepoint screening per event_type — the
     // CUSUM statistic (Page 1954, screening form): with S_i the running
     // value sum and T/n the series total/count, the deviation
@@ -1149,6 +1177,27 @@ object Analytics extends QueryModule {
       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
       |       CAST(SUM(stop_us - start_us) AS BIGINT) AS covered_us
       |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // identical window walk: last click ts over preceding rows per user,
+    // ties broken by event_id; attribution window 30 min in µs
+    "win17_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_us END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click_us
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(CASE WHEN last_click_us IS NOT NULL
+        |                 AND ts_us - last_click_us <= 1800000000
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+        |FROM m WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "win14_event_regex" -> """
       |WITH seqs AS (
