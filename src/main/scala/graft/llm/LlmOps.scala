@@ -851,10 +851,19 @@ object LlmOps extends QueryModule {
     // HASH-MATCHES: the oracle recomputes the md5-protocol simhash from
     // raw text and brute-forces all pairs — band join ≡ brute force is
     // exactly the losslessness claim. At 100 TB: a hot band value (many
-    // docs sharing 16 fingerprint bits) is the skew to watch; the llm3d
-    // salting recipe applies unchanged if a corpus degenerates that way.
+    // docs sharing 16 fingerprint bits) puts all n² of its candidate
+    // pairs in ONE shuffle task, so bands past `hotThreshold` are
+    // SALTED: the left side splits into G=8 hash(doc_id) groups, the
+    // right side replicates across all G salts — the same pairs emerge
+    // from G tasks each doing n²/G of the work. Output-lossless (every
+    // (a,b) pair still meets at exactly one salt), so the brute-force
+    // oracle is unchanged whether or not the threshold binds; the cold
+    // path pays only a broadcast lookup against the hot-band list
+    // (≤ 4·2¹⁶ entries by construction).
     "llm2d_simhash_neardup" -> ((s, d) => {
       val k = 3
+      val G = 8
+      val hotThreshold = 4096L
       // both sides of the self-join read the materialized fingerprints —
       // without the cut Spark recomputes the full md5 fold per side
       val sh = Tables.documents(s, d)
@@ -867,11 +876,22 @@ object LlmOps extends QueryModule {
               .as("band"))): _*)).as("b"))
         .select(col("doc_id"), col("simhash"),
           col("b.band_idx").as("band_idx"), col("b.band").as("band"))
-      val left = bands.select(col("doc_id").as("a_id"),
-        col("simhash").as("a_sh"), col("band_idx"), col("band"))
-      val right = bands.select(col("doc_id").as("b_id"),
-        col("simhash").as("b_sh"), col("band_idx"), col("band"))
-      left.join(right, Seq("band_idx", "band"))
+      val hot = bands.groupBy("band_idx", "band")
+        .agg(count(lit(1)).as("n_band"))
+        .filter(col("n_band") > hotThreshold)
+        .select(col("band_idx"), col("band"), lit(true).as("is_hot"))
+      val tagged = bands
+        .join(broadcast(hot), Seq("band_idx", "band"), "left")
+        .withColumn("is_hot", coalesce(col("is_hot"), lit(false)))
+      val left = tagged.select(col("doc_id").as("a_id"),
+        col("simhash").as("a_sh"), col("band_idx"), col("band"),
+        when(col("is_hot"), pmod(xxhash64(col("doc_id")), lit(G.toLong)))
+          .otherwise(lit(0L)).as("salt"))
+      val right = tagged.select(col("doc_id").as("b_id"),
+        col("simhash").as("b_sh"), col("band_idx"), col("band"),
+        explode(when(col("is_hot"), sequence(lit(0L), lit(G - 1L)))
+          .otherwise(array(lit(0L)))).as("salt"))
+      left.join(right, Seq("band_idx", "band", "salt"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           expr("cast(bit_count(a_sh ^ b_sh) as int)").as("hamming"))
@@ -1929,12 +1949,24 @@ object LlmOps extends QueryModule {
     // SET of window minima, so no tie-position protocol is needed
     // cross-engine. Entirely row-local HOFs (no explode until the 8-byte
     // fingerprints) → one fp-keyed exchange for the pair join: at
-    // 100 TB the shuffle carries ~25% of gram count × 8 B, and pair
-    // fan-out is bounded by fingerprint hotness the same way llm2e caps
-    // df. Gram hash = md5 first-8-hex (llm45's cross-engine protocol) →
-    // exact DuckDB hash-match.
+    // 100 TB the shuffle carries ~25% of gram count × 8 B. Pair fan-out
+    // is bounded by the SAME df cap llm2e uses (df_docs <= 1000): a
+    // fingerprint shared by f docs contributes ~f²/2 join rows, so one
+    // ubiquitous fingerprint (license boilerplate winnowed into every
+    // doc's window minima) would make the self-join quadratic in its
+    // posting list — the cap drops it BEFORE the exchange, turning the
+    // worst case O(n²) into O(n·cap). The cap is replayed verbatim in
+    // the DuckDB oracle so the hash-match covers the capped semantics;
+    // ApproxSpec notes the SIGMOD'03 guarantee survives under-cap runs
+    // (no fingerprint reaches df 1000 at any gate SF). Gram hash = md5
+    // first-8-hex (llm45's cross-engine protocol) → exact DuckDB
+    // hash-match.
     "llm51_winnowing" -> ((s, d) => {
-      val docs = winnowFingerprints(Tables.documents(s, d))
+      val fps = winnowFingerprints(Tables.documents(s, d))
+        .localCheckpoint() // feeds the df cap + both self-join sides
+      val keep = fps.groupBy("fp").agg(count(lit(1)).as("df_docs"))
+        .filter(col("df_docs") <= 1000).select("fp")
+      val docs = fps.join(keep, "fp")
       docs.as("a").join(docs.as("b"),
           col("a.fp") === col("b.fp") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -3074,10 +3106,12 @@ object LlmOps extends QueryModule {
         |    list_distinct([list_min(hs[j:j+3])
         |                   for j in range(1, len(hs) - 2)]) AS fps
         |  FROM g),
-        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |keep AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 1000),
+        |ec AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp))
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  count(*) AS n_shared
-        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM ec a JOIN ec b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY a_id, b_id""".stripMargin,
 

@@ -73,6 +73,25 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("llm51 df cap: SIGMOD'03 guarantee survives under-cap runs — no " +
+      "fingerprint in the gate corpus reaches the df_docs <= 1000 cap") {
+    // llm51_winnowing drops fingerprints shared by > 1000 docs before the
+    // pair join (the llm2e scale guard). The detection guarantee — any
+    // shared run of ≥ k+w−1 words yields a shared fingerprint — is only
+    // weakened for runs whose EVERY window minimum is boilerplate-hot;
+    // this pins that the cap never binds on the gate corpus, so the
+    // capped query is bit-identical to the uncapped SIGMOD'03 semantics
+    // there (and the DuckDB oracle replays the cap verbatim regardless).
+    val maxDf = LlmOps.winnowFingerprints(
+        Tables.documents(spark, Sf0001))
+      .groupBy("fp").agg(count(lit(1)).as("df_docs"))
+      .agg(max("df_docs")).collect()(0).getLong(0)
+    assert(maxDf <= 1000L,
+      s"df cap binds at gate SF (max fingerprint df $maxDf > 1000): " +
+        "the capped llm51 is no longer equivalent to uncapped winnowing " +
+        "on this corpus — re-examine the cap or the corpus")
+  }
+
   test("llm49 temperature mix: T=2 compresses shares toward uniform and " +
       "budgets never exceed the token pool") {
     val rows = SparkEntry.queries("llm49_temperature_mix")(
