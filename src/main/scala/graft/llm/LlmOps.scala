@@ -105,7 +105,7 @@ object LlmOps extends QueryModule {
     val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     (1 to rounds).foldLeft(seeds) { (cents, r) =>
-      val next = e.crossJoin(broadcast(cents))
+      val means = e.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("embedding"), col("cent")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -116,7 +116,18 @@ object LlmOps extends QueryModule {
         .groupBy("cent_id")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m").cast("float")).as("cent"))
+          x => x.getField("m").cast("float")).as("cent_new"))
+      // Carry EMPTY cells forward unchanged: the assignment groupBy only
+      // emits cells that won ≥ 1 vector, so a cell starved in round r
+      // would silently vanish from every later round — the quantizer
+      // would serve < k cells forever (and a probe budget tuned for k
+      // cells would over-concentrate). Left-join + coalesce keeps the
+      // starved cell at its previous position, where a later round's
+      // shifted assignments can still repopulate it; exactly k rows
+      // survive every round by construction (PqSpec pins it).
+      val next = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("cent_new"), col("cent")).as("cent"))
       if (r == rounds) next else next.localCheckpoint()
     }
   }

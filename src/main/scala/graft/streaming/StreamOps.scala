@@ -736,8 +736,14 @@ object StreamOps extends QueryModule {
       // RECONCILE before the flip: any batch ingested between the crash
       // and this resume was binned by the then-served (old) generation;
       // the original (retrainApp, c) codes tag would replay-skip a
-      // re-commit, so inconsistent rows are fixed under a fresh txn on a
-      // sibling app id. Checked, not assumed — the scan is resume-only.
+      // re-commit, so inconsistent rows are fixed under a sibling app id
+      // that carries the swap's OWN identity (`-fix-$c`): fix ledgers of
+      // different swaps can never interfere (a txn counter recorded by
+      // swap c must not replay-skip a real fix needed by swap c' — the
+      // shared-app-id hazard), while WITHIN one swap the snapshot-version
+      // txn still lets a second resume re-fix after more ingest lands
+      // (each ingest commit bumps latestVersion past the recorded tag).
+      // Checked, not assumed — the stale scan is resume-only.
       val snap = VersionedStore.read(s, codesDir, schema = Some(CodesDdl))
       requireCorpusCovers(corpus, snap, "retrain resume")
       val vecsAll = corpus.select(col("vec_id"), col("embedding"))
@@ -753,7 +759,7 @@ object StreamOps extends QueryModule {
           .select(col("vec_id").cast("long"), col("sub").cast("int"),
             col("code").cast("int"), col("cell").cast("long"))
         VersionedStore.commitTxn(fixed.repartition(col("cell")), codesDir,
-          s"$retrainApp-fix",
+          s"$retrainApp-fix-$c",
           VersionedStore.latestVersion(codesDir).getOrElse(0L),
           partitionBy = Seq("cell"))
       }
@@ -792,7 +798,16 @@ object StreamOps extends QueryModule {
       lastCodes: Option[Long]): Either[Long, Long] = {
     import graft.operators.VersionedStore
     val retrainApp = s"$appId-retrain"
-    val alreadyApplied = lastCodes.exists(_ >= txnId)
+    // Out-of-order maintenance no-op: a STRICTLY newer retrain already
+    // committed its codes — and, because the pending-swap probe upstream
+    // found nothing, its manifest flip landed too. Replaying an OLDER
+    // txnId must not touch the store at all: falling through would scan
+    // the corpus (requireCorpusCovers) and, if gen-<txnId> never existed,
+    // fit and commit a stale centroid generation beside the served one.
+    // Report the generation actually in service and return.
+    val newerApplied = lastCodes.filter(_ > txnId)
+    if (newerApplied.isDefined) return Right(newerApplied.get)
+    val alreadyApplied = lastCodes.contains(txnId)
     val ppm = if (alreadyApplied) -1L else cellImbalancePpm(codes)
     if (!alreadyApplied && ppm < thresholdPpm) Left(ppm)
     else {

@@ -43,6 +43,30 @@ class PqSpec extends SparkSpec {
     assert(distortion(k = 16) < distortion(k = 1))
   }
 
+  test("ivfCentroids: starved cells carry forward — exactly k centroids " +
+      "survive every round") {
+    val s = spark
+    import s.implicits._
+    // pathological corpus: every vector identical, so each Lloyd round
+    // ties on cosine and the tie-break routes ALL mass to one cell — the
+    // other k−1 cells get no assignments. The per-round groupBy only
+    // emits winning cells, so without the left-join carry-forward the
+    // quantizer silently shrank to 1 centroid after round 1.
+    val e = (0L until 16L)
+      .map(i => (i, Array.fill(8)(1f)))
+      .toDF("vec_id", "embedding")
+    for (rounds <- Seq(1, 3)) {
+      val cents = LlmOps.ivfCentroids(e, k = 4, rounds = rounds).collect()
+      assert(cents.length === 4,
+        s"rounds=$rounds: expected 4 centroids, got ${cents.length} — " +
+          "starved cells must survive the round")
+      assert(cents.map(_.getLong(0)).distinct.length === 4,
+        s"rounds=$rounds: cent_ids must stay distinct")
+      cents.foreach(r => assert(r.getSeq[Float](1).length === 8,
+        "carried centroids keep their vector payload"))
+    }
+  }
+
   test("ADC top-20 recall vs exact L2 top-20") {
     val adc = SparkEntry.queries("llm28b_pq_adc")(spark, Sf0001)
       .collect().map(_.getAs[Long]("vec_id")).toSet

@@ -892,6 +892,55 @@ class StructuredStreamingSpec extends SparkSpec {
     assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus2,
       "crash", txnId = 10L).isLeft)
   }
+
+  test("strm22 drift retrain: an OUT-OF-ORDER maintenance call (older " +
+      "txnId than the applied retrain) is a complete store no-op") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.VersionedStore
+    import graft.llm.LlmOps
+    val root = java.nio.file.Files
+      .createTempDirectory("strm22-ooo").toString
+    val (store, codesDir) = (s"$root/store", s"$root/codes")
+    def oneHot(d: Int, mag: Float) =
+      Array.tabulate(64)(j => if (j == d) mag else 0f)
+    val hist = (1L to 32L).map(i =>
+      (i, oneHot((i % 16).toInt, 1f + 0.01f * (i % 3))))
+    val arrivals = (0 until 48).map { i =>
+      val v = oneHot(56 + i % 4, 5f)
+      v(61) = 0.01f * i
+      (100L + i, v)
+    }
+    val histDf = hist.toDF("vec_id", "embedding")
+    LlmOps.ivfpqBuild(train = histDf, index = histDf, store = store)
+    VersionedStore.commitTxn(s.read.parquet(s"$store/codes"), codesDir,
+      "boot", 0L, partitionBy = Seq("cell"))
+    StreamOps.ivfpqIngestBatch(arrivals.toDF("vec_id", "embedding"),
+      store, codesDir, "ooo", batchId = 1L)
+    val corpus = (hist ++ arrivals).toDF("vec_id", "embedding")
+    assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus,
+      "ooo", txnId = 7L) === Right(7L))
+    val codesVersions = VersionedStore.versions(codesDir)
+    val manifestVersions = VersionedStore.versions(s"$store/manifest")
+    val served = StreamOps.servedCentroids(s, store)
+      .collect().map(_.toString).toSet
+    // a delayed drift check from BEFORE the applied retrain arrives late
+    // (at-least-once scheduler replaying an old task, or two maintenance
+    // drivers racing): it must not scan the corpus into a stale gen-3
+    // fit, must not add a version anywhere, and must report the
+    // generation actually in service
+    assert(StreamOps.maybeRetrainIvfpq(s, store, codesDir, corpus,
+      "ooo", txnId = 3L) === Right(7L),
+      "out-of-order call must report the served (newer) generation")
+    assert(!new java.io.File(s"$store/gen-3").exists(),
+      "out-of-order call must not materialize a stale generation dir")
+    assert(VersionedStore.versions(codesDir) === codesVersions &&
+      VersionedStore.versions(s"$store/manifest") === manifestVersions,
+      "out-of-order call must commit nothing")
+    assert(StreamOps.servedCentroids(s, store)
+      .collect().map(_.toString).toSet === served,
+      "served generation must be untouched by the out-of-order call")
+  }
 }
 
 /** documents-shaped record for the corpus-dedup stream. */
