@@ -105,6 +105,70 @@ object FixtureGen {
       .map(_.map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(","))
       .mkString("", "\n", "\n")
 
+  /** Scalar XXH64 reference (Yann Collet's public-domain xxHash spec,
+    * github.com/Cyan4973/xxHash), written independently of Spark's
+    * implementation so the func_hash_xx64 golden is a genuine dual: the
+    * DuckDB oracle reads hashes THIS produced, Spark computes its own —
+    * agreement pins seed-42 UTF-8-byte XXH64 end to end. Public so
+    * GoldenValueSpec can also pin it against Spark's xxhash64 directly. */
+  def xxh64Ref(bytes: Array[Byte], seed: Long): Long = {
+    import java.lang.Long.rotateLeft
+    val P1 = -7046029288634856825L // 0x9E3779B185EBCA87
+    val P2 = -4417276706812531889L // 0xC2B2AE3D27D4EB4F
+    val P3 = 1609587929392839161L  // 0x165667B19E3779F9
+    val P4 = -8796714831421723037L // 0x85EBCA77C2B2AE63
+    val P5 = 2870177450012600261L  // 0x27D4EB2F165667C5
+    val len = bytes.length
+    def u64(o: Int): Long = {
+      var v = 0L; var j = 7
+      while (j >= 0) { v = (v << 8) | (bytes(o + j) & 0xffL); j -= 1 }
+      v
+    }
+    def u32(o: Int): Long = {
+      var v = 0L; var j = 3
+      while (j >= 0) { v = (v << 8) | (bytes(o + j) & 0xffL); j -= 1 }
+      v
+    }
+    var i = 0
+    var h =
+      if (len >= 32) {
+        var v1 = seed + P1 + P2; var v2 = seed + P2
+        var v3 = seed; var v4 = seed - P1
+        while (i + 32 <= len) {
+          v1 = rotateLeft(v1 + u64(i) * P2, 31) * P1
+          v2 = rotateLeft(v2 + u64(i + 8) * P2, 31) * P1
+          v3 = rotateLeft(v3 + u64(i + 16) * P2, 31) * P1
+          v4 = rotateLeft(v4 + u64(i + 24) * P2, 31) * P1
+          i += 32
+        }
+        var x = rotateLeft(v1, 1) + rotateLeft(v2, 7) +
+          rotateLeft(v3, 12) + rotateLeft(v4, 18)
+        def merge(x0: Long, v: Long): Long =
+          (x0 ^ (rotateLeft(v * P2, 31) * P1)) * P1 + P4
+        x = merge(x, v1); x = merge(x, v2)
+        x = merge(x, v3); x = merge(x, v4)
+        x
+      } else seed + P5
+    h += len
+    while (i + 8 <= len) {
+      h ^= rotateLeft(u64(i) * P2, 31) * P1
+      h = rotateLeft(h, 27) * P1 + P4
+      i += 8
+    }
+    if (i + 4 <= len) {
+      h ^= u32(i) * P1
+      h = rotateLeft(h, 23) * P2 + P3
+      i += 4
+    }
+    while (i < len) {
+      h ^= (bytes(i) & 0xffL) * P5
+      h = rotateLeft(h, 11) * P1
+      i += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
   def main(args: Array[String]): Unit = {
     // scan2: gzipped plain-text lines
     writeGz(s"$Dir/lines.txt.gz",
@@ -155,6 +219,32 @@ object FixtureGen {
     write(s"$Dir/mig7b_html_golden.csv",
       csvQuoteAll(Seq("line_no", "line"),
         htmlLines.zipWithIndex.map { case (l, i) => Seq((i + 1).toString, l) }))
+
+    // mig8: the resume ledger, hand-modeled from the checkpoint/resume
+    // CONTRACT (reference runcommand.py:349-409: marker per completed
+    // step, re-run skips marked steps) — NOT by running PipelineRunner,
+    // so the DuckDB oracle is an independent pin: fresh dir → both steps
+    // "ran"; immediate second pass → both markers present → "skipped".
+    write(s"$Dir/mig8_ledger_golden.csv",
+      csvQuoteAll(Seq("pass", "step", "name", "status"), Seq(
+        Seq("0", "0", "import", "ran"),
+        Seq("0", "1", "qa", "ran"),
+        Seq("1", "0", "import", "skipped"),
+        Seq("1", "1", "qa", "skipped"))))
+
+    // func_hash_xx64: (c_custkey, xxh64(c_name)) for every custkey up to
+    // the sf0.1 corpus, from the INDEPENDENT scalar reference above.
+    // c_name is the deterministic 'Customer#%09d' render of the key at
+    // every SF (TESTDATA generator contract), so one committed golden
+    // serves all gate scales; a table whose name deviated from that
+    // pattern hash-mismatches the oracle join — exactly the dual's job.
+    write(s"$Dir/xxhash64_customer_golden.csv",
+      csvQuoteAll(Seq("c_custkey", "name_xx64"),
+        (0 until 15000).map { k =>
+          val name = f"Customer#$k%09d"
+          Seq(k.toString,
+            xxh64Ref(name.getBytes(StandardCharsets.UTF_8), 42L).toString)
+        }))
 
     // scan4: QUOTE_ALL QA-report-shaped csv
     write(s"$Dir/qa_report.csv",

@@ -606,7 +606,11 @@ object MigrationOps extends QueryModule {
 
     // MIG-8: checkpoint/resume runner — runs a 2-step toy pipeline TWICE in
     // a fresh checkpoint dir; first pass runs, second pass skips, proving
-    // step-granular resume. Rows-only + MigrationSpec.
+    // step-granular resume. Oracle: ledger-CSV golden hand-modeled from
+    // the runcommand.py:349-409 contract (mig7 discipline), so the
+    // DuckDB side pins the resume semantics independently of
+    // PipelineRunner; MigrationSpec covers the failure/retry paths the
+    // happy-path ledger can't.
     "mig8_checkpoint_resume" -> ((s, _) => {
       import s.implicits._
       val ck = "/root/repo/target/tmp-sinks/mig8-checkpoint"
@@ -667,6 +671,13 @@ object MigrationOps extends QueryModule {
          |FROM read_csv('$FixturesDir/mig7b_html_golden.csv', header=true,
          |              all_varchar=true)
          |ORDER BY CAST(line_no AS BIGINT)""".stripMargin,
+
+    "mig8_checkpoint_resume" ->
+      s"""SELECT CAST(pass AS INT) AS pass, CAST(step AS INT) AS step,
+         |       name, status
+         |FROM read_csv('$FixturesDir/mig8_ledger_golden.csv', header=true,
+         |              all_varchar=true)
+         |ORDER BY pass, step""".stripMargin,
 
     "mig3_apply_patches" ->
       (latestWinsSql(patchedLogSql) + "\nORDER BY e, path"),

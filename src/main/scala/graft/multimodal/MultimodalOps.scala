@@ -184,20 +184,27 @@ object MultimodalOps extends QueryModule {
   }
 
   /** Feature extraction stub: fixed-dim float vector from payload bytes
-    * (xxhash-remixed rolling statistics). Real contract: binary → dense
-    * float array of dim 8, partition-local, no shuffle. */
+    * (per-lane byte statistics). Real contract: binary → dense float
+    * array of dim 8, partition-local, no shuffle. Lanes ACCUMULATE IN
+    * LONG and normalize once in double — exact integer sums followed by
+    * one deterministic IEEE expression, so the value is replayable
+    * bit-for-bit by the DuckDB oracle (a float-accumulation loop would
+    * round differently per engine and forfeit the hash-match). */
   val featuresStub = udf { payload: Array[Byte] =>
     val dim = 8
     val out = new Array[Float](dim)
     if (payload != null && payload.nonEmpty) {
+      val sums = new Array[Long](dim)
       var i = 0
       while (i < payload.length) {
-        val b = payload(i) & 0xff
-        out(i % dim) += b * (1.0f / 255.0f)
+        sums(i % dim) += payload(i) & 0xff
         i += 1
       }
       var j = 0
-      while (j < dim) { out(j) = out(j) / payload.length * dim; j += 1 }
+      while (j < dim) {
+        out(j) = (sums(j).toDouble / 255.0 / payload.length * dim).toFloat
+        j += 1
+      }
     }
     out
   }
@@ -273,8 +280,10 @@ object MultimodalOps extends QueryModule {
           col("col").as("frame_off_ms"))
         .orderBy("doc_id", "frame_idx")),
 
-    // MM-5: feature extraction (stub) — dense vectors; rows-only + spec
-    // (float accumulation order is impl-defined, so no SQL oracle).
+    // MM-5: feature extraction (stub) — dense vectors. Exact DuckDB
+    // oracle: the stub's lanes are integer byte-sums normalized by one
+    // double expression, and the float32 narrowing is replayed with
+    // CAST(... AS REAL), so f0 hash-matches bit-for-bit.
     "mm5_features" -> ((s, d) =>
       mediaTable(s, d)
         .select(col("doc_id"), featuresStub(col("payload")).as("features"))
@@ -429,6 +438,24 @@ object MultimodalOps extends QueryModule {
 
 
   def oracle: Map[String, String] = Map(
+    // replays featuresStub exactly: integer byte-sum of lane 0 (payload
+    // positions ≡ 0 mod 8; ord == byte because the corpus is ASCII, the
+    // same identity mm8 leans on), then the stub's one double expression
+    // in the same operation order, narrowed through REAL to mirror the
+    // float32 element before the round
+    "mm5_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         ord(substr(text, CAST(i AS INT), 1)) AS byte
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS r(i)
+        |  WHERE (i - 1) % 8 = 0),
+        |l AS (SELECT doc_id, any_value(n) AS n, SUM(byte) AS s0
+        |      FROM b GROUP BY doc_id)
+        |SELECT doc_id, 8 AS dim,
+        |  round(CAST(CAST(CAST(s0 AS DOUBLE) / 255.0 / n * 8 AS REAL)
+        |             AS DOUBLE), 5) AS f0
+        |FROM l ORDER BY doc_id""".stripMargin,
+
     "mm7_media_dedup" ->
       """WITH m AS (
         |  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]

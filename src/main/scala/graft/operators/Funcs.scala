@@ -145,7 +145,13 @@ object Funcs extends QueryModule {
           sha2(col("c_name").cast("binary"), 256).as("name_sha256"))
         .orderBy("c_custkey")),
 
-    // xxhash64 is Spark-native (no DuckDB equivalent) → rows-only + spec
+    // xxhash64 has no DuckDB builtin, so the oracle is a GOLDEN-DUAL
+    // (scan3 pattern): FixtureGen.xxh64Ref — an independent scalar
+    // XXH64 from the public spec — pre-hashes 'Customer#%09d' per
+    // custkey into a committed CSV the oracle joins; Spark hashes the
+    // live c_name. Agreement pins seed-42 UTF-8-byte XXH64 exactly
+    // (GoldenValueSpec additionally pins ref == Spark on adversarial
+    // lengths covering the 32-byte stripe path).
     "func_hash_xx64" -> ((s, d) =>
       Tables.customer(s, d).select(
           col("c_custkey"), xxhash64(col("c_name")).as("name_xx64"))
@@ -192,6 +198,17 @@ object Funcs extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // inner join: a golden row exists for every custkey ≤ sf0.1's max,
+    // so any dropped row (or a c_name off the generator pattern, hashed
+    // differently by Spark) surfaces as a row-count / hash mismatch
+    "func_hash_xx64" ->
+      s"""SELECT c.c_custkey, CAST(g.name_xx64 AS BIGINT) AS name_xx64
+         |FROM customer c
+         |JOIN read_csv('${Scans.FixturesDir}/xxhash64_customer_golden.csv',
+         |              header=true, all_varchar=true) g
+         |  ON CAST(g.c_custkey AS BIGINT) = c.c_custkey
+         |ORDER BY c.c_custkey""".stripMargin,
+
     "func_str" ->
       """SELECT p_partkey, upper(p_name) AS uname, substring(p_name, 1, 4) AS pfx,
         |  string_split(p_name, ' ')[1] AS first_word,

@@ -3,13 +3,35 @@ package graft
 import graft.multimodal.MultimodalOps
 import org.apache.spark.sql.functions._
 
-/** Pinned-literal coverage for the two operators with no SQL oracle
-  * (VERDICT r4 #1): `func_hash_xx64` (xxhash64 is Spark-native — no DuckDB
-  * equivalent) and `mm5_features` (float accumulation order is
-  * impl-defined, so no SQL oracle). Pinning literal values guards the
-  * actual contract — seed 42, UTF-8 byte hashing, the stub's exact
-  * arithmetic — against silent drift. */
+/** Pinned-literal coverage for operators whose oracles lean on golden
+  * duals (VERDICT r4 #1, promoted r17): `func_hash_xx64` now hash-matches
+  * a FixtureGen.xxh64Ref golden CSV and `mm5_features` an exact integer
+  * replay — the tests here pin the underlying contracts (seed 42, UTF-8
+  * byte hashing incl. the ≥32-byte stripe path; the stub's exact
+  * arithmetic) against silent drift on adversarial inputs the gate
+  * corpus doesn't exercise. */
 class GoldenValueSpec extends SparkSpec {
+
+  test("xxh64Ref == Spark xxhash64 on adversarial lengths (0..64 incl. " +
+      "the 32-byte stripe path) and on the customer-name shape") {
+    val s = spark
+    import s.implicits._
+    // every length class: empty, sub-4, sub-8, the 4-byte and 8-byte
+    // tails, and ≥32 (the 4-accumulator stripe loop the 18-byte names
+    // never reach)
+    val inputs = (0 to 64).map(n => ("abcdefghij" * 7).take(n)) ++
+      Seq("Customer#000000000", "Customer#000014999", "π≠utf8-1byte→ok")
+    val gotSpark = inputs.toDF("t")
+      .select(col("t"), xxhash64(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach { t =>
+      val ref = FixtureGen.xxh64Ref(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L)
+      assert(gotSpark(t) === ref,
+        s"xxh64Ref diverges from Spark on '${t.take(20)}' (len " +
+          s"${t.getBytes("UTF-8").length})")
+    }
+  }
 
   test("pngDhash: pinned hash for a handcrafted non-gradient raster") {
     val s = spark
