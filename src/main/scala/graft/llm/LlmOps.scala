@@ -310,6 +310,38 @@ object LlmOps extends QueryModule {
     graft.StageMemo.frame(s, s"llm28.codebook.m$m.$d")(
       pqTrain(Tables.embeddings(s, d), m = m))
 
+  /** SemDeDup keep/drop off a GIVEN quantizer (llm44's pipeline, shared
+    * with llm44b's persisted-centroids audit): post each vector to its
+    * top-2 cosine cells — assignment metric = dedup metric (llm28's probe
+    * assigns by L2 because its re-rank is L2; here a τ-cosine pair
+    * assigned by L2 can straddle cells that cosine keeps together);
+    * top-2 is the boundary-pair fix — then candidate pairs form only
+    * inside a shared cell and a vector drops iff a lower-id candidate
+    * sits at cosine ≥ τ. */
+  private[graft] def semdedupKept(e: DataFrame, cents: DataFrame,
+                                  tau: Double = 0.45): DataFrame = {
+    val wc = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    val cells = e.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .localCheckpoint() // both sides of the within-cell self-join
+    val pa = cells.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val pb = cells.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val dupIds = pa.join(pb, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(cosine(col("a_emb"), col("b_emb")), 6) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    e.select(col("vec_id"))
+      .join(dupIds.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup").isNull.as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   /** Memoized IVF coarse-quantizer centroids over the embeddings of `d` —
     * shared by llm28c's in-memory inverted file and llm28d/e's persisted
     * index build. */
@@ -1722,31 +1754,27 @@ object LlmOps extends QueryModule {
     // cell). Survivors sharing ANY posted cell are provably pairwise
     // < τ (a surviving pair would make the higher id a dropout), which
     // the spec also pins.
-    "llm44_semdedup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      // assignment metric = dedup metric: COSINE to centroid (llm28's
-      // probe assigns by L2 because its re-rank is L2; here a τ-cosine
-      // pair assigned by L2 can straddle cells that cosine keeps together)
-      val wc = Window.partitionBy("vec_id")
-        .orderBy(col("sim").desc, col("cent_id"))
-      val cells = e.crossJoin(broadcast(memoIvfCentroids(s, d)))
-        .withColumn("sim", cosine(col("embedding"), col("cent")))
-        .withColumn("rn", row_number().over(wc))
-        .filter(col("rn") <= 2)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-        .localCheckpoint() // both sides of the within-cell self-join
-      val pa = cells.select(col("cell"), col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"))
-      val pb = cells.select(col("cell"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"))
-      val dupIds = pa.join(pb, Seq("cell"))
-        .filter(col("a_id") < col("b_id"))
-        .filter(round(cosine(col("a_emb"), col("b_emb")), 6) >= 0.45)
-        .select(col("b_id").as("vec_id")).distinct()
-      e.select(col("vec_id"))
-        .join(dupIds.withColumn("dup", lit(true)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("dup").isNull.as("is_kept"))
-        .orderBy("vec_id")
+    "llm44_semdedup" -> ((s, d) =>
+      semdedupKept(Tables.embeddings(s, d), memoIvfCentroids(s, d))),
+
+    // LLM-44b: SemDeDup AUDIT twin (the strm22b discipline — split the
+    // approximate surface into its trained half and its exact half, and
+    // hash-check the exact half): the centroids llm44 clusters on are
+    // PERSISTED, and DuckDB replays the ENTIRE post-training contract
+    // off those bytes — cosine to every stored centroid, top-2 posting
+    // by (sim DESC, cent_id), within-cell pairs, lower-id-leader drop at
+    // round(cos,6) ≥ τ. Only the k-means fit itself stays spec-covered
+    // (ApproxSpec recall floor); every keep/drop decision downstream of
+    // the fit is now bit-checked. Both engines fold the same float
+    // arrays left-to-right in IEEE double (CosineSim's loop ≡
+    // list_dot_product), so the unrounded top-2 ordering agrees.
+    "llm44b_semdedup_audit" -> ((s, d) => {
+      val out = s"${graft.operators.Scans.SinkDir}/llm44_centroids"
+      memoIvfCentroids(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(out)
+      // read the PERSISTED bytes back: the audited quantizer is exactly
+      // the artifact the oracle replays, not this session's memo
+      semdedupKept(Tables.embeddings(s, d), s.read.parquet(out))
     }),
 
     // LLM-45: leakage-free split assignment — train/val/test carved at
@@ -3130,6 +3158,38 @@ object LlmOps extends QueryModule {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text))
         |ORDER BY keep_id""".stripMargin,
+
+    // replays the ENTIRE post-training SemDeDup contract off the
+    // centroids the query persisted: cosine to every stored centroid
+    // (same left-to-right double fold as CosineSim), top-2 posting by
+    // (sim DESC, cent_id), within-shared-cell pairs, lower-id leader at
+    // round(cos,6) >= 0.45 — only the k-means fit itself is trusted
+    "llm44b_semdedup_audit" ->
+      """WITH cents AS (
+        |  SELECT cent_id, cent::DOUBLE[] AS c
+        |  FROM '/root/repo/target/tmp-sinks/llm44_centroids/*.parquet'),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cent_id,
+        |    list_dot_product(e.embedding::DOUBLE[], c.c) /
+        |      sqrt(list_dot_product(e.embedding::DOUBLE[],
+        |                            e.embedding::DOUBLE[])) /
+        |      sqrt(list_dot_product(c.c, c.c)) AS sim
+        |  FROM embeddings e, cents c),
+        |posted AS (
+        |  SELECT vec_id, emb, cent_id AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY sim DESC, cent_id) AS rn FROM sims)
+        |  WHERE rn <= 2),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id AS vec_id
+        |  FROM posted a JOIN posted b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.emb, b.emb) /
+        |          sqrt(list_dot_product(a.emb, a.emb)) /
+        |          sqrt(list_dot_product(b.emb, b.emb)), 6) >= 0.45)
+        |SELECT e.vec_id, (d.vec_id IS NULL) AS is_kept
+        |FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "llm2_minhash_lsh" -> exactJaccardSql(0.8),
     "llm2b_ngram_jaccard" -> exactJaccardSql(0.8),
