@@ -65,23 +65,38 @@ object Bench {
       // #2) — three runs and the median separates real plan regressions
       // from JIT/GC noise better than best-of-2's min. The first run still
       // pays codegen/JIT; the median discards it unless all runs agree.
+      // The max−min SPREAD of the three rides along per query (r15 #7):
+      // a cross-round mover whose spread swallows the delta is
+      // environment, not plan — regressions become attributable without
+      // re-timing.
       val r1 = once()
       val r2 = if (r1 < 0) -1.0 else once()
       val r3 = if (r2 < 0) -1.0 else once()
-      val sec = if (r1 < 0 || r2 < 0 || r3 < 0) -1.0
-        else Seq(r1, r2, r3).sorted.apply(1)
-      System.err.println(f"[bench] $name%-28s ${if (sec >= 0) f"$sec%8.2f s" else "FAILED"}")
-      name -> sec
+      val runs = Seq(r1, r2, r3)
+      val sec = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
+      val spread = if (sec < 0) -1.0 else runs.max - runs.min
+      System.err.println(f"[bench] $name%-28s ${if (sec >= 0) f"$sec%8.2f s (±${spread / 2}%.2f)" else "FAILED"}")
+      (name, sec, spread)
     }
     val nFail = results.count(_._2 < 0)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // one environment-drift scalar for the driver line: median relative
+    // spread over queries big enough for the ratio to mean anything —
+    // compare across rounds before reading anything into per-query deltas
+    val relSpreads = results
+      .collect { case (_, v, sp) if v >= 0.05 => sp / v }.sorted
+    val noise =
+      if (relSpreads.isEmpty) 0.0 else relSpreads(relSpreads.size / 2)
     def qmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
 
-    // full per-query map → file + stderr (not the driver-parsed line)
+    // full per-query map (+ per-query max−min spread) → file + stderr
+    // (not the driver-parsed line)
+    val medians = results.map { case (n, v, _) => n -> v }
+    val spreads = results.map { case (n, _, sp) => n -> sp }
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"n_queries":${results.size},"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(medians)},"spread":${qmap(spreads)},"noise":${fmt(noise)},"n_queries":${results.size},"failed":$nFail,"sf":"$sfDir"}"""
     val out = new java.io.File("target/bench_full.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
@@ -90,9 +105,9 @@ object Bench {
 
     // failed headline queries stay in the map as -1 (excluded from the
     // total) so a cross-round diff reads "failed", not "not run" (ADVICE r4)
-    val head = results.filter(r => headline.contains(r._1))
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(head)},"slowest":${qmap(slow)},"n_queries":${results.size},"failed":$nFail,"sf":"$sfDir"}""")
+    val head = medians.filter(r => headline.contains(r._1))
+    val slow = medians.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise":${fmt(noise)},"queries":${qmap(head)},"slowest":${qmap(slow)},"n_queries":${results.size},"failed":$nFail,"sf":"$sfDir"}""")
     if (nFail > 0)
       System.err.println(s"[bench] $nFail queries FAILED — see above")
     spark.stop()

@@ -116,6 +116,72 @@ object MultimodalOps extends QueryModule {
     }
   }
 
+  /** Deterministic REAL WAV payloads (MM-2c): 16-bit PCM mono RIFF/WAVE
+    * assembled byte-by-byte from the generator formula — sample i of doc
+    * `id` is ((id·31 + i·17) mod 65536) − 32768, little-endian. The
+    * container is written by hand (44-byte canonical header) precisely so
+    * the DECODER below is a genuine independent parser: our bytes vs the
+    * JDK's javax.sound.sampled reader, the encodePng/decodePng dual for
+    * the audio modality. */
+  def encodeWavBytes(id: Long, n: Int, rate: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(wavSampleAt(id, i)); i += 1 }
+    bb.array()
+  }
+
+  /** The generator ground truth for one PCM sample (shared by the
+    * encoder and the spec; the DuckDB oracle replays the same formula). */
+  def wavSampleAt(id: Long, i: Int): Short =
+    (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort
+
+  val encodeWav = udf { (id: Long, n: Int, rate: Int) =>
+    encodeWavBytes(id, n, rate)
+  }
+
+  /** REAL WAV decode via the JDK's javax.sound.sampled: AudioSystem
+    * parses the RIFF/fmt chunks (sample rate, channels, bit depth come
+    * from the genuine header parse, not from our metadata) and streams
+    * the PCM frames; sample stats are integer-exact over the decoded
+    * shorts. Partition-local binary → struct, null on garbage — the
+    * [[decodePng]] posture for audio. */
+  val decodeWav = udf { payload: Array[Byte] =>
+    if (payload == null) null
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) null
+        else {
+          val n = bytes.length / 2
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var i = 0
+          while (i < n) {
+            val v =
+              if (fmt.isBigEndian)
+                ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toInt
+              else
+                ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          (fmt.getSampleRate.toInt, n.toLong, sum, mn, mx)
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+  }
+
   /** REAL pixel features from a decoded PNG: the 8-bin gray-value
     * histogram (bin = sample ÷ 32) — INTEGER features, so unlike
     * [[featuresStub]]'s float vector the result is exactly
@@ -255,6 +321,29 @@ object MultimodalOps extends QueryModule {
         .select(col("doc_id"), col("dec._1").as("width"),
           col("dec._2").as("height"), col("dec._3").as("px_sum"),
           round(col("dec._4"), 6).as("mean_px"))
+        .orderBy("doc_id")),
+
+    // MM-2c: REAL WAV decode — the audio third of the corpus as genuine
+    // RIFF/WAVE PCM bytes (hand-assembled 44-byte header + little-endian
+    // 16-bit samples from the generator formula), round-tripped through
+    // a genuine javax.sound.sampled parse: the sample rate comes from
+    // the parsed fmt chunk, the stats from the decoded PCM stream. The
+    // oracle recomputes the ground truth the payloads were generated
+    // from — integer end-to-end, so a parser that misreads the header,
+    // drops frames, or flips endianness hash-mismatches. Encode and
+    // decode run partition-local in the scan projection; compressed
+    // bytes never shuffle (the mm2b discipline for audio — §2.13's
+    // audio-decode stub caveat retired).
+    "mm2c_wav_decode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"),
+          decodeWav(encodeWav(col("doc_id"),
+            (pmod(col("doc_id"), lit(40)) + 20).cast("int"),
+            lit(8000))).as("dec"))
+        .select(col("doc_id"), col("dec._1").as("sample_rate"),
+          col("dec._2").as("n_samples"), col("dec._3").as("sum_pcm"),
+          col("dec._4").as("min_pcm"), col("dec._5").as("max_pcm"))
         .orderBy("doc_id")),
 
     // MM-3: resize — pure metadata arithmetic (halve, min 16), payload
@@ -455,6 +544,22 @@ object MultimodalOps extends QueryModule {
         |  round(CAST(CAST(CAST(s0 AS DOUBLE) / 255.0 / n * 8 AS REAL)
         |             AS DOUBLE), 5) AS f0
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    // the generator's closed-form ground truth: sample i of doc id is
+    // ((id·31 + i·17) mod 65536) − 32768 over n = id mod 40 + 20 samples
+    // at 8 kHz — a decoder that misparses the header or the PCM frames
+    // cannot reproduce these integers
+    "mm2c_wav_decode" ->
+      """WITH a AS (SELECT doc_id, CAST(doc_id % 40 + 20 AS INT) AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, n,
+        |        ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+        |      FROM a, unnest(range(0, n)) AS r(i))
+        |SELECT doc_id, 8000 AS sample_rate,
+        |  CAST(any_value(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_pcm,
+        |  CAST(min(v) AS INT) AS min_pcm, CAST(max(v) AS INT) AS max_pcm
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "mm7_media_dedup" ->
       """WITH m AS (

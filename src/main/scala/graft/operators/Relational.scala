@@ -1365,8 +1365,13 @@ object Relational extends QueryModule {
               * lit(1e6)) / lit(1e6)).as("chi2"))
           .select(lit(name).as("pair"), col("n"), col("r"), col("c"),
             col("chi2"),
-            round(sqrt(col("chi2") / (col("n").cast("double") *
-              least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+            // a constant column (r or c = 1) zeroes the normalizer:
+            // chi2 is 0 there (every o == exp) but 0/0 → NaN without
+            // the guard; a one-category pair has no association → 0.0
+            when(least(col("r"), col("c")) <= 1, lit(0.0))
+              .otherwise(
+                round(sqrt(col("chi2") / (col("n").cast("double") *
+                  least(col("r") - 1, col("c") - 1).cast("double"))), 6))
               .as("v"))
       }
       val li = Tables.lineitem(s, d)
@@ -2222,8 +2227,9 @@ object Relational extends QueryModule {
         "c_mktsegment", "c_nationkey"))
       .map { case (name, tbl, a, b) =>
         s"""SELECT '$name' AS pair, n, r, c, chi2,
-           |  ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) *
-           |    CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6) AS v
+           |  CASE WHEN LEAST(r, c) <= 1 THEN 0.0
+           |       ELSE ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) *
+           |         CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6) END AS v
            |FROM (
            |  SELECT CAST(MAX(n) AS BIGINT) AS n,
            |    CAST(COUNT(DISTINCT a) AS BIGINT) AS r,

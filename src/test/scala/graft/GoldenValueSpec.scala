@@ -151,6 +151,31 @@ class GoldenValueSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("mm2c WAV round trip: hand-assembled RIFF decodes through " +
+      "javax.sound.sampled to the generator's exact samples; garbage " +
+      "and non-16-bit-mono formats are null") {
+    val s = spark
+    import s.implicits._
+    // id=7, n=25: expected stats recomputed scalar-side from wavSampleAt
+    val samples = (0 until 25).map(i =>
+      MultimodalOps.wavSampleAt(7L, i).toInt)
+    val row = Seq((7L, 25, 8000)).toDF("id", "n", "rate")
+      .select(MultimodalOps.decodeWav(
+        MultimodalOps.encodeWav(col("id"), col("n"), col("rate"))).as("dec"))
+      .select("dec._1", "dec._2", "dec._3", "dec._4", "dec._5")
+      .collect().head
+    assert(row.getInt(0) === 8000, "sample rate must come from the fmt chunk")
+    assert(row.getLong(1) === 25L, "frame count must survive the parse")
+    assert(row.getLong(2) === samples.map(_.toLong).sum)
+    assert(row.getInt(3) === samples.min)
+    assert(row.getInt(4) === samples.max)
+    // garbage payload → null struct, not an exception
+    val junk = Seq("not a wav").toDF("t")
+      .select(MultimodalOps.decodeWav(col("t").cast("binary")).as("dec"))
+      .collect().head
+    assert(junk.isNullAt(0), "garbage must decode to null")
+  }
+
   test("mm2b PNG round trip: real encode → real decode recovers the " +
       "generator's exact dimensions and pixel sum; garbage decodes to null") {
     val s = spark
