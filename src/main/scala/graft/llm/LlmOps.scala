@@ -364,6 +364,35 @@ object LlmOps extends QueryModule {
       st
     }
 
+  /** Memoized STABLE-PATH dump of the shared IVF centroids (the llm44b /
+    * llm3eb audit surface): written once per (session, sf-dir) under
+    * target/tmp-sinks where the DuckDB oracle can read the exact bytes
+    * the audited queries clustered on. Returns the path. */
+  private[graft] def memoPersistedCentroids(s: SparkSession,
+                                            d: String): String =
+    graft.StageMemo.value(s, s"llm44.cents.$d") {
+      val out = s"${graft.operators.Scans.SinkDir}/llm44_centroids"
+      memoIvfCentroids(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+
+  /** Memoized STABLE-PATH copy of the llm28d store (llm28g's audit
+    * surface): same artifacts, but under target/tmp-sinks where the
+    * DuckDB oracle can read them AFTER this JVM exits — the scratch
+    * stores are swept on exit, which is right for serve parity tests and
+    * wrong for a cross-process replay. */
+  private[graft] def memoIvfpqStoreStable(s: SparkSession,
+                                          d: String): String =
+    graft.StageMemo.value(s, s"llm28g.store.$d") {
+      val e = Tables.embeddings(s, d)
+      val st = s"${graft.operators.Scans.SinkDir}/llm28_store"
+      ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
+        cents0 = Some(memoIvfCentroids(s, d)),
+        codebook0 = Some(memoCodebook(s, d, 8)))
+      st
+    }
+
   /** Memoized RESIDUAL-encoded persisted store (llm28e's index; also
     * probed by AnnSweep) — one build recipe, one memo key: a second copy
     * of this lambda elsewhere could silently diverge and poison the memo
@@ -1019,6 +1048,37 @@ object LlmOps extends QueryModule {
         .withColumn("sim", cosine(col("embedding"), col("cent")))
         .withColumn("rn", row_number().over(w))
         .localCheckpoint()  // reused for corpus cells AND query probe cells
+      val corpus = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 8)
+        .select(col("cent_id").as("cell"))
+      val qEmb = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      corpus.join(broadcast(qCells), "cell")
+        .crossJoin(broadcast(qEmb))
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // LLM-3eb: the llm3e IVF probe with an EXACT DuckDB oracle (llm44b's
+    // audit discipline): clusters on the PERSISTED shared centroids and
+    // the oracle replays the full serve contract off those bytes —
+    // cosine cell assignment with the (sim DESC, cent_id) tie-break,
+    // the query's nprobe=8 probe set, candidate semi-join, exact cosine
+    // re-rank, top-20. llm3e stays the spec-tier twin (its in-query
+    // training is the surface ApproxSpec floors); here every ranking
+    // decision after training is hash-checked.
+    "llm3eb_ann_ivf_audit" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = s.read.parquet(memoPersistedCentroids(s, d))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cent_id"))
+      val ranked = e.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine(col("embedding"), col("cent")))
+        .withColumn("rn", row_number().over(w))
+        .localCheckpoint() // reused for corpus cells AND query probe cells
       val corpus = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
       val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 8)
@@ -1768,14 +1828,11 @@ object LlmOps extends QueryModule {
     // the fit is now bit-checked. Both engines fold the same float
     // arrays left-to-right in IEEE double (CosineSim's loop ≡
     // list_dot_product), so the unrounded top-2 ordering agrees.
-    "llm44b_semdedup_audit" -> ((s, d) => {
-      val out = s"${graft.operators.Scans.SinkDir}/llm44_centroids"
-      memoIvfCentroids(s, d).coalesce(1)
-        .write.mode("overwrite").parquet(out)
+    "llm44b_semdedup_audit" -> ((s, d) =>
       // read the PERSISTED bytes back: the audited quantizer is exactly
       // the artifact the oracle replays, not this session's memo
-      semdedupKept(Tables.embeddings(s, d), s.read.parquet(out))
-    }),
+      semdedupKept(Tables.embeddings(s, d),
+        s.read.parquet(memoPersistedCentroids(s, d)))),
 
     // LLM-45: leakage-free split assignment — train/val/test carved at
     // the SOURCE (domain) grain, not the document grain: every doc of a
@@ -2709,6 +2766,24 @@ object LlmOps extends QueryModule {
         e.filter(col("vec_id") =!= 0), store)
     }),
 
+    // LLM-28g: the llm28d probe with an EXACT DuckDB oracle (the llm44b
+    // audit discipline applied to the whole IVF-PQ serve path): the index
+    // persists at a stable path and the oracle replays EVERY serve-time
+    // step off the stored bytes — nprobe-nearest cells by l2sq with the
+    // cent_id tie-break, the cell-pruned codes read, the per-(sub, code)
+    // ADC lookup table, the decimal(28,12) ADC sum, the top-200
+    // shortlist, and the exact L2 re-rank of the shortlist. Training
+    // (k-means) is the only unchecked stage, as in llm44b/strm22b; every
+    // ranking decision a serve request experiences is now hash-checked,
+    // which is strictly stronger than the PqSpec recall floors (those
+    // bound quality; this pins the implementation). Same memoized
+    // training artifacts as llm28d → identical answers.
+    "llm28g_probe_audit" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      ivfpqProbe(e.filter(col("vec_id") === 0),
+        e.filter(col("vec_id") =!= 0), memoIvfpqStoreStable(s, d))
+    }),
+
     // LLM-28f ⚠: BATCH retrieval over the llm28d persisted index — the
     // serve-path shape for retrieval-augmented pipelines: N query vectors
     // answered by ONE cell-pruned codes scan (union of every query's
@@ -3158,6 +3233,84 @@ object LlmOps extends QueryModule {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text))
         |ORDER BY keep_id""".stripMargin,
+
+    // replays the ENTIRE IVF-PQ serve path off the persisted store:
+    // nprobe-nearest cells (l2sq fold ≡ list_dot_product of the diff
+    // list, cent_id tie-break), cell-pruned hive-partitioned codes read,
+    // per-(sub, code) ADC LUT from the stored codebook, decimal(28,12)
+    // ADC sum, top-200 shortlist, exact L2 re-rank — only k-means
+    // training stays unchecked
+    "llm28g_probe_audit" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |cents AS (
+        |  SELECT cent_id, cent::DOUBLE[] AS c
+        |  FROM '/root/repo/target/tmp-sinks/llm28_store/centroids/*.parquet'),
+        |cd AS (SELECT cent_id,
+        |         list_transform(list_zip(c, (SELECT qe FROM q)),
+        |                        x -> x[1] - x[2]) AS dv
+        |       FROM cents),
+        |pc AS (SELECT cent_id, row_number() OVER (
+        |         ORDER BY list_dot_product(dv, dv), cent_id) AS rn
+        |       FROM cd),
+        |probed AS (SELECT cent_id FROM pc WHERE rn <= 8),
+        |cb AS (
+        |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
+        |  FROM '/root/repo/target/tmp-sinks/llm28_store/codebook/*.parquet'),
+        |lutd AS (SELECT sub, code,
+        |           list_transform(list_zip(cc,
+        |             (SELECT qe FROM q)[sub*8+1 : sub*8+8]),
+        |             x -> x[1] - x[2]) AS dv
+        |         FROM cb),
+        |lut AS (SELECT sub, code, list_dot_product(dv, dv) AS pdist
+        |        FROM lutd),
+        |codes AS (SELECT * FROM read_parquet(
+        |  '/root/repo/target/tmp-sinks/llm28_store/codes/*/*.parquet',
+        |  hive_partitioning = true)),
+        |sl AS (SELECT codes.vec_id,
+        |         SUM(CAST(lut.pdist AS DECIMAL(28,12))) AS adc
+        |       FROM codes
+        |       JOIN probed ON codes.cell = probed.cent_id
+        |       JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+        |       GROUP BY codes.vec_id
+        |       ORDER BY adc, codes.vec_id LIMIT 200),
+        |rrd AS (SELECT e.vec_id,
+        |          list_transform(list_zip(e.embedding::DOUBLE[],
+        |                                  (SELECT qe FROM q)),
+        |                         x -> x[1] - x[2]) AS dv
+        |        FROM embeddings e JOIN sl ON e.vec_id = sl.vec_id)
+        |SELECT vec_id, round(list_dot_product(dv, dv), 6) AS l2_dist
+        |FROM rrd ORDER BY l2_dist, vec_id LIMIT 20""".stripMargin,
+
+    // replays llm3eb's full IVF serve contract off the persisted shared
+    // centroids: cosine cell assignment ((sim DESC, cent_id) tie-break),
+    // the query's nprobe=8 probe set, candidate semi-join, exact cosine
+    // re-rank, top-20
+    "llm3eb_ann_ivf_audit" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |cents AS (
+        |  SELECT cent_id, cent::DOUBLE[] AS c
+        |  FROM '/root/repo/target/tmp-sinks/llm44_centroids/*.parquet'),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cent_id,
+        |    list_dot_product(e.embedding::DOUBLE[], c.c) /
+        |      sqrt(list_dot_product(e.embedding::DOUBLE[],
+        |                            e.embedding::DOUBLE[])) /
+        |      sqrt(list_dot_product(c.c, c.c)) AS sim
+        |  FROM embeddings e, cents c),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY sim DESC, cent_id) AS rn FROM sims),
+        |corpus AS (SELECT vec_id, emb, cent_id AS cell
+        |           FROM ranked WHERE rn = 1 AND vec_id <> 0),
+        |qc AS (SELECT cent_id AS cell
+        |       FROM ranked WHERE vec_id = 0 AND rn <= 8)
+        |SELECT c.vec_id,
+        |  round(list_dot_product(c.emb, q.qe) /
+        |        sqrt(list_dot_product(c.emb, c.emb)) /
+        |        sqrt(list_dot_product(q.qe, q.qe)), 6) AS cos_sim
+        |FROM corpus c JOIN qc USING (cell), q
+        |ORDER BY cos_sim DESC, c.vec_id LIMIT 20""".stripMargin,
 
     // replays the ENTIRE post-training SemDeDup contract off the
     // centroids the query persisted: cosine to every stored centroid
