@@ -393,6 +393,21 @@ object LlmOps extends QueryModule {
       st
     }
 
+  /** Memoized STABLE-PATH residual store (llm28h's audit surface) — the
+    * llm28e build recipe at a path the DuckDB oracle can read
+    * post-process. The residual codebook trains on residuals inside the
+    * build (codebook0 can't apply), so this is its own training pass,
+    * once per (session, sf-dir). */
+  private[graft] def memoIvfpqStoreResidualStable(s: SparkSession,
+                                                  d: String): String =
+    graft.StageMemo.value(s, s"llm28h.store.$d") {
+      val e = Tables.embeddings(s, d)
+      val st = s"${graft.operators.Scans.SinkDir}/llm28_store_residual"
+      ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
+        residual = true, cents0 = Some(memoIvfCentroids(s, d)))
+      st
+    }
+
   /** Memoized RESIDUAL-encoded persisted store (llm28e's index; also
     * probed by AnnSweep) — one build recipe, one memo key: a second copy
     * of this lambda elsewhere could silently diverge and poison the memo
@@ -2784,6 +2799,21 @@ object LlmOps extends QueryModule {
         e.filter(col("vec_id") =!= 0), memoIvfpqStoreStable(s, d))
     }),
 
+    // LLM-28h: the llm28e RESIDUAL probe with an exact DuckDB oracle
+    // (llm28g's replay extended to the FAISS-IVFPQ encoding): the oracle
+    // recomputes the query's PER-CELL float32 residual (q − centroid in
+    // REAL arithmetic — DuckDB's FLOAT ops match the build's
+    // zip_with-on-floats bit-for-bit), builds the (cell, sub, code) ADC
+    // LUT against the stored residual codebook, and replays decimal ADC
+    // → shortlist → exact re-rank. With llm28g this closes both PQ
+    // encodings' serve paths; training alone stays spec-tier.
+    "llm28h_residual_audit" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      ivfpqProbe(e.filter(col("vec_id") === 0),
+        e.filter(col("vec_id") =!= 0),
+        memoIvfpqStoreResidualStable(s, d), residual = true)
+    }),
+
     // LLM-28f ⚠: BATCH retrieval over the llm28d persisted index — the
     // serve-path shape for retrieval-augmented pipelines: N query vectors
     // answered by ONE cell-pruned codes scan (union of every query's
@@ -3233,6 +3263,56 @@ object LlmOps extends QueryModule {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text))
         |ORDER BY keep_id""".stripMargin,
+
+    // llm28g's replay extended to the residual encoding: the query's
+    // per-cell residual is recomputed in genuine float32 (DuckDB REAL
+    // arithmetic ≡ the build's zip_with on floats), the ADC LUT keys on
+    // (cell, sub, code) against the stored residual codebook, then the
+    // same decimal ADC → shortlist → exact re-rank
+    "llm28h_residual_audit" ->
+      """WITH q AS (SELECT embedding AS qf, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |cents AS (
+        |  SELECT cent_id, cent AS cf, cent::DOUBLE[] AS c
+        |  FROM '/root/repo/target/tmp-sinks/llm28_store_residual/centroids/*.parquet'),
+        |cd AS (SELECT cent_id,
+        |         list_transform(list_zip(c, (SELECT qe FROM q)),
+        |                        x -> x[1] - x[2]) AS dv
+        |       FROM cents),
+        |pc AS (SELECT cent_id, row_number() OVER (
+        |         ORDER BY list_dot_product(dv, dv), cent_id) AS rn
+        |       FROM cd),
+        |probed AS (SELECT cent_id FROM pc WHERE rn <= 8),
+        |qres AS (SELECT cents.cent_id AS cell,
+        |           list_transform(list_zip((SELECT qf FROM q), cents.cf),
+        |                          x -> x[1] - x[2]) AS rf
+        |         FROM cents JOIN probed USING (cent_id)),
+        |cb AS (
+        |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
+        |  FROM '/root/repo/target/tmp-sinks/llm28_store_residual/codebook/*.parquet'),
+        |lutd AS (SELECT qres.cell, cb.sub, cb.code,
+        |           list_transform(list_zip(
+        |             (qres.rf[cb.sub*8+1 : cb.sub*8+8])::DOUBLE[], cb.cc),
+        |             x -> x[1] - x[2]) AS dv
+        |         FROM qres, cb),
+        |lut AS (SELECT cell, sub, code, list_dot_product(dv, dv) AS pdist
+        |        FROM lutd),
+        |codes AS (SELECT * FROM read_parquet(
+        |  '/root/repo/target/tmp-sinks/llm28_store_residual/codes/*/*.parquet',
+        |  hive_partitioning = true)),
+        |sl AS (SELECT codes.vec_id,
+        |         SUM(CAST(lut.pdist AS DECIMAL(28,12))) AS adc
+        |       FROM codes JOIN lut ON codes.cell = lut.cell
+        |            AND codes.sub = lut.sub AND codes.code = lut.code
+        |       GROUP BY codes.vec_id
+        |       ORDER BY adc, codes.vec_id LIMIT 200),
+        |rrd AS (SELECT e.vec_id,
+        |          list_transform(list_zip(e.embedding::DOUBLE[],
+        |                                  (SELECT qe FROM q)),
+        |                         x -> x[1] - x[2]) AS dv
+        |        FROM embeddings e JOIN sl USING (vec_id))
+        |SELECT vec_id, round(list_dot_product(dv, dv), 6) AS l2_dist
+        |FROM rrd ORDER BY l2_dist, vec_id LIMIT 20""".stripMargin,
 
     // replays the ENTIRE IVF-PQ serve path off the persisted store:
     // nprobe-nearest cells (l2sq fold ≡ list_dot_product of the diff

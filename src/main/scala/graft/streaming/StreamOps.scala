@@ -1249,6 +1249,34 @@ object StreamOps extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // STRM-22c: the strm22 probe with an EXACT DuckDB oracle (llm28g's
+    // replay pointed at the STREAMING-MAINTAINED snapshot): the served
+    // centroid generation, the stored codebook, and the VersionedStore
+    // codes snapshot are dumped once to a stable path, the probe serves
+    // from those exact frames, and the oracle replays the full ADC →
+    // shortlist → re-rank contract off the dumped bytes. strm22b audits
+    // WHAT the stream stored (completeness); this audits what a probe
+    // DOES with it — together the streaming index is hash-checked end to
+    // end, training excepted.
+    "strm22c_probe_audit" -> ((s, d) => {
+      import graft.operators.VersionedStore
+      val (store, codesDir) = memoMaintainedIndex(s, d)
+      val out = graft.StageMemo.value(s, s"strm22c.dump.$d") {
+        val o = s"${graft.operators.Scans.SinkDir}/strm22_served"
+        servedCentroids(s, store).coalesce(1)
+          .write.mode("overwrite").parquet(s"$o/centroids")
+        s.read.parquet(s"$store/codebook").coalesce(1)
+          .write.mode("overwrite").parquet(s"$o/codebook")
+        VersionedStore.read(s, codesDir, schema = Some(CodesDdl)).coalesce(1)
+          .write.mode("overwrite").parquet(s"$o/codes")
+        o
+      }
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      graft.llm.LlmOps.ivfpqProbe(e.filter(col("vec_id") === 0), e, store,
+        codes0 = Some(s.read.parquet(s"$out/codes")),
+        cents0 = Some(s.read.parquet(s"$out/centroids")))
+    }),
+
     // STRM-16 batch-replay: same windowedQuantiles transform the
     // MemoryStream spec drives incrementally; hash-matches (agg23/24
     // bucket protocol, zero bucket = Long.MinValue sentinel)
@@ -1318,6 +1346,51 @@ object StreamOps extends QueryModule {
     "strm15_idempotent_ingest" ->
       """SELECT user_id, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // llm28g's full serve replay pointed at the DUMPED streaming
+    // snapshot: probe cells off the served centroid generation, ADC LUT
+    // off the stored codebook, decimal ADC over the maintained codes,
+    // shortlist, exact re-rank — what a probe DOES with the stream's
+    // index, complementing strm22b's what-was-stored audit
+    "strm22c_probe_audit" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |cents AS (
+        |  SELECT cent_id, cent::DOUBLE[] AS c
+        |  FROM '/root/repo/target/tmp-sinks/strm22_served/centroids/*.parquet'),
+        |cd AS (SELECT cent_id,
+        |         list_transform(list_zip(c, (SELECT qe FROM q)),
+        |                        x -> x[1] - x[2]) AS dv
+        |       FROM cents),
+        |pc AS (SELECT cent_id, row_number() OVER (
+        |         ORDER BY list_dot_product(dv, dv), cent_id) AS rn
+        |       FROM cd),
+        |probed AS (SELECT cent_id FROM pc WHERE rn <= 8),
+        |cb AS (
+        |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
+        |  FROM '/root/repo/target/tmp-sinks/strm22_served/codebook/*.parquet'),
+        |lutd AS (SELECT sub, code,
+        |           list_transform(list_zip(cc,
+        |             (SELECT qe FROM q)[sub*8+1 : sub*8+8]),
+        |             x -> x[1] - x[2]) AS dv
+        |         FROM cb),
+        |lut AS (SELECT sub, code, list_dot_product(dv, dv) AS pdist
+        |        FROM lutd),
+        |codes AS (SELECT * FROM
+        |  '/root/repo/target/tmp-sinks/strm22_served/codes/*.parquet'),
+        |sl AS (SELECT codes.vec_id,
+        |         SUM(CAST(lut.pdist AS DECIMAL(28,12))) AS adc
+        |       FROM codes JOIN probed ON codes.cell = probed.cent_id
+        |            JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+        |       GROUP BY codes.vec_id
+        |       ORDER BY adc, codes.vec_id LIMIT 200),
+        |rrd AS (SELECT e.vec_id,
+        |          list_transform(list_zip(e.embedding::DOUBLE[],
+        |                                  (SELECT qe FROM q)),
+        |                         x -> x[1] - x[2]) AS dv
+        |        FROM embeddings e JOIN sl USING (vec_id))
+        |SELECT vec_id, round(list_dot_product(dv, dv), 6) AS l2_dist
+        |FROM rrd ORDER BY l2_dist, vec_id LIMIT 20""".stripMargin,
 
     // streaming-index completeness contract (training-independent): every
     // non-query vector fully PQ-encoded exactly once — m=8 sub-codes in
