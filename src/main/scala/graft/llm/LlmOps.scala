@@ -2814,6 +2814,20 @@ object LlmOps extends QueryModule {
         memoIvfpqStoreResidualStable(s, d), residual = true)
     }),
 
+    // LLM-28i: the llm28f BATCH probe with an exact DuckDB oracle — the
+    // last IVF-PQ surface (single raw + residual probes are llm28g/h):
+    // the oracle replays the one-scan batch contract per query off the
+    // stable store — per-q_id nprobe cells, the (q_id, cell, sub, code)
+    // LUT that fans each code row out only to the queries that probed
+    // its cell, per-query decimal-ADC shortlist windows, per-query exact
+    // re-rank. PqSpec's batch ≡ N-sequential parity plus this replay
+    // hash-checks the batch plumbing itself.
+    "llm28i_batch_audit" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      ivfpqProbeBatch(e.filter(col("vec_id") < 5),
+        e.filter(col("vec_id") =!= 0), memoIvfpqStoreStable(s, d))
+    }),
+
     // LLM-28f ⚠: BATCH retrieval over the llm28d persisted index — the
     // serve-path shape for retrieval-augmented pipelines: N query vectors
     // answered by ONE cell-pruned codes scan (union of every query's
@@ -3263,6 +3277,57 @@ object LlmOps extends QueryModule {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text))
         |ORDER BY keep_id""".stripMargin,
+
+    // the one-scan batch contract replayed per query: per-q_id nprobe
+    // cells, the (q_id, cell, sub, code) LUT fanning each code row only
+    // to the queries that probed its cell, per-query decimal-ADC
+    // shortlist windows, per-query exact re-rank
+    "llm28i_batch_audit" ->
+      """WITH qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+        |            FROM embeddings WHERE vec_id < 5),
+        |cents AS (
+        |  SELECT cent_id, cent::DOUBLE[] AS c
+        |  FROM '/root/repo/target/tmp-sinks/llm28_store/centroids/*.parquet'),
+        |cd AS (SELECT qs.q_id, cents.cent_id,
+        |         list_transform(list_zip(cents.c, qs.qe),
+        |                        x -> x[1] - x[2]) AS dv
+        |       FROM qs, cents),
+        |pc AS (SELECT q_id, cent_id, row_number() OVER (PARTITION BY q_id
+        |         ORDER BY list_dot_product(dv, dv), cent_id) AS rn
+        |       FROM cd),
+        |probed AS (SELECT q_id, cent_id AS cell FROM pc WHERE rn <= 8),
+        |cb AS (
+        |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
+        |  FROM '/root/repo/target/tmp-sinks/llm28_store/codebook/*.parquet'),
+        |lutd AS (SELECT p.q_id, p.cell, cb.sub, cb.code,
+        |           list_transform(list_zip(cb.cc,
+        |             qs.qe[cb.sub*8+1 : cb.sub*8+8]),
+        |             x -> x[1] - x[2]) AS dv
+        |         FROM probed p JOIN qs USING (q_id), cb),
+        |lut AS (SELECT q_id, cell, sub, code,
+        |          list_dot_product(dv, dv) AS pdist
+        |        FROM lutd),
+        |codes AS (SELECT * FROM read_parquet(
+        |  '/root/repo/target/tmp-sinks/llm28_store/codes/*/*.parquet',
+        |  hive_partitioning = true)),
+        |sl AS (SELECT lut.q_id, codes.vec_id,
+        |         SUM(CAST(lut.pdist AS DECIMAL(28,12))) AS adc
+        |       FROM codes JOIN lut ON codes.cell = lut.cell
+        |            AND codes.sub = lut.sub AND codes.code = lut.code
+        |       GROUP BY lut.q_id, codes.vec_id
+        |       QUALIFY row_number() OVER (PARTITION BY lut.q_id
+        |         ORDER BY adc, codes.vec_id) <= 200),
+        |rrd AS (SELECT sl.q_id, e.vec_id,
+        |          list_transform(list_zip(e.embedding::DOUBLE[], qs.qe),
+        |                         x -> x[1] - x[2]) AS dv
+        |        FROM sl JOIN embeddings e USING (vec_id)
+        |             JOIN qs USING (q_id)),
+        |rr AS (SELECT q_id, vec_id,
+        |         round(list_dot_product(dv, dv), 6) AS l2_dist FROM rrd)
+        |SELECT q_id, vec_id, l2_dist FROM rr
+        |QUALIFY row_number() OVER (PARTITION BY q_id
+        |  ORDER BY l2_dist, vec_id) <= 20
+        |ORDER BY q_id, l2_dist, vec_id""".stripMargin,
 
     // llm28g's replay extended to the residual encoding: the query's
     // per-cell residual is recomputed in genuine float32 (DuckDB REAL
