@@ -145,6 +145,33 @@ class PlanSpec extends SparkSpec {
       s"text must not cross an exchange; shuffled columns: $shuffled")
   }
 
+  test("llm2d: hot-band tag arrives by BROADCAST and no exchange carries " +
+      "text — the salting pre-pass must not add a second fat shuffle") {
+    val df = SparkEntry.queries("llm2d_simhash_neardup")(spark, Sf0001)
+    df.count()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      })).flatMap(all)
+    val nodes = all(df.queryExecution.executedPlan)
+    // the is_hot tag (≤ 4·2¹⁶ rows by construction) must broadcast — a
+    // shuffle join against the full bands table would pay a second
+    // band-keyed exchange of the data just to LABEL it
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "hot-band tag must join via broadcast exchange")
+    val shuffled = nodes.collect {
+      case e: ShuffleExchangeLike => e.children.flatMap(_.output.map(_.name))
+    }.flatten
+    assert(shuffled.nonEmpty, "expected at least one exchange in the plan")
+    assert(!shuffled.exists(_.contains("text")),
+      s"text must not cross an exchange; shuffled columns: $shuffled")
+  }
+
   test("llm9: dedup semi-join ships ids only; text is never joined on") {
     val df = SparkEntry.queries("llm9_pipeline")(spark, Sf0001)
     df.count()
