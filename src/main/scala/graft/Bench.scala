@@ -75,7 +75,9 @@ object Bench {
       val runs = Seq(r1, r2, r3)
       val sec = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
       val spread = if (sec < 0) -1.0 else runs.max - runs.min
-      System.err.println(f"[bench] $name%-28s ${if (sec >= 0) f"$sec%8.2f s (±${spread / 2}%.2f)" else "FAILED"}")
+      // print the RAW max−min spread (the median does not sit at the
+      // midpoint of the three runs, so a ± form would under-read drift)
+      System.err.println(f"[bench] $name%-28s ${if (sec >= 0) f"$sec%8.2f s (spread $spread%.2f)" else "FAILED"}")
       (name, sec, spread)
     }
     val nFail = results.count(_._2 < 0)

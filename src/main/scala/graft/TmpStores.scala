@@ -4,8 +4,9 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
 /** Scratch-store hygiene for queries that must write a FRESH on-disk store
-  * per invocation (join14's DPP-partitioned fact table, llm28d/e's
-  * persisted IVF-PQ index): a UUID-tagged dir avoids stale-parquet reuse
+  * per invocation (join14's DPP-partitioned fact table; llm28d/e's
+  * IVF-PQ stores used scratch dirs until their r17 audit oracles pinned
+  * them to fixed SinkDir paths): a UUID-tagged dir avoids stale-parquet reuse
   * and check-then-write races under concurrent suites, but with no cleanup
   * the dirs accumulate across rounds (ADVICE r9: 103 leftover dirs,
   * unbounded disk growth under median-of-3 bench).

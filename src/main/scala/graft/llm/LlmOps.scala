@@ -350,14 +350,21 @@ object LlmOps extends QueryModule {
       ivfCentroids(Tables.embeddings(s, d)))
 
   /** Memoized persisted IVF-PQ store over `d` (index = every vec except
-    * query 0) — built once per (session, sf-dir), shared by llm28d's
-    * single probe and llm28f's batch probe; swept on JVM exit.
+    * query 0) — ONE training+encode pass per (session, sf-dir), shared by
+    * llm28d's single probe and llm28f's batch probe, whose DuckDB
+    * oracles (r17) replay the store post-process. That
+    * cross-process replay is why the store lives at a FIXED SinkDir path
+    * rather than a swept TmpStores scratch dir: the bytes must survive
+    * the JVM. Fixed-name stores follow the sink-query convention (the
+    * driver gates one SF at a time, Verify → compare, so the constant
+    * path can't race its own oracle; concurrent multi-SF JVMs would
+    * clobber it, the same documented limit every SinkDir artifact has).
     * private[graft]: PqSpec probes the same store to pin batch/single
     * parity. */
   private[graft] def memoIvfpqStore(s: SparkSession, d: String): String =
     graft.StageMemo.value(s, s"llm28d.store.$d") {
       val e = Tables.embeddings(s, d)
-      val st = graft.TmpStores.scratch("llm28d")
+      val st = s"${graft.operators.Scans.SinkDir}/llm28_store"
       ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
         cents0 = Some(memoIvfCentroids(s, d)),
         codebook0 = Some(memoCodebook(s, d, 8)))
@@ -377,46 +384,18 @@ object LlmOps extends QueryModule {
       out
     }
 
-  /** Memoized STABLE-PATH copy of the llm28d store (llm28g's audit
-    * surface): same artifacts, but under target/tmp-sinks where the
-    * DuckDB oracle can read them AFTER this JVM exits — the scratch
-    * stores are swept on exit, which is right for serve parity tests and
-    * wrong for a cross-process replay. */
-  private[graft] def memoIvfpqStoreStable(s: SparkSession,
-                                          d: String): String =
-    graft.StageMemo.value(s, s"llm28g.store.$d") {
-      val e = Tables.embeddings(s, d)
-      val st = s"${graft.operators.Scans.SinkDir}/llm28_store"
-      ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
-        cents0 = Some(memoIvfCentroids(s, d)),
-        codebook0 = Some(memoCodebook(s, d, 8)))
-      st
-    }
-
-  /** Memoized STABLE-PATH residual store (llm28h's audit surface) — the
-    * llm28e build recipe at a path the DuckDB oracle can read
-    * post-process. The residual codebook trains on residuals inside the
-    * build (codebook0 can't apply), so this is its own training pass,
-    * once per (session, sf-dir). */
-  private[graft] def memoIvfpqStoreResidualStable(s: SparkSession,
-                                                  d: String): String =
-    graft.StageMemo.value(s, s"llm28h.store.$d") {
-      val e = Tables.embeddings(s, d)
-      val st = s"${graft.operators.Scans.SinkDir}/llm28_store_residual"
-      ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
-        residual = true, cents0 = Some(memoIvfCentroids(s, d)))
-      st
-    }
-
   /** Memoized RESIDUAL-encoded persisted store (llm28e's index; also
-    * probed by AnnSweep) — one build recipe, one memo key: a second copy
-    * of this lambda elsewhere could silently diverge and poison the memo
-    * for whichever caller runs second. */
+    * probed by AnnSweep) — one build recipe, one memo
+    * key: a second copy of this lambda elsewhere could silently diverge
+    * and poison the memo for whichever caller runs second (and the
+    * residual codebook trains INSIDE the build, so a duplicate costs a
+    * full second PQ training pass). Fixed SinkDir path for the llm28e
+    * oracle's cross-process replay, same convention as [[memoIvfpqStore]]. */
   private[graft] def memoIvfpqStoreResidual(s: SparkSession,
                                             d: String): String =
     graft.StageMemo.value(s, s"llm28e.store.$d") {
       val e = Tables.embeddings(s, d)
-      val st = graft.TmpStores.scratch("llm28e")
+      val st = s"${graft.operators.Scans.SinkDir}/llm28_store_residual"
       ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
         residual = true, cents0 = Some(memoIvfCentroids(s, d)))
       st
@@ -1062,6 +1041,9 @@ object LlmOps extends QueryModule {
       val ranked = e.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("embedding"), col("cent")))
         .withColumn("rn", row_number().over(w))
+        // project BEFORE the cut: the 64-float centroid array and sim are
+        // dead past rn — carrying them would double the checkpointed bytes
+        .select(col("vec_id"), col("embedding"), col("cent_id"), col("rn"))
         .localCheckpoint()  // reused for corpus cells AND query probe cells
       val corpus = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
@@ -1093,6 +1075,9 @@ object LlmOps extends QueryModule {
       val ranked = e.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("embedding"), col("cent")))
         .withColumn("rn", row_number().over(w))
+        // project BEFORE the cut (llm3e's discipline): cent and sim are
+        // dead past rn
+        .select(col("vec_id"), col("embedding"), col("cent_id"), col("rn"))
         .localCheckpoint() // reused for corpus cells AND query probe cells
       val corpus = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
@@ -2763,98 +2748,64 @@ object LlmOps extends QueryModule {
         .limit(20)
     }),
 
-    // LLM-28d ⚠: IVF-PQ against a PERSISTED, cell-partitioned index —
+    // LLM-28d: IVF-PQ against a PERSISTED, cell-partitioned index —
     // llm28c with build and probe actually separated: ivfpqBuild trains
     // once and writes centroids/codebook/codes (codes partitionBy cell);
     // ivfpqProbe reads back ONLY the nprobe probed cell partitions via a
     // literal partition filter (PlanSpec asserts it) and never trains.
     // Same training recipe as llm28c, so PqSpec pins result equality —
-    // the storage layout changes the IO, not the answer.
+    // the storage layout changes the IO, not the answer. EXACT DuckDB
+    // oracle (r17, the audit-twin discipline): the oracle replays every
+    // serve step off the persisted bytes — nprobe cells by l2sq with the
+    // cent_id tie-break, the cell-pruned hive codes read, the (sub, code)
+    // ADC LUT, the decimal(28,12) ADC sum, the top-200 shortlist, the
+    // exact L2 re-rank — so only k-means training stays spec-tier.
     "llm28d_ivfpq_pruned" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       // build once per (session, sf-dir) — the probe path is the query;
       // rebuilding a persisted index per invocation was pure bench waste
-      // and leaked a scratch dir per run (ADVICE r9). TmpStores deletes
-      // the store on JVM exit.
+      // and leaked a scratch dir per run (ADVICE r9). The store lives at
+      // a fixed SinkDir path (overwritten, never accumulating) so this
+      // query's oracle can replay it post-process.
       val store = memoIvfpqStore(s, d)
       ivfpqProbe(e.filter(col("vec_id") === 0),
         e.filter(col("vec_id") =!= 0), store)
     }),
 
-    // LLM-28g: the llm28d probe with an EXACT DuckDB oracle (the llm44b
-    // audit discipline applied to the whole IVF-PQ serve path): the index
-    // persists at a stable path and the oracle replays EVERY serve-time
-    // step off the stored bytes — nprobe-nearest cells by l2sq with the
-    // cent_id tie-break, the cell-pruned codes read, the per-(sub, code)
-    // ADC lookup table, the decimal(28,12) ADC sum, the top-200
-    // shortlist, and the exact L2 re-rank of the shortlist. Training
-    // (k-means) is the only unchecked stage, as in llm44b/strm22b; every
-    // ranking decision a serve request experiences is now hash-checked,
-    // which is strictly stronger than the PqSpec recall floors (those
-    // bound quality; this pins the implementation). Same memoized
-    // training artifacts as llm28d → identical answers.
-    "llm28g_probe_audit" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      ivfpqProbe(e.filter(col("vec_id") === 0),
-        e.filter(col("vec_id") =!= 0), memoIvfpqStoreStable(s, d))
-    }),
-
-    // LLM-28h: the llm28e RESIDUAL probe with an exact DuckDB oracle
-    // (llm28g's replay extended to the FAISS-IVFPQ encoding): the oracle
-    // recomputes the query's PER-CELL float32 residual (q − centroid in
-    // REAL arithmetic — DuckDB's FLOAT ops match the build's
-    // zip_with-on-floats bit-for-bit), builds the (cell, sub, code) ADC
-    // LUT against the stored residual codebook, and replays decimal ADC
-    // → shortlist → exact re-rank. With llm28g this closes both PQ
-    // encodings' serve paths; training alone stays spec-tier.
-    "llm28h_residual_audit" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      ivfpqProbe(e.filter(col("vec_id") === 0),
-        e.filter(col("vec_id") =!= 0),
-        memoIvfpqStoreResidualStable(s, d), residual = true)
-    }),
-
-    // LLM-28i: the llm28f BATCH probe with an exact DuckDB oracle — the
-    // last IVF-PQ surface (single raw + residual probes are llm28g/h):
-    // the oracle replays the one-scan batch contract per query off the
-    // stable store — per-q_id nprobe cells, the (q_id, cell, sub, code)
-    // LUT that fans each code row out only to the queries that probed
-    // its cell, per-query decimal-ADC shortlist windows, per-query exact
-    // re-rank. PqSpec's batch ≡ N-sequential parity plus this replay
-    // hash-checks the batch plumbing itself.
-    "llm28i_batch_audit" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      ivfpqProbeBatch(e.filter(col("vec_id") < 5),
-        e.filter(col("vec_id") =!= 0), memoIvfpqStoreStable(s, d))
-    }),
-
-    // LLM-28f ⚠: BATCH retrieval over the llm28d persisted index — the
+    // LLM-28f: BATCH retrieval over the llm28d persisted index — the
     // serve-path shape for retrieval-augmented pipelines: N query vectors
     // answered by ONE cell-pruned codes scan (union of every query's
     // nprobe cells as the literal partition filter) instead of N scans.
     // Per-query answers are identical to sequential llm28d probes (PqSpec
     // pins parity and the ≤ N·nprobe partitions-read bound). Queries 1-4
     // are index members, so each finds itself at distance 0 — the
-    // self-retrieval sanity a real serving stack checks first.
+    // self-retrieval sanity a real serving stack checks first. EXACT
+    // DuckDB oracle (r17): the one-scan batch contract replayed per
+    // query — per-q_id nprobe cells, the (q_id, cell, sub, code) LUT
+    // fanning each code row out only to the queries that probed its
+    // cell, per-query decimal-ADC shortlist windows, per-query re-rank.
     "llm28f_ivfpq_batch" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       ivfpqProbeBatch(e.filter(col("vec_id") < 5),
         e.filter(col("vec_id") =!= 0), memoIvfpqStore(s, d))
     }),
 
-    // LLM-28e ⚠: residual-encoded IVF-PQ (full FAISS IVFPQ) — codes
+    // LLM-28e: residual-encoded IVF-PQ (full FAISS IVFPQ) — codes
     // quantize (vector − cell centroid) instead of the raw vector: with
     // the cell-level structure subtracted, the residual distribution is
     // tighter around 0, so the same m×k code budget yields lower
     // quantization error and better recall at equal nprobe (PqSpec
     // measures both against llm28c). The probe builds a per-probed-cell
     // ADC lookup table from the query's residual in each cell — still
-    // ≤ nprobe·m·k broadcast rows.
+    // ≤ nprobe·m·k broadcast rows. EXACT DuckDB oracle (r17): the llm28d
+    // replay with the query's per-cell residual recomputed in genuine
+    // float32 (DuckDB REAL arithmetic ≡ the build's zip_with on floats)
+    // and the LUT keyed (cell, sub, code) against the residual codebook.
     "llm28e_ivfpq_residual" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       // shares the memoized IVF centroids; the residual codebook is its
       // own (trained on residuals) but the whole store builds once per
-      // (session, sf-dir) and is swept on JVM exit
+      // (session, sf-dir) at the fixed SinkDir path the oracle replays
       val store = memoIvfpqStoreResidual(s, d)
       ivfpqProbe(e.filter(col("vec_id") === 0),
         e.filter(col("vec_id") =!= 0), store, residual = true)
@@ -3282,7 +3233,7 @@ object LlmOps extends QueryModule {
     // cells, the (q_id, cell, sub, code) LUT fanning each code row only
     // to the queries that probed its cell, per-query decimal-ADC
     // shortlist windows, per-query exact re-rank
-    "llm28i_batch_audit" ->
+    "llm28f_ivfpq_batch" ->
       """WITH qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
         |            FROM embeddings WHERE vec_id < 5),
         |cents AS (
@@ -3329,12 +3280,12 @@ object LlmOps extends QueryModule {
         |  ORDER BY l2_dist, vec_id) <= 20
         |ORDER BY q_id, l2_dist, vec_id""".stripMargin,
 
-    // llm28g's replay extended to the residual encoding: the query's
+    // the llm28d replay extended to the residual encoding: the query's
     // per-cell residual is recomputed in genuine float32 (DuckDB REAL
     // arithmetic ≡ the build's zip_with on floats), the ADC LUT keys on
     // (cell, sub, code) against the stored residual codebook, then the
     // same decimal ADC → shortlist → exact re-rank
-    "llm28h_residual_audit" ->
+    "llm28e_ivfpq_residual" ->
       """WITH q AS (SELECT embedding AS qf, embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id = 0),
         |cents AS (
@@ -3385,7 +3336,7 @@ object LlmOps extends QueryModule {
     // per-(sub, code) ADC LUT from the stored codebook, decimal(28,12)
     // ADC sum, top-200 shortlist, exact L2 re-rank — only k-means
     // training stays unchecked
-    "llm28g_probe_audit" ->
+    "llm28d_ivfpq_pruned" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id = 0),
         |cents AS (

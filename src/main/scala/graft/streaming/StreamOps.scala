@@ -1272,9 +1272,11 @@ object StreamOps extends QueryModule {
         o
       }
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      graft.llm.LlmOps.ivfpqProbe(e.filter(col("vec_id") === 0), e, store,
-        codes0 = Some(s.read.parquet(s"$out/codes")),
-        cents0 = Some(s.read.parquet(s"$out/centroids")))
+      // store = the DUMP dir: all THREE frames the probe touches
+      // (centroids, codebook, codes) come from the dumped bytes the
+      // oracle replays — reading the codebook from the live store would
+      // silently unpin one of the three if a retrain ever refit PQ
+      graft.llm.LlmOps.ivfpqProbe(e.filter(col("vec_id") === 0), e, out)
     }),
 
     // STRM-16 batch-replay: same windowedQuantiles transform the

@@ -11,6 +11,29 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Every node of an executed plan, recursing through the stages AQE
+    * hides (shared by the shuffle-schema assertions — one traversal
+    * implementation, so a Spark upgrade that changes AQE nesting is
+    * fixed in one place). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+  : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p +: (p.children ++ (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => Nil
+    })).flatMap(allNodes)
+  }
+
+  /** Column names output by every shuffle exchange child in `p`. */
+  private def shuffledColumns(p: org.apache.spark.sql.execution.SparkPlan)
+  : Seq[String] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    allNodes(p).collect {
+      case e: ShuffleExchangeLike => e.children.flatMap(_.output.map(_.name))
+    }.flatten
+  }
+
   test("scan1: filter pushed to parquet + columns pruned") {
     val p = planOf("scan1_parquet")
     assert(p.contains("PushedFilters:") &&
@@ -127,19 +150,7 @@ class PlanSpec extends SparkSpec {
     // ships text as PAYLOAD keyed by fp would never show 'text' on the
     // Exchange line — the ~150 B strings must reduce to 8 B window minima
     // BEFORE any shuffle, which means no exchange child may OUTPUT text
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    // AQE hides exchanges inside query stages — recurse through both
-    def all(p: SparkPlan): Seq[SparkPlan] =
-      p +: (p.children ++ (p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _ => Nil
-      })).flatMap(all)
-    val shuffled = all(df.queryExecution.executedPlan).collect {
-      case e: ShuffleExchangeLike => e.children.flatMap(_.output.map(_.name))
-    }.flatten
+    val shuffled = shuffledColumns(df.queryExecution.executedPlan)
     assert(shuffled.nonEmpty, "expected at least one exchange in the plan")
     assert(!shuffled.exists(_.contains("text")),
       s"text must not cross an exchange; shuffled columns: $shuffled")
@@ -149,24 +160,14 @@ class PlanSpec extends SparkSpec {
       "text — the salting pre-pass must not add a second fat shuffle") {
     val df = SparkEntry.queries("llm2d_simhash_neardup")(spark, Sf0001)
     df.count()
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
-    def all(p: SparkPlan): Seq[SparkPlan] =
-      p +: (p.children ++ (p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _ => Nil
-      })).flatMap(all)
-    val nodes = all(df.queryExecution.executedPlan)
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
     // the is_hot tag (≤ 4·2¹⁶ rows by construction) must broadcast — a
     // shuffle join against the full bands table would pay a second
     // band-keyed exchange of the data just to LABEL it
-    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+    assert(allNodes(df.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[BroadcastExchangeLike]),
       "hot-band tag must join via broadcast exchange")
-    val shuffled = nodes.collect {
-      case e: ShuffleExchangeLike => e.children.flatMap(_.output.map(_.name))
-    }.flatten
+    val shuffled = shuffledColumns(df.queryExecution.executedPlan)
     assert(shuffled.nonEmpty, "expected at least one exchange in the plan")
     assert(!shuffled.exists(_.contains("text")),
       s"text must not cross an exchange; shuffled columns: $shuffled")
