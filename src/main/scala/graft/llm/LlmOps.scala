@@ -310,8 +310,9 @@ object LlmOps extends QueryModule {
     graft.StageMemo.frame(s, s"llm28.codebook.m$m.$d")(
       pqTrain(Tables.embeddings(s, d), m = m))
 
-  /** SemDeDup keep/drop off a GIVEN quantizer (llm44's pipeline, shared
-    * with llm44b's persisted-centroids audit): post each vector to its
+  /** SemDeDup keep/drop off a GIVEN quantizer (llm44's pipeline over the
+    * persisted shared centroids; its oracle replays this contract): post
+    * each vector to its
     * top-2 cosine cells — assignment metric = dedup metric (llm28's probe
     * assigns by L2 because its re-rank is L2; here a τ-cosine pair
     * assigned by L2 can straddle cells that cosine keeps together);
@@ -371,8 +372,8 @@ object LlmOps extends QueryModule {
       st
     }
 
-  /** Memoized STABLE-PATH dump of the shared IVF centroids (the llm44b /
-    * llm3eb audit surface): written once per (session, sf-dir) under
+  /** Memoized STABLE-PATH dump of the shared IVF centroids (the llm44 /
+    * llm3eb oracle surface): written once per (session, sf-dir) under
     * target/tmp-sinks where the DuckDB oracle can read the exact bytes
     * the audited queries clustered on. Returns the path. */
   private[graft] def memoPersistedCentroids(s: SparkSession,
@@ -1059,8 +1060,8 @@ object LlmOps extends QueryModule {
         .limit(20)
     }),
 
-    // LLM-3eb: the llm3e IVF probe with an EXACT DuckDB oracle (llm44b's
-    // audit discipline): clusters on the PERSISTED shared centroids and
+    // LLM-3eb: the llm3e IVF probe with an EXACT DuckDB oracle (the
+    // audit-twin discipline): clusters on the PERSISTED shared centroids and
     // the oracle replays the full serve contract off those bytes —
     // cosine cell assignment with the (sim DESC, cent_id) tie-break,
     // the query's nprobe=8 probe set, candidate semi-join, exact cosine
@@ -1814,23 +1815,17 @@ object LlmOps extends QueryModule {
     // cell). Survivors sharing ANY posted cell are provably pairwise
     // < τ (a surviving pair would make the higher id a dropout), which
     // the spec also pins.
-    "llm44_semdedup" -> ((s, d) =>
-      semdedupKept(Tables.embeddings(s, d), memoIvfCentroids(s, d))),
-
-    // LLM-44b: SemDeDup AUDIT twin (the strm22b discipline — split the
-    // approximate surface into its trained half and its exact half, and
-    // hash-check the exact half): the centroids llm44 clusters on are
-    // PERSISTED, and DuckDB replays the ENTIRE post-training contract
-    // off those bytes — cosine to every stored centroid, top-2 posting
-    // by (sim DESC, cent_id), within-cell pairs, lower-id-leader drop at
+    // Clusters on the PERSISTED shared centroids and reads the bytes
+    // back, so the EXACT DuckDB oracle (r17, audit-twin discipline)
+    // replays the entire post-training contract off the same artifact —
+    // cosine to every stored centroid, top-2 posting by (sim DESC,
+    // cent_id), within-cell pairs, lower-id-leader drop at
     // round(cos,6) ≥ τ. Only the k-means fit itself stays spec-covered
     // (ApproxSpec recall floor); every keep/drop decision downstream of
-    // the fit is now bit-checked. Both engines fold the same float
-    // arrays left-to-right in IEEE double (CosineSim's loop ≡
+    // the fit is bit-checked. Both engines fold the same float arrays
+    // left-to-right in IEEE double (CosineSim's loop ≡
     // list_dot_product), so the unrounded top-2 ordering agrees.
-    "llm44b_semdedup_audit" -> ((s, d) =>
-      // read the PERSISTED bytes back: the audited quantizer is exactly
-      // the artifact the oracle replays, not this session's memo
+    "llm44_semdedup" -> ((s, d) =>
       semdedupKept(Tables.embeddings(s, d),
         s.read.parquet(memoPersistedCentroids(s, d)))),
 
@@ -3413,7 +3408,7 @@ object LlmOps extends QueryModule {
     // (same left-to-right double fold as CosineSim), top-2 posting by
     // (sim DESC, cent_id), within-shared-cell pairs, lower-id leader at
     // round(cos,6) >= 0.45 — only the k-means fit itself is trusted
-    "llm44b_semdedup_audit" ->
+    "llm44_semdedup" ->
       """WITH cents AS (
         |  SELECT cent_id, cent::DOUBLE[] AS c
         |  FROM '/root/repo/target/tmp-sinks/llm44_centroids/*.parquet'),
