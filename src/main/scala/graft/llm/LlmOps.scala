@@ -385,6 +385,19 @@ object LlmOps extends QueryModule {
       out
     }
 
+  /** Memoized STABLE-PATH dump of an m-subspace PQ codebook (llm28 /
+    * llm28b's oracle surface): the session-memoized training artifact
+    * written once under target/tmp-sinks, so the DuckDB oracles can
+    * replay encode + ADC off the exact bytes the queries used. */
+  private[graft] def memoPersistedCodebook(s: SparkSession, d: String,
+                                           m: Int): String =
+    graft.StageMemo.value(s, s"llm28.cbdump.m$m.$d") {
+      val out = s"${graft.operators.Scans.SinkDir}/llm28_codebook_m$m"
+      memoCodebook(s, d, m).coalesce(1)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+
   /** Memoized RESIDUAL-encoded persisted store (llm28e's index; also
     * probed by AnnSweep) — one build recipe, one memo
     * key: a second copy of this lambda elsewhere could silently diverge
@@ -2643,16 +2656,20 @@ object LlmOps extends QueryModule {
           count(lit(1)).as("n_buckets"))
     }),
 
-    // LLM-28 ⚠: product quantization — the memory-scale path past llm15's
+    // LLM-28: product quantization — the memory-scale path past llm15's
     // scalar int8: m=4 subspaces × k=16 centroids compress each 64-dim
     // float vector (256 B) to 4 code bytes (64×), the standard layout under
-    // billion-vector ANN (IVF-PQ). Deterministic rows-only output
-    // (codes + 6-dp reconstruction error per vector); PqSpec certifies
-    // determinism, code range, Lloyd improvement over the seed codebook,
-    // and that PQ distortion beats the k=1 (global-mean) baseline.
+    // billion-vector ANN (IVF-PQ). PqSpec certifies determinism, code
+    // range, Lloyd improvement over the seed codebook, and that PQ
+    // distortion beats the k=1 (global-mean) baseline. EXACT DuckDB
+    // oracle (r17): the codebook persists and the oracle replays the
+    // encode off those bytes — per-(vec, sub) argmin over k centroids
+    // with the (dist, cent_id) tie-break, the comma-joined code string,
+    // the decimal-summed 6-dp reconstruction error.
     "llm28_pq" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      pqEncode(e, memoCodebook(s, d, 4)).orderBy("vec_id")
+      pqEncode(e, s.read.parquet(memoPersistedCodebook(s, d, 4)))
+        .orderBy("vec_id")
     }),
 
     // LLM-28b ⚠: ADC (asymmetric distance computation) retrieval — the
@@ -2665,10 +2682,12 @@ object LlmOps extends QueryModule {
     // ADC top-100 shortlist re-attaches its real vectors (a 100-row
     // broadcast semi-join) for exact L2 re-ranking to top-20. m=8
     // subspaces (32× compression) keeps the shortlist honest; PqSpec pins
-    // recall vs the exact top-20.
+    // recall vs the exact top-20. EXACT DuckDB oracle (r17): encode, LUT,
+    // decimal ADC, shortlist and re-rank all replay off the persisted
+    // codebook bytes — the full scan-time contract, training excepted.
     "llm28b_pq_adc" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val codebook = memoCodebook(s, d, 8)
+      val codebook = s.read.parquet(memoPersistedCodebook(s, d, 8))
       val q = e.filter(col("vec_id") === 0)
       val corpus = e.filter(col("vec_id") =!= 0)
       val qsub = pqSubvectors(q, 8, 8)
@@ -3317,6 +3336,73 @@ object LlmOps extends QueryModule {
         |            AND codes.sub = lut.sub AND codes.code = lut.code
         |       GROUP BY codes.vec_id
         |       ORDER BY adc, codes.vec_id LIMIT 200),
+        |rrd AS (SELECT e.vec_id,
+        |          list_transform(list_zip(e.embedding::DOUBLE[],
+        |                                  (SELECT qe FROM q)),
+        |                         x -> x[1] - x[2]) AS dv
+        |        FROM embeddings e JOIN sl USING (vec_id))
+        |SELECT vec_id, round(list_dot_product(dv, dv), 6) AS l2_dist
+        |FROM rrd ORDER BY l2_dist, vec_id LIMIT 20""".stripMargin,
+
+    // replays the PQ ENCODE off the persisted m=4 codebook: per
+    // (vec, sub) argmin over k centroids with the (dist, cent_id)
+    // tie-break, comma-joined code string, decimal-summed 6-dp
+    // reconstruction error
+    "llm28_pq" ->
+      """WITH cb AS (
+        |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
+        |  FROM '/root/repo/target/tmp-sinks/llm28_codebook_m4/*.parquet'),
+        |sv AS (SELECT e.vec_id, s.sub,
+        |         (e.embedding::DOUBLE[])[s.sub*16+1 : s.sub*16+16] AS qs
+        |       FROM embeddings e, (SELECT unnest(range(0,4)) AS sub) s),
+        |dd AS (SELECT sv.vec_id, sv.sub, cb.code,
+        |         list_transform(list_zip(sv.qs, cb.cc),
+        |                        x -> x[1] - x[2]) AS dv
+        |       FROM sv JOIN cb USING (sub)),
+        |dist AS (SELECT vec_id, sub, code,
+        |           list_dot_product(dv, dv) AS dist FROM dd),
+        |best AS (SELECT vec_id, sub, code, dist FROM dist
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |           ORDER BY dist, code) = 1)
+        |SELECT vec_id,
+        |  string_agg(code, ',' ORDER BY sub) AS codes,
+        |  round(CAST(SUM(CAST(dist AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |    AS recon_err
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // the full scan-time ADC contract replayed off the persisted m=8
+    // codebook: corpus encode (argmin with tie-break), query LUT,
+    // decimal ADC, top-100 shortlist, exact L2 re-rank
+    "llm28b_pq_adc" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |cb AS (
+        |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
+        |  FROM '/root/repo/target/tmp-sinks/llm28_codebook_m8/*.parquet'),
+        |lutd AS (SELECT sub, code,
+        |           list_transform(list_zip(cc,
+        |             (SELECT qe FROM q)[sub*8+1 : sub*8+8]),
+        |             x -> x[1] - x[2]) AS dv
+        |         FROM cb),
+        |lut AS (SELECT sub, code, list_dot_product(dv, dv) AS pdist
+        |        FROM lutd),
+        |sv AS (SELECT e.vec_id, s.sub,
+        |         (e.embedding::DOUBLE[])[s.sub*8+1 : s.sub*8+8] AS qs
+        |       FROM embeddings e, (SELECT unnest(range(0,8)) AS sub) s
+        |       WHERE e.vec_id <> 0),
+        |dd AS (SELECT sv.vec_id, sv.sub, cb.code,
+        |         list_transform(list_zip(sv.qs, cb.cc),
+        |                        x -> x[1] - x[2]) AS dv
+        |       FROM sv JOIN cb USING (sub)),
+        |enc AS (SELECT vec_id, sub, code FROM
+        |          (SELECT vec_id, sub, code,
+        |             row_number() OVER (PARTITION BY vec_id, sub
+        |               ORDER BY list_dot_product(dv, dv), code) AS rn
+        |           FROM dd) WHERE rn = 1),
+        |sl AS (SELECT enc.vec_id,
+        |         SUM(CAST(lut.pdist AS DECIMAL(28,12))) AS adc
+        |       FROM enc JOIN lut USING (sub, code)
+        |       GROUP BY enc.vec_id ORDER BY adc, enc.vec_id LIMIT 100),
         |rrd AS (SELECT e.vec_id,
         |          list_transform(list_zip(e.embedding::DOUBLE[],
         |                                  (SELECT qe FROM q)),
