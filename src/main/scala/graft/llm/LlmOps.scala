@@ -2724,22 +2724,30 @@ object LlmOps extends QueryModule {
     // compresses only). Cells here are assigned by L2 to stay
     // metric-consistent with the ADC/re-rank stages (training reuses the
     // shared cosine-Lloyd centroids — any fixed partition of the space
-    // works as an inverted file).
+    // works as an inverted file). EXACT DuckDB oracle (r17): both
+    // training artifacts load from the persisted dumps (the encode-on-
+    // the-fly semantic is unchanged — no codes table exists), so the
+    // oracle replays the whole pipeline off those bytes: cell
+    // assignment, probe set, candidate semi-join, encode, decimal ADC,
+    // shortlist, exact re-rank.
     "llm28c_ivfpq" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0)
       val corpus = e.filter(col("vec_id") =!= 0)
       val wCell = Window.partitionBy("vec_id")
         .orderBy(col("cdist"), col("cent_id"))
-      val ranked = e.crossJoin(broadcast(memoIvfCentroids(s, d)))
+      val ranked = e.crossJoin(
+          broadcast(s.read.parquet(memoPersistedCentroids(s, d))))
         .withColumn("cdist", l2sq(col("embedding"), col("cent")))
         .withColumn("rn", row_number().over(wCell))
+        // project before the cut: cent (64 floats) and cdist are dead
+        .select(col("vec_id"), col("cent_id"), col("rn"))
         .localCheckpoint() // corpus cells AND query probe cells reuse it
       val cells = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
         .select(col("vec_id"), col("cent_id").as("cell"))
       val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 8)
         .select(col("cent_id").as("cell"))
-      val codebook = memoCodebook(s, d, 8)
+      val codebook = s.read.parquet(memoPersistedCodebook(s, d, 8))
       val qsub = pqSubvectors(q, 8, 8)
         .select(col("sub"), col("subvec").as("qsub"))
       val lut = codebook.join(qsub, "sub")
@@ -3369,6 +3377,64 @@ object LlmOps extends QueryModule {
         |  round(CAST(SUM(CAST(dist AS DECIMAL(28,12))) AS DOUBLE), 6)
         |    AS recon_err
         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // the in-memory IVF-PQ pipeline replayed off the persisted
+    // centroids + codebook: L2 cell assignment with the cent_id
+    // tie-break, the query's nprobe=8 probe set, candidate semi-join,
+    // on-the-fly encode, decimal ADC, top-200 shortlist, exact re-rank
+    "llm28c_ivfpq" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |cents AS (
+        |  SELECT cent_id, cent::DOUBLE[] AS c
+        |  FROM '/root/repo/target/tmp-sinks/llm44_centroids/*.parquet'),
+        |cda AS (SELECT e.vec_id, c.cent_id,
+        |          list_transform(list_zip(c.c, e.embedding::DOUBLE[]),
+        |                         x -> x[1] - x[2]) AS dv
+        |        FROM embeddings e, cents c),
+        |rankedc AS (SELECT vec_id, cent_id,
+        |              row_number() OVER (PARTITION BY vec_id
+        |                ORDER BY list_dot_product(dv, dv), cent_id) AS rn
+        |            FROM cda),
+        |cells AS (SELECT vec_id, cent_id AS cell
+        |          FROM rankedc WHERE rn = 1 AND vec_id <> 0),
+        |qc AS (SELECT cent_id AS cell
+        |       FROM rankedc WHERE vec_id = 0 AND rn <= 8),
+        |cand AS (SELECT cells.vec_id FROM cells JOIN qc USING (cell)),
+        |cb AS (
+        |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
+        |  FROM '/root/repo/target/tmp-sinks/llm28_codebook_m8/*.parquet'),
+        |lutd AS (SELECT sub, code,
+        |           list_transform(list_zip(cc,
+        |             (SELECT qe FROM q)[sub*8+1 : sub*8+8]),
+        |             x -> x[1] - x[2]) AS dv
+        |         FROM cb),
+        |lut AS (SELECT sub, code, list_dot_product(dv, dv) AS pdist
+        |        FROM lutd),
+        |sv AS (SELECT e.vec_id, s.sub,
+        |         (e.embedding::DOUBLE[])[s.sub*8+1 : s.sub*8+8] AS qs
+        |       FROM embeddings e JOIN cand USING (vec_id),
+        |            (SELECT unnest(range(0,8)) AS sub) s),
+        |dd AS (SELECT sv.vec_id, sv.sub, cb.code,
+        |         list_transform(list_zip(sv.qs, cb.cc),
+        |                        x -> x[1] - x[2]) AS dv
+        |       FROM sv JOIN cb USING (sub)),
+        |enc AS (SELECT vec_id, sub, code FROM
+        |          (SELECT vec_id, sub, code,
+        |             row_number() OVER (PARTITION BY vec_id, sub
+        |               ORDER BY list_dot_product(dv, dv), code) AS rn
+        |           FROM dd) WHERE rn = 1),
+        |sl AS (SELECT enc.vec_id,
+        |         SUM(CAST(lut.pdist AS DECIMAL(28,12))) AS adc
+        |       FROM enc JOIN lut USING (sub, code)
+        |       GROUP BY enc.vec_id ORDER BY adc, enc.vec_id LIMIT 200),
+        |rrd AS (SELECT e.vec_id,
+        |          list_transform(list_zip(e.embedding::DOUBLE[],
+        |                                  (SELECT qe FROM q)),
+        |                         x -> x[1] - x[2]) AS dv
+        |        FROM embeddings e JOIN sl USING (vec_id))
+        |SELECT vec_id, round(list_dot_product(dv, dv), 6) AS l2_dist
+        |FROM rrd ORDER BY l2_dist, vec_id LIMIT 20""".stripMargin,
 
     // the full scan-time ADC contract replayed off the persisted m=8
     // codebook: corpus encode (argmin with tie-break), query LUT,
