@@ -1,0 +1,39 @@
+package graft
+
+/** Binding of each persisted oracle artifact to the sf-dir it was dumped
+  * for (VERDICT r17 "What's wrong" #2): the STABLE-PATH dumps that back
+  * DuckDB replay oracles used to write sf-INDEPENDENT paths, so two
+  * concurrent Verify processes at different SFs could race and
+  * cross-poison each other's replay bytes. Each dump now embeds an sf
+  * token in its path and records it here; the oracle SQL — a `def`,
+  * evaluated by Verify AFTER every query ran — interpolates the recorded
+  * path, so the SQL a run emits always names the bytes THAT run dumped.
+  *
+  * The registry is process-global (not session-keyed) because the dump
+  * memos are already per-(session, sf-dir) and a Verify process serves
+  * one sf; the [[path]] fallback (no record → legacy un-tokened path)
+  * only triggers when the dumping query didn't run this session, and
+  * Verify's `only` filter drops the matching oracle row too, so the
+  * fallback is never actually compared.
+  */
+object OracleArtifacts {
+  private val reg =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** sf-dir → filesystem-safe token: "/root/testdata/sf0.01" → "sf0_01". */
+  def sfTok(d: String): String =
+    d.stripSuffix("/").split('/').last.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The tokened dump path for artifact `name` trained on sf-dir `d`;
+    * records it for [[path]] and returns it. */
+  def record(name: String, d: String): String = {
+    val p = s"${graft.operators.Scans.SinkDir}/${name}_${sfTok(d)}"
+    reg.put(name, p)
+    p
+  }
+
+  /** The path this session's dump wrote for `name`, or the legacy
+    * un-tokened path when nothing was recorded. */
+  def path(name: String): String =
+    reg.getOrDefault(name, s"${graft.operators.Scans.SinkDir}/$name")
+}

@@ -354,18 +354,18 @@ object LlmOps extends QueryModule {
     * query 0) — ONE training+encode pass per (session, sf-dir), shared by
     * llm28d's single probe and llm28f's batch probe, whose DuckDB
     * oracles (r17) replay the store post-process. That
-    * cross-process replay is why the store lives at a FIXED SinkDir path
+    * cross-process replay is why the store lives at a STABLE SinkDir path
     * rather than a swept TmpStores scratch dir: the bytes must survive
-    * the JVM. Fixed-name stores follow the sink-query convention (the
-    * driver gates one SF at a time, Verify → compare, so the constant
-    * path can't race its own oracle; concurrent multi-SF JVMs would
-    * clobber it, the same documented limit every SinkDir artifact has).
+    * the JVM. The path embeds an sf token via [[graft.OracleArtifacts]]
+    * (r18) and the oracle SQL interpolates the recorded path, so two
+    * Verify processes on different SFs can no longer cross-poison each
+    * other's replay bytes.
     * private[graft]: PqSpec probes the same store to pin batch/single
     * parity. */
   private[graft] def memoIvfpqStore(s: SparkSession, d: String): String =
     graft.StageMemo.value(s, s"llm28d.store.$d") {
       val e = Tables.embeddings(s, d)
-      val st = s"${graft.operators.Scans.SinkDir}/llm28_store"
+      val st = graft.OracleArtifacts.record("llm28_store", d)
       ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
         cents0 = Some(memoIvfCentroids(s, d)),
         codebook0 = Some(memoCodebook(s, d, 8)))
@@ -379,7 +379,7 @@ object LlmOps extends QueryModule {
   private[graft] def memoPersistedCentroids(s: SparkSession,
                                             d: String): String =
     graft.StageMemo.value(s, s"llm44.cents.$d") {
-      val out = s"${graft.operators.Scans.SinkDir}/llm44_centroids"
+      val out = graft.OracleArtifacts.record("llm44_centroids", d)
       memoIvfCentroids(s, d).coalesce(1)
         .write.mode("overwrite").parquet(out)
       out
@@ -392,7 +392,7 @@ object LlmOps extends QueryModule {
   private[graft] def memoPersistedCodebook(s: SparkSession, d: String,
                                            m: Int): String =
     graft.StageMemo.value(s, s"llm28.cbdump.m$m.$d") {
-      val out = s"${graft.operators.Scans.SinkDir}/llm28_codebook_m$m"
+      val out = graft.OracleArtifacts.record(s"llm28_codebook_m$m", d)
       memoCodebook(s, d, m).coalesce(1)
         .write.mode("overwrite").parquet(out)
       out
@@ -409,7 +409,7 @@ object LlmOps extends QueryModule {
                                             d: String): String =
     graft.StageMemo.value(s, s"llm28e.store.$d") {
       val e = Tables.embeddings(s, d)
-      val st = s"${graft.operators.Scans.SinkDir}/llm28_store_residual"
+      val st = graft.OracleArtifacts.record("llm28_store_residual", d)
       ivfpqBuild(train = e, index = e.filter(col("vec_id") =!= 0), st,
         residual = true, cents0 = Some(memoIvfCentroids(s, d)))
       st
@@ -3256,11 +3256,11 @@ object LlmOps extends QueryModule {
     // to the queries that probed its cell, per-query decimal-ADC
     // shortlist windows, per-query exact re-rank
     "llm28f_ivfpq_batch" ->
-      """WITH qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
         |            FROM embeddings WHERE vec_id < 5),
         |cents AS (
         |  SELECT cent_id, cent::DOUBLE[] AS c
-        |  FROM '/root/repo/target/tmp-sinks/llm28_store/centroids/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm28_store")}/centroids/*.parquet'),
         |cd AS (SELECT qs.q_id, cents.cent_id,
         |         list_transform(list_zip(cents.c, qs.qe),
         |                        x -> x[1] - x[2]) AS dv
@@ -3271,7 +3271,7 @@ object LlmOps extends QueryModule {
         |probed AS (SELECT q_id, cent_id AS cell FROM pc WHERE rn <= 8),
         |cb AS (
         |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
-        |  FROM '/root/repo/target/tmp-sinks/llm28_store/codebook/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm28_store")}/codebook/*.parquet'),
         |lutd AS (SELECT p.q_id, p.cell, cb.sub, cb.code,
         |           list_transform(list_zip(cb.cc,
         |             qs.qe[cb.sub*8+1 : cb.sub*8+8]),
@@ -3281,7 +3281,7 @@ object LlmOps extends QueryModule {
         |          list_dot_product(dv, dv) AS pdist
         |        FROM lutd),
         |codes AS (SELECT * FROM read_parquet(
-        |  '/root/repo/target/tmp-sinks/llm28_store/codes/*/*.parquet',
+        |  '${graft.OracleArtifacts.path("llm28_store")}/codes/*/*.parquet',
         |  hive_partitioning = true)),
         |sl AS (SELECT lut.q_id, codes.vec_id,
         |         SUM(CAST(lut.pdist AS DECIMAL(28,12))) AS adc
@@ -3308,11 +3308,11 @@ object LlmOps extends QueryModule {
     // (cell, sub, code) against the stored residual codebook, then the
     // same decimal ADC → shortlist → exact re-rank
     "llm28e_ivfpq_residual" ->
-      """WITH q AS (SELECT embedding AS qf, embedding::DOUBLE[] AS qe
+      s"""WITH q AS (SELECT embedding AS qf, embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id = 0),
         |cents AS (
         |  SELECT cent_id, cent AS cf, cent::DOUBLE[] AS c
-        |  FROM '/root/repo/target/tmp-sinks/llm28_store_residual/centroids/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm28_store_residual")}/centroids/*.parquet'),
         |cd AS (SELECT cent_id,
         |         list_transform(list_zip(c, (SELECT qe FROM q)),
         |                        x -> x[1] - x[2]) AS dv
@@ -3327,7 +3327,7 @@ object LlmOps extends QueryModule {
         |         FROM cents JOIN probed USING (cent_id)),
         |cb AS (
         |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
-        |  FROM '/root/repo/target/tmp-sinks/llm28_store_residual/codebook/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm28_store_residual")}/codebook/*.parquet'),
         |lutd AS (SELECT qres.cell, cb.sub, cb.code,
         |           list_transform(list_zip(
         |             (qres.rf[cb.sub*8+1 : cb.sub*8+8])::DOUBLE[], cb.cc),
@@ -3336,7 +3336,7 @@ object LlmOps extends QueryModule {
         |lut AS (SELECT cell, sub, code, list_dot_product(dv, dv) AS pdist
         |        FROM lutd),
         |codes AS (SELECT * FROM read_parquet(
-        |  '/root/repo/target/tmp-sinks/llm28_store_residual/codes/*/*.parquet',
+        |  '${graft.OracleArtifacts.path("llm28_store_residual")}/codes/*/*.parquet',
         |  hive_partitioning = true)),
         |sl AS (SELECT codes.vec_id,
         |         SUM(CAST(lut.pdist AS DECIMAL(28,12))) AS adc
@@ -3357,9 +3357,9 @@ object LlmOps extends QueryModule {
     // tie-break, comma-joined code string, decimal-summed 6-dp
     // reconstruction error
     "llm28_pq" ->
-      """WITH cb AS (
+      s"""WITH cb AS (
         |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
-        |  FROM '/root/repo/target/tmp-sinks/llm28_codebook_m4/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm28_codebook_m4")}/*.parquet'),
         |sv AS (SELECT e.vec_id, s.sub,
         |         (e.embedding::DOUBLE[])[s.sub*16+1 : s.sub*16+16] AS qs
         |       FROM embeddings e, (SELECT unnest(range(0,4)) AS sub) s),
@@ -3383,11 +3383,11 @@ object LlmOps extends QueryModule {
     // tie-break, the query's nprobe=8 probe set, candidate semi-join,
     // on-the-fly encode, decimal ADC, top-200 shortlist, exact re-rank
     "llm28c_ivfpq" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qe
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id = 0),
         |cents AS (
         |  SELECT cent_id, cent::DOUBLE[] AS c
-        |  FROM '/root/repo/target/tmp-sinks/llm44_centroids/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm44_centroids")}/*.parquet'),
         |cda AS (SELECT e.vec_id, c.cent_id,
         |          list_transform(list_zip(c.c, e.embedding::DOUBLE[]),
         |                         x -> x[1] - x[2]) AS dv
@@ -3403,7 +3403,7 @@ object LlmOps extends QueryModule {
         |cand AS (SELECT cells.vec_id FROM cells JOIN qc USING (cell)),
         |cb AS (
         |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
-        |  FROM '/root/repo/target/tmp-sinks/llm28_codebook_m8/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm28_codebook_m8")}/*.parquet'),
         |lutd AS (SELECT sub, code,
         |           list_transform(list_zip(cc,
         |             (SELECT qe FROM q)[sub*8+1 : sub*8+8]),
@@ -3440,11 +3440,11 @@ object LlmOps extends QueryModule {
     // codebook: corpus encode (argmin with tie-break), query LUT,
     // decimal ADC, top-100 shortlist, exact L2 re-rank
     "llm28b_pq_adc" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qe
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id = 0),
         |cb AS (
         |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
-        |  FROM '/root/repo/target/tmp-sinks/llm28_codebook_m8/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm28_codebook_m8")}/*.parquet'),
         |lutd AS (SELECT sub, code,
         |           list_transform(list_zip(cc,
         |             (SELECT qe FROM q)[sub*8+1 : sub*8+8]),
@@ -3484,11 +3484,11 @@ object LlmOps extends QueryModule {
     // ADC sum, top-200 shortlist, exact L2 re-rank — only k-means
     // training stays unchecked
     "llm28d_ivfpq_pruned" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qe
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id = 0),
         |cents AS (
         |  SELECT cent_id, cent::DOUBLE[] AS c
-        |  FROM '/root/repo/target/tmp-sinks/llm28_store/centroids/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm28_store")}/centroids/*.parquet'),
         |cd AS (SELECT cent_id,
         |         list_transform(list_zip(c, (SELECT qe FROM q)),
         |                        x -> x[1] - x[2]) AS dv
@@ -3499,7 +3499,7 @@ object LlmOps extends QueryModule {
         |probed AS (SELECT cent_id FROM pc WHERE rn <= 8),
         |cb AS (
         |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
-        |  FROM '/root/repo/target/tmp-sinks/llm28_store/codebook/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm28_store")}/codebook/*.parquet'),
         |lutd AS (SELECT sub, code,
         |           list_transform(list_zip(cc,
         |             (SELECT qe FROM q)[sub*8+1 : sub*8+8]),
@@ -3508,7 +3508,7 @@ object LlmOps extends QueryModule {
         |lut AS (SELECT sub, code, list_dot_product(dv, dv) AS pdist
         |        FROM lutd),
         |codes AS (SELECT * FROM read_parquet(
-        |  '/root/repo/target/tmp-sinks/llm28_store/codes/*/*.parquet',
+        |  '${graft.OracleArtifacts.path("llm28_store")}/codes/*/*.parquet',
         |  hive_partitioning = true)),
         |sl AS (SELECT codes.vec_id,
         |         SUM(CAST(lut.pdist AS DECIMAL(28,12))) AS adc
@@ -3530,11 +3530,11 @@ object LlmOps extends QueryModule {
     // the query's nprobe=8 probe set, candidate semi-join, exact cosine
     // re-rank, top-20
     "llm3eb_ann_ivf_audit" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qe
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id = 0),
         |cents AS (
         |  SELECT cent_id, cent::DOUBLE[] AS c
-        |  FROM '/root/repo/target/tmp-sinks/llm44_centroids/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm44_centroids")}/*.parquet'),
         |sims AS (
         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cent_id,
         |    list_dot_product(e.embedding::DOUBLE[], c.c) /
@@ -3561,9 +3561,9 @@ object LlmOps extends QueryModule {
     // (sim DESC, cent_id), within-shared-cell pairs, lower-id leader at
     // round(cos,6) >= 0.45 — only the k-means fit itself is trusted
     "llm44_semdedup" ->
-      """WITH cents AS (
+      s"""WITH cents AS (
         |  SELECT cent_id, cent::DOUBLE[] AS c
-        |  FROM '/root/repo/target/tmp-sinks/llm44_centroids/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("llm44_centroids")}/*.parquet'),
         |sims AS (
         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cent_id,
         |    list_dot_product(e.embedding::DOUBLE[], c.c) /

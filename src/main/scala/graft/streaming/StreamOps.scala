@@ -1262,7 +1262,7 @@ object StreamOps extends QueryModule {
       import graft.operators.VersionedStore
       val (store, codesDir) = memoMaintainedIndex(s, d)
       val out = graft.StageMemo.value(s, s"strm22c.dump.$d") {
-        val o = s"${graft.operators.Scans.SinkDir}/strm22_served"
+        val o = graft.OracleArtifacts.record("strm22_served", d)
         servedCentroids(s, store).coalesce(1)
           .write.mode("overwrite").parquet(s"$o/centroids")
         s.read.parquet(s"$store/codebook").coalesce(1)
@@ -1355,11 +1355,11 @@ object StreamOps extends QueryModule {
     // shortlist, exact re-rank — what a probe DOES with the stream's
     // index, complementing strm22b's what-was-stored audit
     "strm22c_probe_audit" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qe
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id = 0),
         |cents AS (
         |  SELECT cent_id, cent::DOUBLE[] AS c
-        |  FROM '/root/repo/target/tmp-sinks/strm22_served/centroids/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("strm22_served")}/centroids/*.parquet'),
         |cd AS (SELECT cent_id,
         |         list_transform(list_zip(c, (SELECT qe FROM q)),
         |                        x -> x[1] - x[2]) AS dv
@@ -1370,7 +1370,7 @@ object StreamOps extends QueryModule {
         |probed AS (SELECT cent_id FROM pc WHERE rn <= 8),
         |cb AS (
         |  SELECT sub, cent_id AS code, cent::DOUBLE[] AS cc
-        |  FROM '/root/repo/target/tmp-sinks/strm22_served/codebook/*.parquet'),
+        |  FROM '${graft.OracleArtifacts.path("strm22_served")}/codebook/*.parquet'),
         |lutd AS (SELECT sub, code,
         |           list_transform(list_zip(cc,
         |             (SELECT qe FROM q)[sub*8+1 : sub*8+8]),
@@ -1379,7 +1379,7 @@ object StreamOps extends QueryModule {
         |lut AS (SELECT sub, code, list_dot_product(dv, dv) AS pdist
         |        FROM lutd),
         |codes AS (SELECT * FROM
-        |  '/root/repo/target/tmp-sinks/strm22_served/codes/*.parquet'),
+        |  '${graft.OracleArtifacts.path("strm22_served")}/codes/*.parquet'),
         |sl AS (SELECT codes.vec_id,
         |         SUM(CAST(lut.pdist AS DECIMAL(28,12))) AS adc
         |       FROM codes JOIN probed ON codes.cell = probed.cent_id
