@@ -406,6 +406,31 @@ object LlmOps extends QueryModule {
       out
     }
 
+  /** Memoized STABLE-PATH dump of the per-source aggregated MinHash
+    * signatures (llm31's oracle surface, r18): C sources × k=128 lanes,
+    * each lane the min over the source's per-doc signature lanes —
+    * mergeability makes the aggregation one shuffle of C×k longs. The
+    * lanes themselves (hash training) stay spec-tier; persisting them
+    * lets the DuckDB oracle replay the signature self-join and the
+    * lane-agreement Jaccard estimate off the exact bytes. */
+  private[graft] def memoPersistedSourceSigs(s: SparkSession,
+                                             d: String): String =
+    graft.StageMemo.value(s, s"llm31.sigdump.$d") {
+      val out = graft.OracleArtifacts.record("llm31_source_sigs", d)
+      val k = 128
+      Tables.documents(s, d)
+        .select(col("source"),
+          minhashSig(shingles3(col("text")), k).as("sig"))
+        .filter(size(col("sig")) === k)
+        .select(col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
+        .groupBy("source", "pos").agg(min("v").as("m"))
+        .groupBy("source")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("sig"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    }
+
   /** Memoized STABLE-PATH dump of an m-subspace PQ codebook (llm28 /
     * llm28b's oracle surface): the session-memoized training artifact
     * written once under target/tmp-sinks, so the DuckDB oracles can
@@ -2460,18 +2485,18 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // LLM-31 ⚠: cross-source overlap via MERGEABLE per-source MinHash —
+    // lane-wise min over each source's doc signatures IS the source's
+    // signature (the mergeability that makes this one shuffle of C×128
+    // longs at 100 TB, never a doc-pair join), then pairwise
+    // lane-agreement / k estimates Jaccard. The hash lanes stay
+    // spec-tier (ApproxSpec estimate-error floor vs exact), but as of
+    // r18 the aggregated signatures PERSIST to a stable path, the query
+    // serves from the dump, and the DuckDB oracle replays the 20-row
+    // signature self-join + lane-agreement arithmetic off those bytes.
     "llm31_source_overlap" -> ((s, d) => {
+      val bySource = s.read.parquet(memoPersistedSourceSigs(s, d))
       val k = 128
-      val perDoc = Tables.documents(s, d)
-        .select(col("source"),
-          minhashSig(shingles3(col("text")), k).as("sig"))
-        .filter(size(col("sig")) === k)
-      val bySource = perDoc
-        .select(col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
-        .groupBy("source", "pos").agg(min("v").as("m"))
-        .groupBy("source")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("sig"))
       val a = bySource.select(col("source").as("src_a"), col("sig").as("sig_a"))
       val b = bySource.select(col("source").as("src_b"), col("sig").as("sig_b"))
       a.join(b, col("src_a") < col("src_b"))
@@ -3583,6 +3608,19 @@ object LlmOps extends QueryModule {
         |        sqrt(list_dot_product(q.qe, q.qe)), 6) AS cos_sim
         |FROM corpus c JOIN qc USING (cell), q
         |ORDER BY cos_sim DESC, c.vec_id LIMIT 20""".stripMargin,
+
+    // replays llm31's overlap arithmetic off the persisted per-source
+    // signatures: pairwise self-join (src_a < src_b), lane-agreement
+    // count / 128 rounded to 6 dp, top-20 — training stays spec-tier
+    "llm31_source_overlap" ->
+      s"""WITH sig AS (SELECT source, sig
+        |             FROM '${graft.OracleArtifacts.path("llm31_source_sigs")}/*.parquet')
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  round(len(list_filter(list_zip(a.sig, b.sig),
+        |                        x -> x[1] = x[2])) / 128.0, 6)
+        |    AS est_jaccard
+        |FROM sig a JOIN sig b ON a.source < b.source
+        |ORDER BY est_jaccard DESC, src_a, src_b LIMIT 20""".stripMargin,
 
     // replays llm3b's full sign-LSH ANN serve contract off the persisted
     // index dump: the query's (table, bucket) probe set, distinct
