@@ -87,6 +87,16 @@ object LlmOps extends QueryModule {
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
 
+  /** FAISS-convention cell count for an n-vector corpus: max(16, ⌈√n⌉).
+    * The r17 AnnSweep measured the fixed-16 default decaying recall@20
+    * 0.77→0.60 as the corpus grew past its design size while √n-scaled
+    * cells (probed at a fixed fraction) held — so the BUILD default
+    * grows nCells with the corpus and nprobe stays the serve-time dial.
+    * At 100 TB this is the standard IVF sizing rule: cells ∝ √n keeps
+    * per-cell size ∝ √n, and the probe cost nprobe·n/cells sub-linear. */
+  def scaledCells(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** IVF coarse-quantizer training (shared by llm3e and llm28c): k
     * deterministically hash-sampled seed vectors refined by `rounds` Lloyd
     * rounds. Assignment is cosine; cell means ride DECIMAL so the centroid
@@ -98,11 +108,13 @@ object LlmOps extends QueryModule {
     * RoundCheckpointer discipline); rounds is a TRAINING-time knob — the
     * probe path never pays for it, it just serves tighter cells (AnnSweep
     * r15: 4 rounds lifted probe recall@20 at nprobe=8 from 0.68 to 0.79
-    * mean with zero probe-time cost). Returns (cent_id, cent:
-    * array<float>). */
-  def ivfCentroids(e: DataFrame, k: Int = 16, rounds: Int = 4): DataFrame = {
+    * mean with zero probe-time cost). k ≤ 0 (the default) auto-scales the
+    * cell count to [[scaledCells]](n) — one metadata-cheap count() at
+    * build time. Returns (cent_id, cent: array<float>). */
+  def ivfCentroids(e: DataFrame, k: Int = 0, rounds: Int = 4): DataFrame = {
+    val kk = if (k > 0) k else scaledCells(e.count())
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
-    val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+    val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kk)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     (1 to rounds).foldLeft(seeds) { (cents, r) =>
       val means = e.crossJoin(broadcast(cents))
@@ -1091,19 +1103,25 @@ object LlmOps extends QueryModule {
         .limit(20)
     }),
 
-    // LLM-3e ⚠: IVF ANN — coarse quantizer of 16 centroids: deterministic
-    // hash-sampled seeds refined by Lloyd iterations (per-cell mean);
-    // every vector is assigned to its nearest centroid (inverted file =
-    // cell column), the query probes its nprobe=8 nearest cells and
-    // exact-cosine re-ranks only those candidates. At 100 TB the training
-    // runs on a hash-sample, the assignment is one broadcast-join pass and
-    // the probe reads ~nprobe/C of the corpus; rows-only + ApproxSpec
-    // recall floor.
+    // LLM-3e ⚠: IVF ANN — coarse quantizer of √n-scaled centroids
+    // (scaledCells, r18; floor 16): deterministic hash-sampled seeds
+    // refined by Lloyd iterations (per-cell mean); every vector is
+    // assigned to its nearest centroid (inverted file = cell column), the
+    // query probes its nprobe nearest cells and exact-cosine re-ranks
+    // only those candidates. nprobe is the SERVE dial: as the build
+    // scales cells with the corpus, this serving recipe holds the probed
+    // fraction at ~half the cells (min 8) — raising nprobe, not
+    // retraining, is how recall is bought back at scale. At 100 TB the
+    // training runs on a hash-sample, the assignment is one
+    // broadcast-join pass and the probe reads ~nprobe/C of the corpus;
+    // rows-only + ApproxSpec recall floor.
     "llm3e_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
       val cents = ivfCentroids(e)
+      // bounded driver scalar: the centroid table is ≤ √n rows
+      val nprobe = math.max(8, (cents.count() / 2).toInt)
       val ranked = e.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("embedding"), col("cent")))
         .withColumn("rn", row_number().over(w))
@@ -1113,7 +1131,7 @@ object LlmOps extends QueryModule {
         .localCheckpoint()  // reused for corpus cells AND query probe cells
       val corpus = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 8)
+      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= nprobe)
         .select(col("cent_id").as("cell"))
       val qEmb = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
