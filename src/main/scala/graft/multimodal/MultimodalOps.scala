@@ -182,6 +182,89 @@ object MultimodalOps extends QueryModule {
       }
   }
 
+  /** Deterministic REAL animated-GIF payloads (MM-2d): `frames` grayscale
+    * frames written through the JDK's ImageIO GIF *sequence* writer —
+    * ffmpeg is absent in-container, but GIF IS a genuine multi-frame
+    * video container the JDK both writes and parses, so this is the
+    * encodeWav/decodeWav dual for the video modality (the last fake
+    * decode tier after r17's audio work). Pixel (x, y) of frame f
+    * carries (id·5 + f·11 + x) mod 256 — closed-form, y-independent, so
+    * the DuckDB oracle replays the ground truth without a codec. Full
+    * frames, no disposal/delay metadata: each stored frame stands alone. */
+  def encodeGifBytes(id: Long, frames: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          r.setSample(x, y, 0, ((id * 5 + f * 11 + x) % 256).toInt); x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  val encodeGif = udf { (id: Long, frames: Int, w: Int, h: Int) =>
+    encodeGifBytes(id, frames, w, h)
+  }
+
+  /** REAL animated-GIF decode: ImageIO's GIF reader parses the container
+    * (frame count from the image directory, dims per frame, palette-
+    * indexed pixels read back through getRGB so values are the decoded
+    * COLORS, not palette indices). Aggregates across frames: a reader
+    * that drops frames, mis-sizes, or mangles the palette round-trip
+    * hash-mismatches the generator's closed form. Partition-local
+    * binary → struct, null on garbage — the [[decodePng]] posture. */
+  val decodeGifFrames = udf { payload: Array[Byte] =>
+    if (payload == null) null
+    else
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          var sum = 0L
+          var w = 0
+          var h = 0
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            w = img.getWidth
+            h = img.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+              y += 1
+            }
+            f += 1
+          }
+          reader.dispose()
+          (n, w, h, sum, sum.toDouble / (n.toLong * w * h))
+        }
+      } catch { case _: java.io.IOException => null }
+  }
+
   /** REAL pixel features from a decoded PNG: the 8-bin gray-value
     * histogram (bin = sample ÷ 32) — INTEGER features, so unlike
     * [[featuresStub]]'s float vector the result is exactly
@@ -344,6 +427,31 @@ object MultimodalOps extends QueryModule {
         .select(col("doc_id"), col("dec._1").as("sample_rate"),
           col("dec._2").as("n_samples"), col("dec._3").as("sum_pcm"),
           col("dec._4").as("min_pcm"), col("dec._5").as("max_pcm"))
+        .orderBy("doc_id")),
+
+    // MM-2d: REAL video-container decode — the video third of the corpus
+    // as genuine animated GIFs (ImageIO sequence writer: a real
+    // multi-frame container, the in-JDK stand-in for mp4/ffmpeg) parsed
+    // back by a genuine ImageIO multi-frame read: frame count from the
+    // container directory, dims per frame, pixel stats through the
+    // palette round-trip. The oracle recomputes the generator's closed
+    // form ((id·5 + f·11 + x) mod 256, y-independent), so a reader that
+    // drops frames, mis-sizes, or mangles the palette hash-mismatches.
+    // Encode and decode run partition-local in the scan projection;
+    // compressed bytes never shuffle (the mm2b/mm2c discipline —
+    // §2.13's video-decode stub caveat retires to the feature-vector
+    // stub only).
+    "mm2d_gif_decode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id"),
+          decodeGifFrames(encodeGif(col("doc_id"),
+            (pmod(col("doc_id"), lit(4)) + 2).cast("int"),
+            (pmod(col("doc_id"), lit(10)) + 8).cast("int"),
+            (pmod(col("doc_id"), lit(6)) + 8).cast("int"))).as("dec"))
+        .select(col("doc_id"), col("dec._1").as("n_frames"),
+          col("dec._2").as("width"), col("dec._3").as("height"),
+          col("dec._4").as("px_sum"), round(col("dec._5"), 6).as("mean_px"))
         .orderBy("doc_id")),
 
     // MM-3: resize — pure metadata arithmetic (halve, min 16), payload
@@ -559,6 +667,31 @@ object MultimodalOps extends QueryModule {
         |  CAST(any_value(n) AS BIGINT) AS n_samples,
         |  CAST(sum(v) AS BIGINT) AS sum_pcm,
         |  CAST(min(v) AS INT) AS min_pcm, CAST(max(v) AS INT) AS max_pcm
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the generator's closed-form ground truth: pixel (x, y) of frame f
+    // is (id·5 + f·11 + x) mod 256, y-independent — so the per-doc pixel
+    // sum is h · Σ_{f,x} v, over nf = id%4+2 frames of (id%10+8) ×
+    // (id%6+8); a container parse that drops a frame or mangles the
+    // palette round-trip cannot reproduce these integers
+    "mm2d_gif_decode" ->
+      """WITH a AS (SELECT doc_id,
+        |             CAST(doc_id % 4 + 2 AS INT) AS nf,
+        |             CAST(doc_id % 10 + 8 AS INT) AS w,
+        |             CAST(doc_id % 6 + 8 AS INT) AS h
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |s AS (SELECT doc_id, nf, w, h,
+        |        ((doc_id * 5 + f * 11 + x) % 256) AS v
+        |      FROM a, unnest(range(0, nf)) AS rf(f),
+        |              unnest(range(0, w)) AS rx(x))
+        |SELECT doc_id,
+        |  CAST(any_value(nf) AS INT) AS n_frames,
+        |  CAST(any_value(w) AS INT) AS width,
+        |  CAST(any_value(h) AS INT) AS height,
+        |  CAST(sum(v) * any_value(h) AS BIGINT) AS px_sum,
+        |  round(CAST(sum(v) * any_value(h) AS DOUBLE) /
+        |        (any_value(nf) * any_value(w) * any_value(h)), 6)
+        |    AS mean_px
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "mm7_media_dedup" ->

@@ -176,6 +176,32 @@ class GoldenValueSpec extends SparkSpec {
     assert(junk.isNullAt(0), "garbage must decode to null")
   }
 
+  test("mm2d GIF round trip: ImageIO sequence-written animated GIF " +
+      "decodes to the generator's exact frame count, dims, and pixel " +
+      "sum through the palette round-trip; garbage is null") {
+    val s = spark
+    import s.implicits._
+    // id=8 → nf=4, w=18, h=14; pixel (x,y) of frame f = (8·5+f·11+x)%256
+    val expected = (0 until 4).flatMap(f => (0 until 18).map(x =>
+      ((8L * 5 + f * 11 + x) % 256))).sum * 14
+    val row = Seq((8L, 4, 18, 14)).toDF("id", "nf", "w", "h")
+      .select(MultimodalOps.decodeGifFrames(
+        MultimodalOps.encodeGif(col("id"), col("nf"), col("w"), col("h")))
+        .as("dec"))
+      .select("dec._1", "dec._2", "dec._3", "dec._4")
+      .collect().head
+    assert(row.getInt(0) === 4, "frame count must come from the container")
+    assert(row.getInt(1) === 18 && row.getInt(2) === 14,
+      "dims must survive the parse")
+    assert(row.getLong(3) === expected,
+      "pixel sum must survive the palette round-trip exactly")
+    val junk = Seq("not a gif").toDF("t")
+      .select(MultimodalOps.decodeGifFrames(col("t").cast("binary"))
+        .as("dec"))
+      .collect().head
+    assert(junk.isNullAt(0), "garbage must decode to null")
+  }
+
   test("mm2b PNG round trip: real encode → real decode recovers the " +
       "generator's exact dimensions and pixel sum; garbage decodes to null") {
     val s = spark
