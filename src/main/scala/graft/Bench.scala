@@ -51,7 +51,17 @@ object Bench {
     // localCheckpoint blocks so late-alphabet queries don't time under the
     // eviction+GC pressure of ~170 predecessors. Each query is an
     // independent measurement; the mig stage memo is pinned and survives.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // median-of-3: this box swings ±25% on totals run-to-run (VERDICT r8
+    // #2) — three runs and the median separates real plan regressions
+    // from JIT/GC noise better than best-of-2's min. The first run still
+    // pays codegen/JIT; the median discards it unless all runs agree.
+    // The max−min SPREAD of the three rides along per query (r15 #7):
+    // a cross-round mover whose spread swallows the delta is
+    // environment, not plan — regressions become attributable without
+    // re-timing.
+    def measure(name: String,
+                fn: (org.apache.spark.sql.SparkSession, String) =>
+                  org.apache.spark.sql.DataFrame): (Double, Double) = {
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -61,24 +71,53 @@ object Bench {
         }
         finally BlockHygiene.dropUnpinned(spark)
       }
-      // median-of-3: this box swings ±25% on totals run-to-run (VERDICT r8
-      // #2) — three runs and the median separates real plan regressions
-      // from JIT/GC noise better than best-of-2's min. The first run still
-      // pays codegen/JIT; the median discards it unless all runs agree.
-      // The max−min SPREAD of the three rides along per query (r15 #7):
-      // a cross-round mover whose spread swallows the delta is
-      // environment, not plan — regressions become attributable without
-      // re-timing.
       val r1 = once()
       val r2 = if (r1 < 0) -1.0 else once()
       val r3 = if (r2 < 0) -1.0 else once()
       val runs = Seq(r1, r2, r3)
       val sec = if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1)
+      // RAW max−min spread (the median does not sit at the midpoint of
+      // the three runs, so a ± form would under-read drift)
       val spread = if (sec < 0) -1.0 else runs.max - runs.min
-      // print the RAW max−min spread (the median does not sit at the
-      // midpoint of the three runs, so a ± form would under-read drift)
+      (sec, spread)
+    }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (sec, spread) = measure(name, fn)
       System.err.println(f"[bench] $name%-28s ${if (sec >= 0) f"$sec%8.2f s (spread $spread%.2f)" else "FAILED"}")
       (name, sec, spread)
+    }
+    // Canary gate (r18, VERDICT r17 #7): the r15-r17 spread column
+    // DIAGNOSED host noise after the fact; this acts on it before the
+    // artifact is written. If the scan1_parquet canary (a pure parquet
+    // count whose cost never changes round-to-round; idle-host floor
+    // ~0.10 s at sf0.1, BENCH_NOTES) exceeds 2× its floor, or the
+    // session's median relative spread exceeds 0.3, every spiked query
+    // (rel-spread > 0.5) is re-measured with a fresh median-of-3 and the
+    // CLEANER attempt — the one with the smaller spread, NOT the faster
+    // one — replaces it. Picking by spread keeps the gate unbiased: a
+    // genuinely slow plan re-times slow with a tight spread and stays.
+    def medianRelSpread(rs: Seq[(String, Double, Double)]): Double = {
+      val rel = rs.collect { case (_, v, sp) if v >= 0.05 => sp / v }.sorted
+      if (rel.isEmpty) 0.0 else rel(rel.size / 2)
+    }
+    val canary = firstPass.collectFirst {
+      case ("scan1_parquet", v, _) if v >= 0 => v }
+    val gateTripped = canary.exists(_ > 0.20) ||
+      medianRelSpread(firstPass) > 0.3
+    val results = if (!gateTripped) firstPass else {
+      System.err.println(
+        f"[bench] canary gate TRIPPED (scan1 ${canary.getOrElse(-1.0)}%.3f s, " +
+          f"noise ${medianRelSpread(firstPass)}%.3f) — re-measuring spiked queries")
+      firstPass.map {
+        case r @ (name, sec, spread) if sec >= 0.05 && spread / sec > 0.5 =>
+          val (sec2, spread2) = measure(name, selected(name))
+          val keep = if (sec2 >= 0 && spread2 < spread) (name, sec2, spread2)
+                     else r
+          System.err.println(f"[bench] $name%-28s re-measured " +
+            f"${keep._2}%8.2f s (spread ${keep._3}%.2f; was $sec%.2f/$spread%.2f)")
+          keep
+        case r => r
+      }
     }
     val nFail = results.count(_._2 < 0)
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
