@@ -265,6 +265,119 @@ object MultimodalOps extends QueryModule {
       } catch { case _: java.io.IOException => null }
   }
 
+  /** REAL cross-modal feature extraction (MM-5c, r18): one dense float
+    * vector per media payload computed from GENUINELY decoded samples —
+    * the container is sniffed from its magic bytes (PNG / RIFF-WAVE /
+    * GIF8) and decoded through the same JDK codec the mm2b/2c/2d tiers
+    * pin, then four lanes summarize the sample distribution: normalized
+    * mean, min, max, and mean-square (energy). Every lane is an exact
+    * integer sum narrowed by fixed-order double divisions, so the DuckDB
+    * oracle replays the float32 vector bit-for-bit from the generators'
+    * closed forms — this retires §2.13's last stub ([[featuresStub]]
+    * stays only as the declared byte-stat tier mm5 documents). null for
+    * unrecognized or undecodable payloads, like [[decodePng]].
+    * Partition-local binary → (modality, vector); bytes never shuffle. */
+  val realFeatures = udf { payload: Array[Byte] =>
+    // fixed division order (sum / n / norm) — the oracle mirrors it
+    def lanes(n: Long, sum: Long, sumSq: Long, mn: Long, mx: Long,
+              norm: Double): Array[Float] =
+      Array((sum.toDouble / n / norm).toFloat, (mn / norm).toFloat,
+        (mx / norm).toFloat,
+        (sumSq.toDouble / n / norm / norm).toFloat)
+    if (payload == null || payload.length < 8) null
+    else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P') {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) null
+      else {
+        val r = img.getRaster
+        var (sum, sumSq) = (0L, 0L)
+        var (mn, mx) = (255L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = r.getSample(x, y, 0).toLong
+            sum += v; sumSq += v * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        ("image",
+          lanes(img.getWidth.toLong * img.getHeight, sum, sumSq, mn, mx,
+            255.0))
+      }
+    } else if (payload(0) == 'R' && payload(1) == 'I' &&
+               payload(2) == 'F' && payload(3) == 'F') {
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) null
+        else {
+          val n = bytes.length / 2
+          var (sum, sumSq) = (0L, 0L)
+          var (mn, mx) = (Long.MaxValue, Long.MinValue)
+          var i = 0
+          while (i < n) {
+            val v: Long =
+              if (fmt.isBigEndian)
+                ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toLong
+              else
+                ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+            sum += v; sumSq += v * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          ("audio", lanes(n.toLong, sum, sumSq, mn, mx, 32768.0))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    } else if (payload(0) == 'G' && payload(1) == 'I' &&
+               payload(2) == 'F' && payload(3) == '8') {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          reader.setInput(iis, false, true)
+          val nImg = reader.getNumImages(true)
+          var n = 0L
+          var (sum, sumSq) = (0L, 0L)
+          var (mn, mx) = (255L, 0L)
+          var f = 0
+          while (f < nImg) {
+            val img = reader.read(f)
+            n += img.getWidth.toLong * img.getHeight
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = (img.getRGB(x, y) & 0xff).toLong
+                sum += v; sumSq += v * v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            f += 1
+          }
+          reader.dispose()
+          ("video", lanes(n, sum, sumSq, mn, mx, 255.0))
+        }
+      } catch { case _: java.io.IOException => null }
+    } else null
+  }
+
   /** REAL pixel features from a decoded PNG: the 8-bin gray-value
     * histogram (bin = sample ÷ 32) — INTEGER features, so unlike
     * [[featuresStub]]'s float vector the result is exactly
@@ -488,6 +601,39 @@ object MultimodalOps extends QueryModule {
           round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
         .orderBy("doc_id")),
 
+    // MM-5c: REAL cross-modal feature extraction — every doc's payload is
+    // a genuine container for its modality (PNG / RIFF-WAVE / animated
+    // GIF, the three real codec tiers), sniffed by magic bytes and
+    // decoded through the JDK codecs; the 4-lane vector (normalized
+    // mean/min/max/mean-square over decoded samples) is integer-exact
+    // under the hood, so the oracle replays the float32 lanes bit-for-bit
+    // from the generators' closed forms. This is §2.13's feature-vector
+    // stub retired: real features from real decodes, one partition-local
+    // projection, bytes never shuffle.
+    "mm5c_real_features" -> ((s, d) => {
+      val m = pmod(col("doc_id"), lit(3))
+      val payload = when(m === 0,
+          encodePng(col("doc_id"),
+            (pmod(col("doc_id"), lit(16)) + 8).cast("int"),
+            (pmod(col("doc_id"), lit(12)) + 8).cast("int")))
+        .when(m === 1,
+          encodeWav(col("doc_id"),
+            (pmod(col("doc_id"), lit(40)) + 20).cast("int"), lit(8000)))
+        .otherwise(
+          encodeGif(col("doc_id"),
+            (pmod(col("doc_id"), lit(4)) + 2).cast("int"),
+            (pmod(col("doc_id"), lit(10)) + 8).cast("int"),
+            (pmod(col("doc_id"), lit(6)) + 8).cast("int")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), realFeatures(payload).as("f"))
+        .select(col("doc_id"), col("f._1").as("modality"),
+          round(element_at(col("f._2"), 1).cast("double"), 5).as("f_mean"),
+          round(element_at(col("f._2"), 2).cast("double"), 5).as("f_min"),
+          round(element_at(col("f._2"), 3).cast("double"), 5).as("f_max"),
+          round(element_at(col("f._2"), 4).cast("double"), 5).as("f_msq"))
+        .orderBy("doc_id")
+    }),
+
     // MM-5b: REAL pixel features — the 8-bin gray histogram of each
     // decoded PNG, exploded to (doc_id, bin, n_px) rows. Integer
     // end-to-end, so the oracle recomputes the exact bin counts from the
@@ -652,6 +798,45 @@ object MultimodalOps extends QueryModule {
         |  round(CAST(CAST(CAST(s0 AS DOUBLE) / 255.0 / n * 8 AS REAL)
         |             AS DOUBLE), 5) AS f0
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    // the three generators' closed forms (PNG gradient, WAV PCM formula,
+    // GIF frame formula) replayed as weighted integer sums; the float32
+    // lane narrowing mirrors the engine's fixed division order
+    // (sum / n / norm), so all four lanes hash-match bit-for-bit
+    "mm5c_real_features" ->
+      """WITH base AS (
+        |  SELECT doc_id, 'image' AS modality, 255.0 AS norm,
+        |         (doc_id + x) % 256 AS v,
+        |         CAST(doc_id % 12 + 8 AS BIGINT) AS wt
+        |  FROM documents,
+        |       unnest(range(0, CAST(doc_id % 16 + 8 AS INT))) AS rx(x)
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'audio', 32768.0,
+        |         ((doc_id * 31 + i * 17) % 65536) - 32768,
+        |         CAST(1 AS BIGINT)
+        |  FROM documents,
+        |       unnest(range(0, CAST(doc_id % 40 + 20 AS INT))) AS ri(i)
+        |  WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'video', 255.0,
+        |         (doc_id * 5 + f * 11 + x) % 256,
+        |         CAST(doc_id % 6 + 8 AS BIGINT)
+        |  FROM documents,
+        |       unnest(range(0, CAST(doc_id % 4 + 2 AS INT))) AS rf(f),
+        |       unnest(range(0, CAST(doc_id % 10 + 8 AS INT))) AS rx(x)
+        |  WHERE doc_id % 3 = 2)
+        |SELECT doc_id, any_value(modality) AS modality,
+        |  round(CAST(CAST(CAST(sum(v * wt) AS DOUBLE) / sum(wt)
+        |             / any_value(norm) AS REAL) AS DOUBLE), 5) AS f_mean,
+        |  round(CAST(CAST(min(v) / any_value(norm) AS REAL)
+        |             AS DOUBLE), 5) AS f_min,
+        |  round(CAST(CAST(max(v) / any_value(norm) AS REAL)
+        |             AS DOUBLE), 5) AS f_max,
+        |  round(CAST(CAST(CAST(sum(v * v * wt) AS DOUBLE) / sum(wt)
+        |             / any_value(norm) / any_value(norm) AS REAL)
+        |             AS DOUBLE), 5) AS f_msq
+        |FROM base GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the generator's closed-form ground truth: sample i of doc id is
     // ((id·31 + i·17) mod 65536) − 32768 over n = id mod 40 + 20 samples
