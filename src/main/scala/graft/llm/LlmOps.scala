@@ -1119,7 +1119,11 @@ object LlmOps extends QueryModule {
       val e = Tables.embeddings(s, d)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
-      val cents = ivfCentroids(e)
+      // checkpoint the trained quantizer ONCE: the nprobe count() below
+      // and the broadcast crossJoin both consume it — without this the
+      // count would run the 4-round training and the join would run it
+      // a second time
+      val cents = ivfCentroids(e).localCheckpoint()
       // bounded driver scalar: the centroid table is ≤ √n rows
       val nprobe = math.max(8, (cents.count() / 2).toInt)
       val ranked = e.crossJoin(broadcast(cents))
