@@ -79,7 +79,11 @@ object AnnSweep {
       // training artifact instead of re-running k-means per k
       graft.llm.LlmOps.ivfpqBuild(train = e,
         index = e.filter(col("vec_id") =!= 0), st,
-        cents0 = Some(graft.llm.LlmOps.ivfCentroids(e, k = k)),
+        // checkpoint: ivfpqBuild consumes cents twice (store write + the
+        // assignment crossJoin) — uncheckpointed, the k-means would run
+        // twice per k
+        cents0 = Some(graft.llm.LlmOps.ivfCentroids(e, k = k)
+          .localCheckpoint()),
         codebook0 = Some(graft.llm.LlmOps.memoCodebook(s, d, 8)))
       for (nprobe <- Seq(8, k / 2).distinct; shortlist <- Seq(200)) {
         val t0 = System.nanoTime()

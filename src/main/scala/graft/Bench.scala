@@ -106,8 +106,9 @@ object Bench {
       medianRelSpread(firstPass) > 0.3
     val results = if (!gateTripped) firstPass else {
       System.err.println(
-        f"[bench] canary gate TRIPPED (scan1 ${canary.getOrElse(-1.0)}%.3f s, " +
-          f"noise ${medianRelSpread(firstPass)}%.3f) — re-measuring spiked queries")
+        "[bench] canary gate TRIPPED (" +
+          canary.map(v => f"scan1 $v%.3f s").getOrElse("scan1 not in set") +
+          f", noise ${medianRelSpread(firstPass)}%.3f) — re-measuring spiked queries")
       firstPass.map {
         case r @ (name, sec, spread) if sec >= 0.05 && spread / sec > 0.5 =>
           val (sec2, spread2) = measure(name, selected(name))
