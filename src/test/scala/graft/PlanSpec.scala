@@ -173,6 +173,41 @@ class PlanSpec extends SparkSpec {
       s"text must not cross an exchange; shuffled columns: $shuffled")
   }
 
+  test("llm3b: LSH ANN serve — query index broadcast-semi-joins and no " +
+      "exchange ever carries an embedding vector") {
+    val df = SparkEntry.queries("llm3b_ann_lsh")(spark, Sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the query's (table, bucket) probe set is tiny by construction
+    // (tables × 1 row) — it must reach the corpus index as a broadcast
+    // LeftSemi, never a shuffle join of the full signature table
+    assert(p.contains("LeftSemi"),
+      s"candidate selection must be a semi join:\n$p")
+    // only candidate IDS may shuffle (the distinct); the 64-float
+    // embedding vectors re-attach by broadcast/semi on vec_id and must
+    // never cross an exchange — at 100 TB that is the difference between
+    // shuffling 8 B/row and 256 B/row
+    val shuffled = shuffledColumns(df.queryExecution.executedPlan)
+    assert(!shuffled.exists(_.contains("embedding")),
+      s"embeddings must not cross an exchange; shuffled: $shuffled")
+  }
+
+  test("mm5c: cross-modal features — the scan reads doc_id ONLY and no " +
+      "exchange carries a media payload") {
+    val df = SparkEntry.queries("mm5c_real_features")(spark, Sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // payloads are synthesized and decoded inside the scan projection
+    // (partition-local codecs): the parquet scan must prune every column
+    // but doc_id, and no compressed bytes may ever reach an exchange —
+    // the posture that makes the decode tier viable at 100 TB of media
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan must read only doc_id:\n$p")
+    val shuffled = shuffledColumns(df.queryExecution.executedPlan)
+    assert(!shuffled.exists(c => c.contains("payload") || c == "f"),
+      s"payload bytes must not cross an exchange; shuffled: $shuffled")
+  }
+
   test("llm9: dedup semi-join ships ids only; text is never joined on") {
     val df = SparkEntry.queries("llm9_pipeline")(spark, Sf0001)
     df.count()
