@@ -49,7 +49,15 @@ object AnnSweep {
       ("residual", graft.llm.LlmOps.memoIvfpqStoreResidual(s, d), true))
     println(f"${"store"}%-9s ${"nprobe"}%6s ${"short"}%5s " +
       f"${"recall@20(q0)"}%14s ${"mean recall@20"}%15s ${"ms/probe"}%9s")
-    for ((label, store, residual) <- stores; nprobe <- Seq(4, 6, 8, 12);
+    // the grid includes the PRODUCTION serve point (half the store's
+    // cells, min 8 — llm3e's r18 recipe) so the sweep always measures
+    // what the declared queries actually run, at any scaled cell count
+    val halfCells = stores.map { case (label, store, _) =>
+      label -> math.max(8,
+        (s.read.parquet(s"$store/centroids").count() / 2).toInt)
+    }.toMap
+    for ((label, store, residual) <- stores;
+         nprobe <- (Seq(4, 6, 8, 12) :+ halfCells(label)).distinct.sorted;
          shortlist <- Seq(100, 200, 400)) {
       val t0 = System.nanoTime()
       val recalls = (0L until NQ.toLong).map { q =>
