@@ -20,9 +20,18 @@ object OracleArtifacts {
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** sf-dir → filesystem-safe token: "/root/testdata/sf0.01" → "sf0_01". */
-  def sfTok(d: String): String =
-    d.stripSuffix("/").split('/').last.replaceAll("[^A-Za-z0-9]", "_")
+  /** sf-dir → filesystem-safe token: readable basename + a short hash of
+    * the FULL path ("/root/testdata/sf0.01" → "sf0_01_xxxxxxxx"). The
+    * hash matters: keying on the basename alone would collide two lakes
+    * with the same leaf name (/root/testdata/sf0.01 vs /mnt/regen/sf0.01)
+    * — the dump memos key on the full dir so BOTH would run, the second
+    * silently overwriting the first's replay bytes. Same discrimination
+    * rule as [[graft.operators.Scans.dirTag]], kept readable. */
+  def sfTok(d: String): String = {
+    val dir = d.stripSuffix("/")
+    dir.split('/').last.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + graft.operators.Scans.dirTag(dir)
+  }
 
   /** The tokened dump path for artifact `name` trained on sf-dir `d`;
     * records it for [[path]] and returns it. */

@@ -233,36 +233,43 @@ object MultimodalOps extends QueryModule {
     * binary → struct, null on garbage — the [[decodePng]] posture. */
   val decodeGifFrames = udf { payload: Array[Byte] =>
     if (payload == null) null
-    else
+    else {
+      // close the ImageInputStream on EVERY path: with ImageIO's default
+      // disk cache it is temp-file-backed, and a per-row leak only
+      // reclaimed by finalizers would exhaust tmpdir/fds across a long
+      // Verify/Bench session
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) null
         else {
           val reader = readers.next()
-          reader.setInput(iis, false, true)
-          val n = reader.getNumImages(true)
-          var sum = 0L
-          var w = 0
-          var h = 0
-          var f = 0
-          while (f < n) {
-            val img = reader.read(f)
-            w = img.getWidth
-            h = img.getHeight
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
-              y += 1
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            var sum = 0L
+            var w = 0
+            var h = 0
+            var f = 0
+            while (f < n) {
+              val img = reader.read(f)
+              w = img.getWidth
+              h = img.getHeight
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+                y += 1
+              }
+              f += 1
             }
-            f += 1
-          }
-          reader.dispose()
-          (n, w, h, sum, sum.toDouble / (n.toLong * w * h))
+            (n, w, h, sum, sum.toDouble / (n.toLong * w * h))
+          } finally reader.dispose()
         }
       } catch { case _: java.io.IOException => null }
+      finally iis.close()
+    }
   }
 
   /** REAL cross-modal feature extraction (MM-5c, r18): one dense float
@@ -286,29 +293,34 @@ object MultimodalOps extends QueryModule {
         (sumSq.toDouble / n / norm / norm).toFloat)
     if (payload == null || payload.length < 8) null
     else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P') {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
-      if (img == null) null
-      else {
-        val r = img.getRaster
-        var (sum, sumSq) = (0L, 0L)
-        var (mn, mx) = (255L, 0L)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val v = r.getSample(x, y, 0).toLong
-            sum += v; sumSq += v * v
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            x += 1
+      // try/catch like the sibling branches: a payload wearing PNG magic
+      // with a corrupt body (truncated IDAT, bad CRC) throws from
+      // ImageIO.read — the contract is garbage → null, not a dead task
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) null
+        else {
+          val r = img.getRaster
+          var (sum, sumSq) = (0L, 0L)
+          var (mn, mx) = (255L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = r.getSample(x, y, 0).toLong
+              sum += v; sumSq += v * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          ("image",
+            lanes(img.getWidth.toLong * img.getHeight, sum, sumSq, mn, mx,
+              255.0))
         }
-        ("image",
-          lanes(img.getWidth.toLong * img.getHeight, sum, sumSq, mn, mx,
-            255.0))
-      }
+      } catch { case _: java.io.IOException => null }
     } else if (payload(0) == 'R' && payload(1) == 'I' &&
                payload(2) == 'F' && payload(3) == 'F') {
       try {
@@ -341,40 +353,44 @@ object MultimodalOps extends QueryModule {
       }
     } else if (payload(0) == 'G' && payload(1) == 'I' &&
                payload(2) == 'F' && payload(3) == '8') {
+      // iis closed on every path — same temp-file-cache leak note as
+      // [[decodeGifFrames]]
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) null
         else {
           val reader = readers.next()
-          reader.setInput(iis, false, true)
-          val nImg = reader.getNumImages(true)
-          var n = 0L
-          var (sum, sumSq) = (0L, 0L)
-          var (mn, mx) = (255L, 0L)
-          var f = 0
-          while (f < nImg) {
-            val img = reader.read(f)
-            n += img.getWidth.toLong * img.getHeight
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val v = (img.getRGB(x, y) & 0xff).toLong
-                sum += v; sumSq += v * v
-                if (v < mn) mn = v
-                if (v > mx) mx = v
-                x += 1
+          try {
+            reader.setInput(iis, false, true)
+            val nImg = reader.getNumImages(true)
+            var n = 0L
+            var (sum, sumSq) = (0L, 0L)
+            var (mn, mx) = (255L, 0L)
+            var f = 0
+            while (f < nImg) {
+              val img = reader.read(f)
+              n += img.getWidth.toLong * img.getHeight
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val v = (img.getRGB(x, y) & 0xff).toLong
+                  sum += v; sumSq += v * v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              f += 1
             }
-            f += 1
-          }
-          reader.dispose()
-          ("video", lanes(n, sum, sumSq, mn, mx, 255.0))
+            ("video", lanes(n, sum, sumSq, mn, mx, 255.0))
+          } finally reader.dispose()
         }
       } catch { case _: java.io.IOException => null }
+      finally iis.close()
     } else null
   }
 

@@ -822,8 +822,12 @@ object StreamOps extends QueryModule {
       // cells, the silent recall collapse this guard exists to prevent).
       // On replay the tag short-circuits the fit entirely.
       val ids = codes.select("vec_id").distinct()
+      // checkpoint the join ONCE: ivfCentroids consumes vecs for its
+      // auto-scale count plus one crossJoin per Lloyd round, and the
+      // step-2 reassignment scans it again — uncheckpointed, each of
+      // those would re-execute the corpus⋈ids join
       val vecs = corpus.select(col("vec_id"), col("embedding"))
-        .join(ids, "vec_id")
+        .join(ids, "vec_id").localCheckpoint()
       if (VersionedStore.lastTxn(gdir, retrainApp).forall(_ < txnId))
         VersionedStore.commitTxn(
           graft.llm.LlmOps.ivfCentroids(vecs), gdir, retrainApp, txnId)

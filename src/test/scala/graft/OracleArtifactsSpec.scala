@@ -7,12 +7,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * bytes — exactly the race it exists to close. Pin the path algebra. */
 class OracleArtifactsSpec extends AnyFunSuite {
 
-  test("sfTok: last path segment, filesystem-safe, trailing-slash-proof") {
-    assert(OracleArtifacts.sfTok("/root/testdata/sf0.01") === "sf0_01")
-    assert(OracleArtifacts.sfTok("/root/testdata/sf0.01/") === "sf0_01")
-    assert(OracleArtifacts.sfTok("/a/b/sf0.001") === "sf0_001")
+  test("sfTok: readable basename + full-path hash, trailing-slash-proof") {
+    assert(OracleArtifacts.sfTok("/root/testdata/sf0.01")
+      .startsWith("sf0_01_"))
+    // trailing slash must not change the token (memo keys carry the dir
+    // as passed; the dump path must not fork on cosmetics)
+    assert(OracleArtifacts.sfTok("/root/testdata/sf0.01/") ===
+      OracleArtifacts.sfTok("/root/testdata/sf0.01"))
     // distinct SFs must never collide after sanitization
-    assert(OracleArtifacts.sfTok("/x/sf0.1") !== OracleArtifacts.sfTok("/x/sf0.01"))
+    assert(OracleArtifacts.sfTok("/x/sf0.1") !==
+      OracleArtifacts.sfTok("/x/sf0.01"))
+    // SAME basename under different parents must not collide either —
+    // two lakes named sf0.01 would otherwise overwrite each other's
+    // replay bytes (the cross-contamination dirTag exists to prevent)
+    assert(OracleArtifacts.sfTok("/root/testdata/sf0.01") !==
+      OracleArtifacts.sfTok("/mnt/regen/sf0.01"))
   }
 
   test("record embeds the token and wins over the un-tokened fallback") {
@@ -22,12 +31,11 @@ class OracleArtifactsSpec extends AnyFunSuite {
     assert(OracleArtifacts.path(name) === s"$sink/$name",
       "unrecorded artifact must fall back to the legacy un-tokened path")
     val p = OracleArtifacts.record(name, "/root/testdata/sf0.01")
-    assert(p === s"$sink/${name}_sf0_01")
+    assert(p === s"$sink/${name}_${OracleArtifacts.sfTok("/root/testdata/sf0.01")}")
     assert(OracleArtifacts.path(name) === p,
       "the oracle must read the path the dump recorded")
     // a later dump for another SF re-points the oracle at ITS bytes
     val p2 = OracleArtifacts.record(name, "/root/testdata/sf0.001")
-    assert(p2 === s"$sink/${name}_sf0_001")
     assert(OracleArtifacts.path(name) === p2)
     assert(p !== p2, "different SFs must dump to different dirs")
   }
