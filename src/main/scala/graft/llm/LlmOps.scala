@@ -1718,6 +1718,42 @@ object LlmOps extends QueryModule {
         .orderBy("pred_lang")
     }),
 
+    // LLM-52 (r18): token-budget FILL — the execution step of the
+    // mixture plan llm42 produces: within each source, keep the
+    // highest-quality documents, in quality order, until the per-source
+    // token budget fills (a doc is kept iff the running total THROUGH it
+    // is within budget — the deterministic greedy cut every production
+    // data recipe uses to hit "N tokens of domain X"). Quality reuses
+    // the declared chars-per-token density (the llm6 gate's prose
+    // signal), so this op is about BUDGETING, not scoring; ordering is
+    // (quality DESC, doc_id) — fully deterministic. Scale shape: ONE
+    // hash partition by source and a per-source prefix sum — each
+    // source sorts only its own docs in parallel (no global sort, no
+    // driver state); a skew-heavy source pays its own sort, and a 100 TB
+    // deployment that can tolerate an approximate boundary can swap the
+    // exact prefix scan for a two-pass quality-histogram cutoff (find
+    // the threshold from a 1k-bucket histogram, then a stateless
+    // filter) — the exact form is declared because the oracle can
+    // replay it verbatim.
+    "llm52_token_budget_fill" -> ((s, d) => {
+      val budget = 4000L
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          (col("n_chars").cast("double") /
+            size(split(col("text"), " "))).as("quality"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") <= budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_kept"),
+          sum("n_tokens").as("tokens_kept"),
+          round(min("quality"), 6).as("quality_cutoff"))
+        .orderBy("source")
+    }),
+
     // LLM-19: domain-mixture reweighting — per-language token shares vs a
     // broadcast target mixture; weight = target_share / actual_share is
     // the multiplier a sampler applies to hit the target mix. The global
@@ -4167,6 +4203,25 @@ object LlmOps extends QueryModule {
         |    > 1000000) AS upsampled
         |FROM per JOIN t ON per.pred_lang = t.pred_lang
         |ORDER BY per.pred_lang""".stripMargin,
+
+    // replays the greedy budget cut exactly: same quality metric
+    // (chars-per-token in double), same (q DESC, doc_id) order, same
+    // running-total-through-the-doc ≤ budget rule
+    "llm52_token_budget_fill" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))
+        |           AS q
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens, q,
+        |        sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+        |  round(min(q), 6) AS quality_cutoff
+        |FROM c WHERE cum <= 4000 GROUP BY source ORDER BY source""".stripMargin,
 
     // same llm7 language heuristic; shares and weights in double precision
     "llm19_mix_weights" ->
