@@ -2309,6 +2309,42 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // LLM-53 (r18): CCNet perplexity buckets (Wenzek et al. '20,
+    // arXiv:1911.00359) — the head/middle/tail split CCNet uses to
+    // stratify a crawl by LM quality per language: score every doc with
+    // the corpus unigram LM (llm24's metric, 6-dp rounded so both
+    // engines agree at tie boundaries), then per-language TERCILES by
+    // (logprob DESC, doc_id) — head = least perplex third, the slice
+    // high-quality recipes keep; tail = the candidate discard. ntile is
+    // SQL-standard in both engines (equal thirds, remainder leading), so
+    // the assignment replays verbatim. Scale shape: the LM is one
+    // token-grain agg, the split is a per-language window — partition-
+    // parallel like llm52; production CCNet assigns against percentile
+    // THRESHOLDS from a histogram (stateless second pass), the exact
+    // windowed form is declared because the oracle can replay it.
+    "llm53_ccnet_buckets" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .localCheckpoint()
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val total = uni.agg(sum("n").cast("double").as("total"))
+      val scored = toks.join(uni, "tok").crossJoin(total)
+        .groupBy("doc_id")
+        .agg(round(avg(log(col("n").cast("double") / col("total"))), 6)
+          .as("logprob"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("logprob").desc, col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(scored, "doc_id")
+        .withColumn("bucket",
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            ntile(3).over(w)))
+        .select("doc_id", "lang", "logprob", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // LLM-25: k-anonymity gate — before releasing a training corpus, every
     // (quasi-identifier) combination must cover >= k individuals or the
     // rows are flagged for suppression (the aggregate-side complement of
@@ -4340,6 +4376,28 @@ object LlmOps extends QueryModule {
         |  round(avg(ln(CAST(n AS DOUBLE) / total)), 6) AS logprob
         |FROM t2 JOIN uni USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same unigram-LM scoring CTEs as llm24, then per-language terciles
+    // by (logprob DESC, doc_id) — SQL-standard ntile on both engines
+    "llm53_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |uni AS (SELECT tok, count(*) AS n FROM t2 GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM uni),
+        |scored AS (
+        |  SELECT doc_id, round(avg(ln(CAST(n AS DOUBLE) / total)), 6)
+        |           AS logprob
+        |  FROM t2 JOIN uni USING (tok) CROSS JOIN tot GROUP BY doc_id),
+        |b AS (SELECT d.doc_id, d.lang, s.logprob,
+        |        ntile(3) OVER (PARTITION BY d.lang
+        |          ORDER BY s.logprob DESC, d.doc_id) AS nt
+        |      FROM documents d JOIN scored s USING (doc_id))
+        |SELECT doc_id, lang, logprob,
+        |  (['head', 'middle', 'tail'])[nt] AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "llm25_k_anonymity" ->
       """WITH docs AS (
