@@ -291,6 +291,36 @@ object LlmOps extends QueryModule {
         .cast("double"), 6).as("bm25"))
   }
 
+  /** Per-doc unigram-LM quality scores (doc_id, lang, n_tok, logprob) —
+    * the corpus LM both llm24 (quality score) and llm53 (CCNet buckets)
+    * consume, StageMemo'd per (session, sf-dir) so the tokenize + LM agg
+    * runs once, not per query × median-of-3. Shuffle discipline: tokens
+    * join their corpus counts on xxhash64(tok) — 8 B keys on the exchange,
+    * never the ~10 B token strings (llm32b's trick; same collision caveat,
+    * ~vocab²/2⁶⁴, zero at any tested SF and deterministic either way — the
+    * DuckDB oracle groups the strings and hash-matches). The unigram table
+    * is O(vocab) and deliberately NOT force-broadcast (real vocabularies
+    * reach 10^8+; AQE broadcasts when it fits). logprob rounds to 6 dp so
+    * both engines agree at rank-tie boundaries. */
+  private def lmScores(s: SparkSession, d: String): DataFrame =
+    graft.StageMemo.frame(s, s"llm24.lmscores.$d")(lmScoresBuild(s, d))
+
+  private def lmScoresBuild(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("lang"), xxhash64(col("tok")).as("th"))
+      .localCheckpoint() // uni and the scoring join both consume the chain
+    val uni = toks.groupBy("th").agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum("n").cast("double").as("total"))
+    toks.join(uni, "th").crossJoin(total)
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(log(col("n").cast("double") / col("total"))), 6)
+          .as("logprob"))
+  }
+
   /** Winnowing fingerprint extraction (llm51's row-local half, public so
     * ApproxSpec can pin the SIGMOD'03 guarantee on planted duplicates):
     * word 3-gram md5 hashes, w=4 window minima, distinct set, exploded
@@ -1726,27 +1756,41 @@ object LlmOps extends QueryModule {
     // data recipe uses to hit "N tokens of domain X"). Quality reuses
     // the declared chars-per-token density (the llm6 gate's prose
     // signal), so this op is about BUDGETING, not scoring; ordering is
-    // (quality DESC, doc_id) — fully deterministic. Scale shape: ONE
-    // hash partition by source and a per-source prefix sum — each
-    // source sorts only its own docs in parallel (no global sort, no
-    // driver state); a skew-heavy source pays its own sort, and a 100 TB
-    // deployment that can tolerate an approximate boundary can swap the
-    // exact prefix scan for a two-pass quality-histogram cutoff (find
-    // the threshold from a 1k-bucket histogram, then a stateless
-    // filter) — the exact form is declared because the oracle can
-    // replay it verbatim.
+    // (quality DESC, doc_id) — fully deterministic. Scale shape
+    // (re-planned r19): a per-source prefix sum via ONE window keyed by
+    // source puts a dominant source (half of CommonCrawl) into a single
+    // multi-TB sort task — the exact shape ts4/sort6 decompose. Two-phase
+    // instead: range-repartition by (source, quality DESC, doc_id) — the
+    // distributed sort, a heavy source spans MANY partitions in global
+    // order — prefix-sum tokens locally per (pid, source), then add each
+    // partition's carry-in (the same source's token mass in earlier
+    // partitions) from an O(partitions × sources) agg table broadcast
+    // back. cum is exact wherever the range boundaries fall, so the
+    // greedy `cum ≤ budget` cut is bit-identical to the windowed form
+    // the DuckDB oracle replays verbatim.
     "llm52_token_budget_fill" -> ((s, d) => {
       val budget = 4000L
-      val docs = Tables.documents(s, d)
+      val parted = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
           (col("n_chars").cast("double") /
             size(split(col("text"), " "))).as("quality"))
-      val w = Window.partitionBy("source")
+        .repartitionByRange(32, col("source"), col("quality").desc,
+          col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint() // offsets AND the local scan read one layout
+      val offs = parted.groupBy("source", "pid")
+        .agg(sum("n_tokens").as("ptoks"))
+        .withColumn("off", coalesce(sum("ptoks").over(
+          Window.partitionBy("source").orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "pid", "off")
+      val localW = Window.partitionBy("pid", "source")
         .orderBy(col("quality").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs.withColumn("cum_tokens", sum("n_tokens").over(w))
-        .filter(col("cum_tokens") <= budget)
+      parted.withColumn("lcum", sum("n_tokens").over(localW))
+        .join(broadcast(offs), Seq("source", "pid"))
+        .filter(col("lcum") + col("off") <= budget)
         .groupBy("source")
         .agg(count(lit(1)).as("docs_kept"),
           sum("n_tokens").as("tokens_kept"),
@@ -2287,60 +2331,52 @@ object LlmOps extends QueryModule {
     // LLM-24: unigram language-model quality score — the honest in-container
     // stand-in for CCNet's KenLM perplexity filter: build a unigram LM from
     // the corpus itself (token → count, one map-side-combined agg), then
-    // score each doc by its mean token log-probability. Scale posture: the
-    // unigram table is O(vocab) — deliberately NOT force-broadcast (real
-    // vocabularies reach 10^8+; AQE broadcasts when it fits, shuffles
-    // otherwise), and the token⋈unigram join ships (doc_id, 8-byte hash)
-    // per token, never document text. localCheckpoint stops the
-    // tokenize+explode chain running twice (once per consumer).
-    "llm24_quality_lm" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
-        .filter(col("tok") =!= "")
-        .localCheckpoint()
-      val uni = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-      val total = uni.agg(sum("n").cast("double").as("total"))
-      toks.join(uni, "tok").crossJoin(total)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          round(avg(log(col("n").cast("double") / col("total"))), 6)
-            .as("logprob"))
-        .orderBy("doc_id")
-    }),
+    // score each doc by its mean token log-probability. The shared
+    // [[lmScores]] stage carries the scale posture (hashed-token join,
+    // no force-broadcast of the O(vocab) table, StageMemo with llm53).
+    "llm24_quality_lm" -> ((s, d) =>
+      lmScores(s, d)
+        .select("doc_id", "n_tok", "logprob")
+        .orderBy("doc_id")),
 
-    // LLM-53 (r18): CCNet perplexity buckets (Wenzek et al. '20,
-    // arXiv:1911.00359) — the head/middle/tail split CCNet uses to
-    // stratify a crawl by LM quality per language: score every doc with
-    // the corpus unigram LM (llm24's metric, 6-dp rounded so both
-    // engines agree at tie boundaries), then per-language TERCILES by
-    // (logprob DESC, doc_id) — head = least perplex third, the slice
-    // high-quality recipes keep; tail = the candidate discard. ntile is
-    // SQL-standard in both engines (equal thirds, remainder leading), so
-    // the assignment replays verbatim. Scale shape: the LM is one
-    // token-grain agg, the split is a per-language window — partition-
-    // parallel like llm52; production CCNet assigns against percentile
-    // THRESHOLDS from a histogram (stateless second pass), the exact
-    // windowed form is declared because the oracle can replay it.
+    // LLM-53 (r18, re-planned r19): CCNet perplexity buckets (Wenzek et
+    // al. '20, arXiv:1911.00359) — the head/middle/tail split CCNet uses
+    // to stratify a crawl by LM quality per language: score every doc
+    // with the corpus unigram LM (llm24's metric via the shared
+    // [[lmScores]] stage, 6-dp rounded so both engines agree at tie
+    // boundaries), then per-language TERCILES by (logprob DESC, doc_id)
+    // — head = least perplex third, the slice high-quality recipes keep;
+    // tail = the candidate discard. Equal-count terciles need a
+    // per-language global RANK, not a per-language window: ntile(3)
+    // OVER (PARTITION BY lang) puts a dominant language (English ≈ the
+    // crawl) into ONE task. llm35's recipe instead: range-repartition by
+    // (lang, logprob DESC, doc_id), rank locally per (pid, lang), add
+    // carry-in offsets from an O(partitions × languages) count table
+    // broadcast back — no stage ever holds a whole language. The bucket
+    // formula (rank−1)·3 DIV n is written explicitly on BOTH sides
+    // (SQL NTILE front-loads remainders; the formula spreads them — the
+    // formula, not NTILE, is the contract, exactly as llm35).
     "llm53_ccnet_buckets" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
-        .filter(col("tok") =!= "")
-        .localCheckpoint()
-      val uni = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-      val total = uni.agg(sum("n").cast("double").as("total"))
-      val scored = toks.join(uni, "tok").crossJoin(total)
-        .groupBy("doc_id")
-        .agg(round(avg(log(col("n").cast("double") / col("total"))), 6)
-          .as("logprob"))
-      val w = Window.partitionBy("lang")
-        .orderBy(col("logprob").desc, col("doc_id"))
-      Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        .join(scored, "doc_id")
+      val parted = lmScores(s, d)
+        .select("doc_id", "lang", "logprob")
+        .repartitionByRange(32, col("lang"), col("logprob").desc,
+          col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint() // offsets AND ranking read the same layout
+      val offs = parted.groupBy("lang", "pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(
+          Window.partitionBy("lang").orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+        .select("lang", "pid", "off", "n")
+      parted
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy("pid", "lang")
+            .orderBy(col("logprob").desc, col("doc_id"))))
+        .join(broadcast(offs), Seq("lang", "pid"))
         .withColumn("bucket",
           element_at(array(lit("head"), lit("middle"), lit("tail")),
-            ntile(3).over(w)))
+            (expr("(lrn + off - 1) * 3 DIV n") + 1).cast("int")))
         .select("doc_id", "lang", "logprob", "bucket")
         .orderBy("doc_id")
     }),
@@ -4378,7 +4414,9 @@ object LlmOps extends QueryModule {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same unigram-LM scoring CTEs as llm24, then per-language terciles
-    // by (logprob DESC, doc_id) — SQL-standard ntile on both engines
+    // by (logprob DESC, doc_id) via the explicit (rank−1)·3 DIV n
+    // formula — written on both sides because SQL NTILE front-loads
+    // remainder rows while the formula spreads them (llm35's contract)
     "llm53_ccnet_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -4392,11 +4430,13 @@ object LlmOps extends QueryModule {
         |           AS logprob
         |  FROM t2 JOIN uni USING (tok) CROSS JOIN tot GROUP BY doc_id),
         |b AS (SELECT d.doc_id, d.lang, s.logprob,
-        |        ntile(3) OVER (PARTITION BY d.lang
-        |          ORDER BY s.logprob DESC, d.doc_id) AS nt
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY s.logprob DESC, d.doc_id) AS rnk,
+        |        count(*) OVER (PARTITION BY d.lang) AS n
         |      FROM documents d JOIN scored s USING (doc_id))
         |SELECT doc_id, lang, logprob,
-        |  (['head', 'middle', 'tail'])[nt] AS bucket
+        |  (['head', 'middle', 'tail'])[CAST((rnk - 1) * 3 // n AS INT) + 1]
+        |    AS bucket
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "llm25_k_anonymity" ->

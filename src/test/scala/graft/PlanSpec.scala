@@ -654,6 +654,48 @@ class PlanSpec extends SparkSpec {
       s"corpus must be range-partitioned for the local rank:\n$p")
   }
 
+  test("llm52: budget cut is two-phase — no single-task-per-source window") {
+    val p = planOf("llm52_token_budget_fill")
+    // the prefix sum must key by (pid, source): a window partitioned by
+    // source alone would sort a dominant source (half of CommonCrawl at
+    // 100 TB) in ONE task. Phase 1's range exchange hides behind the
+    // localCheckpoint's ExistingRDD scan, so the visible contract is the
+    // local window spec + the broadcast carry-in join.
+    assert("windowspecdefinition\\(pid#\\d+, source#".r.findFirstIn(p).isDefined,
+      s"local cumsum must partition by (pid, source):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing may collapse to one partition:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the O(partitions × sources) offsets table must broadcast back:\n$p")
+    // source-only hash exchanges may carry only aggregate outputs (the
+    // offsets table / final rollup), never raw doc rows
+    "Exchange hashpartitioning\\(source#\\d+, \\d+\\)".r
+      .findAllMatchIn(p).foreach { m =>
+        assert(p.substring(m.end, math.min(p.length, m.end + 400))
+            .contains("HashAggregate"),
+          s"source-only exchange must feed from an aggregate:\n$p")
+      }
+  }
+
+  test("llm53: terciles are two-phase ranked — no single-task-per-language " +
+      "window") {
+    val p = planOf("llm53_ccnet_buckets")
+    // same decomposition as llm52/llm35: local rank per (pid, lang),
+    // carry-in offsets + per-language totals broadcast back
+    assert("windowspecdefinition\\(pid#\\d+, lang#".r.findFirstIn(p).isDefined,
+      s"local rank must partition by (pid, lang):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing may collapse to one partition:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the offsets/totals table must broadcast back:\n$p")
+    "Exchange hashpartitioning\\(lang#\\d+, \\d+\\)".r
+      .findAllMatchIn(p).foreach { m =>
+        assert(p.substring(m.end, math.min(p.length, m.end + 400))
+            .contains("HashAggregate"),
+          s"lang-only exchange must feed from an aggregate:\n$p")
+      }
+  }
+
   test("llm38: the log-ratio LM table broadcasts; text never shuffles") {
     val p = planOf("llm38_dsir")
     // per-doc bucket profiles join the B=1024-row weight table via
