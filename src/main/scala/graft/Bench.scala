@@ -106,8 +106,11 @@ object Bench {
     // bench SF (sf0.1, BENCH_NOTES); at any other SF the canary arm is
     // uncalibrated (never trips at tiny SFs, always trips at huge ones)
     // so only the noise arm gates there
+    // exact final-segment match, not a suffix match: a lake named
+    // /data/mysf0.1 must not activate the sf0.1-calibrated arm
     val canaryFloor =
-      if (sfDir.stripSuffix("/").endsWith("sf0.1")) Some(0.20) else None
+      if (sfDir.stripSuffix("/").split('/').last == "sf0.1") Some(0.20)
+      else None
     val gateTripped = canaryFloor.exists(f => canary.exists(_ > f)) ||
       medianRelSpread(firstPass) > 0.3
     val results = if (!gateTripped) firstPass else {

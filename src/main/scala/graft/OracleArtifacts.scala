@@ -17,8 +17,19 @@ package graft
   * fallback is never actually compared.
   */
 object OracleArtifacts {
+  // reg = the binding [[path]] serves (last writer wins); all = every
+  // path ever recorded per name. A test JVM legitimately dumps one
+  // artifact for several sf-dirs (each to its own tokened path — no
+  // bytes collide, and tests never execute the replay SQL), so [[path]]
+  // stays permissive; the GATE invariant — one SF per Verify process —
+  // is asserted mechanically by [[assertSingleSf]] right before Verify
+  // emits oracle_sql.json, the only point the binding is load-bearing
+  // (r18 ADVICE).
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val all =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.Set[String]]()
 
   /** sf-dir → filesystem-safe token: readable basename + a short hash of
     * the FULL path ("/root/testdata/sf0.01" → "sf0_01_xxxxxxxx"). The
@@ -37,6 +48,9 @@ object OracleArtifacts {
     * records it for [[path]] and returns it. */
   def record(name: String, d: String): String = {
     val p = s"${graft.operators.Scans.SinkDir}/${name}_${sfTok(d)}"
+    all.computeIfAbsent(name,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      .add(p)
     reg.put(name, p)
     p
   }
@@ -45,4 +59,20 @@ object OracleArtifacts {
     * un-tokened path when nothing was recorded. */
   def path(name: String): String =
     reg.getOrDefault(name, s"${graft.operators.Scans.SinkDir}/$name")
+
+  /** Gate invariant, called by Verify immediately before it emits
+    * oracle_sql.json: every artifact recorded in this process must be
+    * bound to exactly ONE sf-dir — otherwise the interpolated replay SQL
+    * could name another SF's bytes (the cross-SF poisoning this module
+    * exists to prevent), and failing loudly here beats a hash mismatch
+    * diagnosed from the DuckDB side. */
+  def assertSingleSf(): Unit = {
+    val bad = new StringBuilder
+    all.forEach { (n, s) =>
+      if (s.size > 1) bad.append(s"$n -> $s; ")
+    }
+    require(bad.isEmpty,
+      s"oracle artifacts dumped for multiple sf-dirs in one Verify " +
+        s"process: $bad")
+  }
 }

@@ -51,6 +51,9 @@ object Verify {
         // (the mig stage memo is pinned and survives)
         BlockHygiene.dropUnpinned(spark)
     }
+    // one-SF-per-Verify invariant: fail loudly before emitting replay SQL
+    // that could name another SF's artifact bytes
+    OracleArtifacts.assertSingleSf()
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       toJsonObject(SparkEntry.oracleSql.view
         .filterKeys(k => only.forall(_.contains(k))).toMap))

@@ -94,10 +94,14 @@ object MultimodalOps extends QueryModule {
     * stats come from actual decoded samples, not from metadata or byte
     * arithmetic. Partition-local binary → struct, the same signature the
     * [[decodeStub]] documents for the codec-less modalities; a deploy
-    * extends exactly this body with libjpeg/ffmpeg calls. */
+    * extends exactly this body with libjpeg/ffmpeg calls. Garbage → null
+    * catches NonFatal, not just IOException: JDK ImageIO readers throw
+    * RuntimeExceptions (ArrayIndexOutOfBounds, IllegalArgument) on
+    * malformed payloads, and the contract is a null row, never a dead
+    * task (the posture every decode branch in this file shares). */
   val decodePng = udf { payload: Array[Byte] =>
     if (payload == null) null
-    else {
+    else try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null) null // not a decodable image
@@ -113,7 +117,7 @@ object MultimodalOps extends QueryModule {
         }
         (w, h, sum, sum.toDouble / (w.toLong * h))
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   /** Deterministic REAL WAV payloads (MM-2c): 16-bit PCM mono RIFF/WAVE
@@ -176,10 +180,7 @@ object MultimodalOps extends QueryModule {
           }
           (fmt.getSampleRate.toInt, n.toLong, sum, mn, mx)
         }
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => null
-        case _: java.io.IOException => null
-      }
+      } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   /** Deterministic REAL animated-GIF payloads (MM-2d): `frames` grayscale
@@ -267,7 +268,7 @@ object MultimodalOps extends QueryModule {
             (n, w, h, sum, sum.toDouble / (n.toLong * w * h))
           } finally reader.dispose()
         }
-      } catch { case _: java.io.IOException => null }
+      } catch { case scala.util.control.NonFatal(_) => null }
       finally iis.close()
     }
   }
@@ -320,7 +321,7 @@ object MultimodalOps extends QueryModule {
             lanes(img.getWidth.toLong * img.getHeight, sum, sumSq, mn, mx,
               255.0))
         }
-      } catch { case _: java.io.IOException => null }
+      } catch { case scala.util.control.NonFatal(_) => null }
     } else if (payload(0) == 'R' && payload(1) == 'I' &&
                payload(2) == 'F' && payload(3) == 'F') {
       try {
@@ -347,10 +348,7 @@ object MultimodalOps extends QueryModule {
           }
           ("audio", lanes(n.toLong, sum, sumSq, mn, mx, 32768.0))
         }
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => null
-        case _: java.io.IOException => null
-      }
+      } catch { case scala.util.control.NonFatal(_) => null }
     } else if (payload(0) == 'G' && payload(1) == 'I' &&
                payload(2) == 'F' && payload(3) == '8') {
       // iis closed on every path — same temp-file-cache leak note as
@@ -389,7 +387,7 @@ object MultimodalOps extends QueryModule {
             ("video", lanes(n, sum, sumSq, mn, mx, 255.0))
           } finally reader.dispose()
         }
-      } catch { case _: java.io.IOException => null }
+      } catch { case scala.util.control.NonFatal(_) => null }
       finally iis.close()
     } else null
   }

@@ -251,8 +251,11 @@ class ApproxSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture corpus must contain near-dups at τ=0.45")
     val recall = (exact & sem).size.toDouble / exact.size
     info(s"SemDeDup drop recall = $recall")
-    // floor = measured − margin, leaving headroom for regenerated testdata
-    assert(recall >= 0.7, s"drop recall $recall below floor")
+    // floor = measured − margin: 0.786 measured under the √n-scaled
+    // quantizer (r18), floored at 0.65 to keep the ~0.13 headroom the
+    // convention gives regenerated testdata (the r18 0.7 floor had
+    // thinned it to 0.086)
+    assert(recall >= 0.65, s"drop recall $recall below floor")
     // the leader rule's invariant: two SURVIVING cell-mates are never at
     // cosine ≥ τ (the higher id would have been dropped) — pins the join
     // key and the keep/drop orientation, not just the recall

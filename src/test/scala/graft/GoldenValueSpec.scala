@@ -226,6 +226,38 @@ class GoldenValueSpec extends SparkSpec {
     assert(bad.isNullAt(0))
   }
 
+  test("decode branches survive payloads that PASS the magic sniff with " +
+      "corrupt bodies — null row, never a dead task") {
+    // r18 ADVICE: JDK ImageIO readers throw RuntimeExceptions (AIOOBE,
+    // IllegalArgument), not just IOException, on malformed bodies behind
+    // a valid magic header; the decode contract is NonFatal → null. Build
+    // adversarial payloads from REAL encodes: keep the header, then
+    // truncate mid-stream and splat garbage over the body.
+    val s = spark
+    import s.implicits._
+    val png = Seq((6L, 14, 18)).toDF("id", "w", "h")
+      .select(MultimodalOps.encodePng(col("id"), col("w"), col("h")))
+      .collect().head.getAs[Array[Byte]](0)
+    val gif = Seq((8L, 4, 18, 14)).toDF("id", "nf", "w", "h")
+      .select(MultimodalOps.encodeGif(col("id"), col("nf"), col("w"),
+        col("h")))
+      .collect().head.getAs[Array[Byte]](0)
+    def corrupt(b: Array[Byte]): Seq[Array[Byte]] = Seq(
+      b.take(b.length / 2),                       // truncated mid-stream
+      b.take(16) ++ Array.fill[Byte](64)(0x5a),   // header + garbage body
+      { val c = b.clone(); var i = 12
+        while (i < c.length) { c(i) = (c(i) ^ 0xff).toByte; i += 4 }; c })
+    val payloads = (corrupt(png) ++ corrupt(gif)).toDF("p")
+    // every decode path must complete the job; rows are null or a struct
+    // from a salvageable prefix — never an exception
+    val n = payloads.select(
+        MultimodalOps.decodePng(col("p")).as("a"),
+        MultimodalOps.decodeGifFrames(col("p")).as("b"),
+        MultimodalOps.realFeatures(col("p")).as("c"))
+      .collect().length
+    assert(n === 6)
+  }
+
   test("scan14 fixtures: the codegen'd IHDR parse agrees with a full " +
       "ImageIO decode of the same committed files") {
     // ties the no-decode header path (scan14) to the real decoder (mm2b):

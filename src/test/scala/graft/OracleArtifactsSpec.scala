@@ -34,9 +34,20 @@ class OracleArtifactsSpec extends AnyFunSuite {
     assert(p === s"$sink/${name}_${OracleArtifacts.sfTok("/root/testdata/sf0.01")}")
     assert(OracleArtifacts.path(name) === p,
       "the oracle must read the path the dump recorded")
+    // re-recording the same (name, sf) is idempotent — median-of-3 reruns
+    assert(OracleArtifacts.record(name, "/root/testdata/sf0.01") === p)
+    assert(OracleArtifacts.path(name) === p)
     // a later dump for another SF re-points the oracle at ITS bytes
+    // (tests legitimately mix SFs in one JVM; the gate invariant below
+    // is what protects a real Verify run)
     val p2 = OracleArtifacts.record(name, "/root/testdata/sf0.001")
     assert(OracleArtifacts.path(name) === p2)
     assert(p !== p2, "different SFs must dump to different dirs")
+    // the cross-SF recording above must now trip the gate assert Verify
+    // runs before emitting oracle_sql.json (r18 ADVICE — the
+    // one-SF-per-Verify invariant made mechanical)
+    val ex = intercept[IllegalArgumentException](
+      OracleArtifacts.assertSingleSf())
+    assert(ex.getMessage.contains(name))
   }
 }
