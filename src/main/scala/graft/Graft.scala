@@ -22,6 +22,33 @@ object Graft {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     Runtime.getRuntime.availableProcessors().toString)
 
+  /** Master override (VERDICT r18 item 3): `SPARK_GRAFT_MASTER` lets the
+    * same entrypoints run under `local-cluster[n,cores,mem]` — executors in
+    * SEPARATE JVMs, so broadcast values, TypedImperativeAggregate buffers
+    * (DDSketch/CMS/SpaceSaving/Bitmap/Theta) and native-expression closures
+    * cross a REAL serialization boundary instead of being shared by
+    * reference inside one local[32] process. That is the executable stand-in
+    * for the 1000-executor cluster: any non-serializable state or
+    * registrator gap that would kill a real deployment surfaces here.
+    * Default stays local[cpus]. */
+  def master: String =
+    sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+
+  /** local-cluster executors are forked JVMs that know nothing of the
+    * launcher's classloader — ship the graft classes (and, under a plain
+    * `java -cp` launch, the whole driver classpath; all paths are
+    * machine-local) via executor extraClassPath. Env override for launches
+    * whose java.class.path is just a bootstrap jar (sbt). */
+  private def withClusterConf(b: SparkSession.Builder): SparkSession.Builder =
+    if (!master.startsWith("local-cluster")) b
+    else b
+      .config("spark.executor.extraClassPath",
+        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_CP",
+          sys.props.getOrElse("java.class.path", "")))
+      // keep executor heap inside the worker memory from the master string
+      .config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+
   /** Object-store (s3a://) readiness — SINK-5's production path (the
     * reference uploads snapshots to S3, runcommand.py:463-498). This
     * container has no S3 endpoint or hadoop-aws jars, so sink5_uri
@@ -81,10 +108,10 @@ object Graft {
         "org.apache.spark.sql.delta.catalog.DeltaCatalog")
 
   def session(appName: String = "graft"): SparkSession = {
-    val spark = withDeltaConf(withObjectStoreConf(SparkSession
+    val spark = withClusterConf(withDeltaConf(withObjectStoreConf(SparkSession
       .builder()
-      .master(s"local[$cpus]")
-      .appName(appName)))
+      .master(master)
+      .appName(appName))))
       // custom codegen expressions (cosine_sim) via the sanctioned
       // extension point — resolves in DataFrame expr() and spark.sql alike
       .withExtensions(graft.functions.VectorExtensions.apply)

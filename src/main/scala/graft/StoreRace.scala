@@ -1,0 +1,156 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.VersionedStore
+
+/** Cross-PROCESS contention proof for [[graft.operators.VersionedStore]]
+  * (VERDICT r18 item 5). VersionedStoreSpec proves writer isolation inside
+  * one JVM; the commit protocol's actual claim — "the flip is one atomic
+  * file creation" — is about concurrent WRITER PROCESSES (a real cluster's
+  * writers share only the filesystem, nothing in-process). This harness
+  * races N real JVMs, each committing M versions into ONE store root while
+  * reading the latest version back after every commit, with one writer also
+  * vacuuming mid-race; a final check pass proves:
+  *
+  *  - exactly one winner per version: max version == N·M, every retained
+  *    marker names a DISTINCT data dir (no double-claim, no lost commit);
+  *  - no torn reads: every in-race read of the latest version returned a
+  *    complete snapshot (each writer asserts rows==ROWS_PER_COMMIT and a
+  *    self-consistent (writer, seq) body, exiting non-zero otherwise);
+  *  - vacuum-under-race safety: the mid-race `vacuum(keep=10)` calls never
+  *    broke a concurrent reader (default orphan grace protects in-flight
+  *    unclaimed data dirs), and after the race every RETAINED version still
+  *    reads back complete.
+  *
+  * Modes (argv(0)):
+  *  - `write <root> <writerId> <nCommits> <vacuumEvery>` — one racing
+  *    writer JVM (vacuumEvery=0 disables its vacuum calls).
+  *  - `race <root> <nWriters> <nCommits>` — orchestrator: forks the writer
+  *    JVMs with this JVM's own classpath, waits, checks every invariant,
+  *    prints one JSON line (the committed artifact; BENCH_NOTES convention).
+  *
+  * StoreRaceSpec drives `race` in-process so the proof re-runs with every
+  * `sbt test` rather than living only in a round note.
+  */
+object StoreRace {
+
+  val RowsPerCommit = 3
+
+  private def session(app: String): SparkSession = Graft.session(app)
+
+  /** One racing writer: commit, then immediately read the latest visible
+    * version and assert it is a COMPLETE snapshot of whoever's commit won
+    * that slot. Any torn read (partial file list, missing data dir,
+    * malformed body) throws and fails the process. */
+  def write(root: String, writerId: Int, nCommits: Int,
+            vacuumEvery: Int): Unit = {
+    val spark = session(s"store-race-w$writerId")
+    try {
+      (1 to nCommits).foreach { seq =>
+        import spark.implicits._
+        val df = Seq.tabulate(RowsPerCommit)(i => (writerId, seq, i))
+          .toDF("writer", "seq", "row")
+        val v = VersionedStore.commit(df.coalesce(1), root)
+        // read-back of the LATEST version (>= v, possibly someone else's):
+        // must always be a complete ROWS_PER_COMMIT snapshot of one commit
+        val got = VersionedStore.read(spark, root)
+          .select("writer", "seq", "row").collect()
+        require(got.length == RowsPerCommit,
+          s"torn read after v$v: ${got.length} rows != $RowsPerCommit")
+        val owners = got.map(r => (r.getInt(0), r.getInt(1))).distinct
+        require(owners.length == 1,
+          s"torn read after v$v: mixed commits ${owners.mkString(",")}")
+        require(got.map(_.getInt(2)).sorted.sameElements(0 until RowsPerCommit),
+          s"torn read after v$v: incomplete row set")
+        if (vacuumEvery > 0 && seq % vacuumEvery == 0)
+          VersionedStore.vacuum(root, keep = 10)
+      }
+    } finally spark.stop()
+  }
+
+  /** Fork one writer JVM with this process's classpath. Tests fork (see
+    * build.sbt), so java.class.path is the real suite classpath here. */
+  private def forkWriter(root: String, writerId: Int, nCommits: Int,
+                         vacuumEvery: Int, logDir: File): Process = {
+    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cmd = Seq(java, "-Xmx2g", "-cp", sys.props("java.class.path"),
+      "graft.StoreRace", "write", root, writerId.toString,
+      nCommits.toString, vacuumEvery.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_CPUS", "2")
+    pb.environment().remove("SPARK_GRAFT_MASTER") // writers race as local JVMs
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new File(logDir, s"writer-$writerId.log"))
+    pb.start()
+  }
+
+  /** Orchestrate the race and verify the invariants; returns the JSON
+    * artifact line. Throws on any violation. */
+  def race(root: String, nWriters: Int, nCommits: Int): String = {
+    val logDir = new File(root, "_racelogs")
+    logDir.mkdirs()
+    val procs = (0 until nWriters).map(w =>
+      // writer 0 vacuums every 2 commits — vacuum racing live commits
+      forkWriter(root, w, nCommits, if (w == 0) 2 else 0, logDir))
+    val rcs = procs.map(_.waitFor())
+    require(rcs.forall(_ == 0),
+      s"writer JVMs exited ${rcs.mkString(",")} — torn read or failed " +
+        s"commit; see ${logDir}/writer-*.log")
+
+    // Invariant 1: every claim won exactly one version — no lost commits,
+    // no double-claims. max version == total commits even though vacuum
+    // dropped old markers mid-race.
+    val vs = VersionedStore.versions(root)
+    val total = nWriters.toLong * nCommits
+    require(vs.last == total,
+      s"expected max version $total, saw ${vs.last} — lost/duplicated claim")
+    require(vs == vs.distinct && vs == vs.sorted, s"non-monotone versions $vs")
+
+    // Invariant 2: one data dir per retained marker (winners are unique).
+    val dirs = vs.map { v =>
+      val body = new String(Files.readAllBytes(
+        new File(root, f"_versions/$v%05d.commit").toPath),
+        StandardCharsets.UTF_8)
+      body.linesIterator.next().trim
+    }
+    require(dirs.distinct.length == dirs.length,
+      "two versions share a data dir — double-claimed commit")
+
+    // Invariant 3: every retained version still reads back complete after
+    // the mid-race vacuums (marker-then-data delete order + grace window).
+    val spark = session("store-race-check")
+    val perVersion =
+      try vs.map { v =>
+        val rows = VersionedStore.read(spark, root, v)
+          .select("writer", "seq", "row").collect()
+        require(rows.length == RowsPerCommit,
+          s"v$v torn after vacuum: ${rows.length} rows")
+        val owner = rows.map(r => (r.getInt(0), r.getInt(1))).distinct
+        require(owner.length == 1, s"v$v mixes commits")
+        owner.head
+      } finally spark.stop()
+
+    // Invariant 4: no (writer, seq) commit appears under two versions.
+    require(perVersion.distinct.length == perVersion.length,
+      "one (writer,seq) commit visible under two versions")
+
+    s"""{"store_race":"ok","writers":$nWriters,"commits_per_writer":$nCommits,""" +
+      s""""max_version":${vs.last},"retained_versions":${vs.length},""" +
+      s""""distinct_data_dirs":${dirs.distinct.length},"torn_reads":0}"""
+  }
+
+  def main(args: Array[String]): Unit = args(0) match {
+    case "write" =>
+      write(args(1), args(2).toInt, args(3).toInt, args(4).toInt)
+    case "race" =>
+      val line = race(args(1), args(2).toInt, args(3).toInt)
+      println(line)
+    case other => sys.error(s"unknown mode $other")
+  }
+}

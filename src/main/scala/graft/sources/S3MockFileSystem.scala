@@ -1,19 +1,20 @@
 package graft.sources
 
 import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException}
-import java.net.URI
+import java.net.{URI, URLDecoder, URLEncoder}
+import java.nio.file.{Files, Paths, StandardCopyOption, Path => JPath}
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{CreateFlag, FSDataInputStream, FSDataOutputStream, FileAlreadyExistsException, FileStatus, FileSystem, Path, PositionedReadable, Seekable}
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileAlreadyExistsException, FileStatus, FileSystem, Path, PositionedReadable, Seekable}
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
-/** SINK-5 test double: an in-process Hadoop [[FileSystem]] with OBJECT
-  * STORE semantics (`s3m://bucket/key`), so the object-store write path
-  * (reference: S3 snapshot upload, runcommand.py:463-498) is exercised
-  * end-to-end in the offline sandbox — the real Spark commit machinery
-  * (FileOutputCommitter task/job temp dirs, parquet/csv writers, glob
-  * listing) runs against a store that behaves like S3, not like POSIX:
+/** SINK-5 test double: a Hadoop [[FileSystem]] with OBJECT STORE semantics
+  * (`s3m://bucket/key`), so the object-store write path (reference: S3
+  * snapshot upload, runcommand.py:463-498) is exercised end-to-end in the
+  * offline sandbox — the real Spark commit machinery (FileOutputCommitter
+  * task/job temp dirs, parquet/csv writers, glob listing) runs against a
+  * store that behaves like S3, not like POSIX:
   *
   *  - **flat key space**: "directories" exist only as key prefixes (plus
   *    explicit zero-byte markers from `mkdirs`, as S3A writes);
@@ -28,30 +29,95 @@ import org.apache.hadoop.util.Progressable
   *    measures this: an N-object prefix rename is N visible steps.
   *  - **no append** (objects are immutable).
   *
-  * State is JVM-global (one "region" of buckets), so a query can write
-  * through one FileSystem instance and read through another, as Spark's
-  * executor/driver split does in local mode.
+  * State is a flat DISK region (one URL-encoded file per object under
+  * `fs.s3m.root`), NOT JVM heap — a real object store is external to every
+  * process, and this mock must be too: under `local-cluster[…]` (multi-JVM
+  * Verify, VERDICT r18 item 3) executors write task attempts from their own
+  * processes and the driver lists/commits them from its own. A heap-backed
+  * region silently passes under local[n] and loses every executor-written
+  * byte under a real cluster — found by the r19 local-cluster gate.
+  * [[S3MockFileSystem.install]] pins a per-driver region root into the
+  * Hadoop conf, which Spark ships to executors with each job, so concurrent
+  * driver JVMs stay isolated while each driver's executors share its
+  * region. PUT atomicity rides an ATOMIC_MOVE of the buffered object into
+  * the region.
   */
 object S3MockFileSystem {
-  final case class Obj(bytes: Array[Byte], mtime: Long)
 
-  /** bucket → (key "/a/b/c" → object) */
-  private[sources] val buckets =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.concurrent.ConcurrentHashMap[String, Obj]]()
-  /** explicit directory markers: "bucket/a/b" */
-  private[sources] val markers =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** total COPY operations issued by renames — the contract spec asserts
-    * a prefix rename costs one copy per object (the S3 reality) */
+  /** total COPY operations issued by renames in THIS JVM — the contract
+    * spec asserts a prefix rename costs one copy per object (the S3
+    * reality) */
   val copies = new java.util.concurrent.atomic.AtomicLong(0)
 
-  def clear(): Unit = { buckets.clear(); markers.clear(); copies.set(0) }
+  val RootKey = "fs.s3m.root"
 
-  /** Register the scheme on a Hadoop conf (idempotent). */
-  def install(conf: Configuration): Unit =
+  /** Register the scheme on a Hadoop conf and pin this driver's region
+    * root (idempotent — re-install keeps an existing root so one session's
+    * specs and queries share a region). */
+  def install(conf: Configuration): Unit = {
     conf.set("fs.s3m.impl", classOf[S3MockFileSystem].getName)
+    if (conf.get(RootKey) == null)
+      conf.set(RootKey,
+        Files.createTempDirectory("graft-s3m-region").toString)
+  }
+
+  /** Flat on-disk key space: objects under `o/`, directory markers under
+    * `m/`, PUT staging under `t/`; file name = URL-encoded full key
+    * ("bucket/a/b/c"). Stateless beyond the directory, so every FS
+    * instance (any JVM) constructing over the same root sees one region. */
+  final class Region(rootDir: String) {
+    private val o = Paths.get(rootDir, "o")
+    private val m = Paths.get(rootDir, "m")
+    private val t = Paths.get(rootDir, "t")
+    Seq(o, m, t).foreach(Files.createDirectories(_))
+
+    private def enc(name: String): String = URLEncoder.encode(name, "UTF-8")
+    private def dec(file: String): String = URLDecoder.decode(file, "UTF-8")
+    private def ls(dir: JPath): Seq[String] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(p => dec(p.getFileName.toString)).toVector
+      finally s.close()
+    }
+    private implicit class IterAdapter[A](it: java.util.Iterator[A]) {
+      def asScala: Iterator[A] = new Iterator[A] {
+        def hasNext = it.hasNext; def next() = it.next()
+      }
+    }
+
+    def objExists(n: String): Boolean = Files.exists(o.resolve(enc(n)))
+    def objNames: Seq[String] = ls(o)
+    def objBytes(n: String): Array[Byte] =
+      try Files.readAllBytes(o.resolve(enc(n)))
+      catch { case _: java.nio.file.NoSuchFileException =>
+        throw new FileNotFoundException(n) }
+    def objStat(n: String): Option[(Long, Long)] = {
+      val p = o.resolve(enc(n))
+      try Some((Files.size(p), Files.getLastModifiedTime(p).toMillis))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+    /** Atomic PUT: stage then ATOMIC_MOVE — visible whole or not at all. */
+    def putObj(n: String, bytes: Array[Byte],
+               mtime: Option[Long] = None): Unit = {
+      val tmp = Files.createTempFile(t, "put", null)
+      Files.write(tmp, bytes)
+      mtime.foreach(ms => Files.setLastModifiedTime(tmp,
+        java.nio.file.attribute.FileTime.fromMillis(ms)))
+      Files.move(tmp, o.resolve(enc(n)), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    def removeObj(n: String): Boolean =
+      Files.deleteIfExists(o.resolve(enc(n)))
+
+    def markerExists(n: String): Boolean = Files.exists(m.resolve(enc(n)))
+    def markerNames: Seq[String] = ls(m)
+    def addMarker(n: String): Unit = {
+      try Files.createFile(m.resolve(enc(n)))
+      catch { case _: java.nio.file.FileAlreadyExistsException => }
+      (): Unit
+    }
+    def removeMarker(n: String): Boolean =
+      Files.deleteIfExists(m.resolve(enc(n)))
+  }
 }
 
 class S3MockFileSystem extends FileSystem {
@@ -60,6 +126,7 @@ class S3MockFileSystem extends FileSystem {
   private var fsUri: URI = _
   private var bucket: String = _
   private var workDir: Path = _
+  private var region: Region = _
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
@@ -67,6 +134,9 @@ class S3MockFileSystem extends FileSystem {
     bucket = name.getAuthority
     fsUri = URI.create(s"s3m://$bucket")
     workDir = new Path(s"s3m://$bucket/")
+    region = new Region(Option(conf.get(RootKey)).getOrElse(
+      throw new IllegalStateException(
+        s"$RootKey unset — call S3MockFileSystem.install(conf) first")))
     setConf(conf)
   }
 
@@ -75,33 +145,36 @@ class S3MockFileSystem extends FileSystem {
   override def getWorkingDirectory: Path = workDir
   override def setWorkingDirectory(p: Path): Unit = workDir = p
 
-  private def store =
-    buckets.computeIfAbsent(bucket,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, Obj]())
-
   /** canonical key: "/a/b/c" ("" = bucket root) */
   private def key(p: Path): String = {
     val abs = makeQualified(p).toUri.getPath
     if (abs == null || abs == "/" || abs.isEmpty) ""
     else abs.stripSuffix("/")
   }
+  /** region-global name (buckets share one flat region) */
+  private def g(k: String): String = s"$bucket$k"
   private def marker(k: String) = s"$bucket$k"
 
-  private def isFile(k: String): Boolean = store.containsKey(k)
+  /** this bucket's object keys, bucket-local form "/a/b" */
+  private def objKeys: Seq[String] =
+    region.objNames.filter(_.startsWith(s"$bucket/"))
+      .map(_.substring(bucket.length))
+
+  private def isFile(k: String): Boolean = region.objExists(g(k))
   private def hasPrefix(k: String): Boolean = {
     val pre = s"$k/"
-    store.keySet.stream.anyMatch(_.startsWith(pre)) ||
-      markers.contains(marker(k)) ||
-      markers.stream.anyMatch(_.startsWith(s"$bucket$pre"))
+    objKeys.exists(_.startsWith(pre)) ||
+      region.markerExists(marker(k)) ||
+      region.markerNames.exists(_.startsWith(s"$bucket$pre"))
   }
 
   private def fileStatus(k: String): FileStatus = {
     val p = new Path(s"s3m://$bucket${if (k.isEmpty) "/" else k}")
-    if (isFile(k)) {
-      val o = store.get(k)
-      new FileStatus(o.bytes.length.toLong, false, 1, 32L * 1024 * 1024,
-        o.mtime, p)
-    } else new FileStatus(0L, true, 1, 0L, 0L, p)
+    region.objStat(g(k)) match {
+      case Some((len, mtime)) =>
+        new FileStatus(len, false, 1, 32L * 1024 * 1024, mtime, p)
+      case None => new FileStatus(0L, true, 1, 0L, 0L, p)
+    }
   }
 
   override def getFileStatus(f: Path): FileStatus = {
@@ -118,14 +191,14 @@ class S3MockFileSystem extends FileSystem {
     val pre = s"$k/"
     val names = scala.collection.mutable.SortedSet[String]()
     val dirs = scala.collection.mutable.SortedSet[String]()
-    store.keySet.forEach { kk =>
+    objKeys.foreach { kk =>
       if (kk.startsWith(pre)) {
         val rest = kk.substring(pre.length)
         val i = rest.indexOf('/')
         if (i < 0) names += rest else dirs += rest.substring(0, i)
       }
     }
-    markers.forEach { m =>
+    region.markerNames.foreach { m =>
       if (m.startsWith(s"$bucket$pre")) {
         val rest = m.substring(bucket.length + pre.length)
         if (rest.nonEmpty) {
@@ -146,15 +219,17 @@ class S3MockFileSystem extends FileSystem {
   override def mkdirs(f: Path, permission: FsPermission): Boolean = {
     val k = key(f)
     if (isFile(k)) throw new FileAlreadyExistsException(s"file exists: $k")
-    if (k.nonEmpty) markers.add(marker(k))
+    if (k.nonEmpty) region.addMarker(marker(k))
     true
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val k = key(f)
-    val o = store.get(k)
-    if (o == null) throw new FileNotFoundException(s"s3m://$bucket$k")
-    new FSDataInputStream(new SeekableBytes(o.bytes))
+    val bytes =
+      try region.objBytes(g(k))
+      catch { case _: FileNotFoundException =>
+        throw new FileNotFoundException(s"s3m://$bucket$k") }
+    new FSDataInputStream(new SeekableBytes(bytes))
   }
 
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
@@ -167,8 +242,7 @@ class S3MockFileSystem extends FileSystem {
       throw new FileAlreadyExistsException(s"is a directory: $k")
     // PUT semantics: buffered locally, visible atomically at close
     val buf = new ByteArrayOutputStream(8192) {
-      override def close(): Unit =
-        store.put(k, Obj(toByteArray, System.currentTimeMillis()))
+      override def close(): Unit = region.putObj(g(k), toByteArray)
     }
     new FSDataOutputStream(buf, statistics)
   }
@@ -193,53 +267,46 @@ class S3MockFileSystem extends FileSystem {
     } else if (hasPrefix(dk) && srcIsDir) dk = s"$dk/${src.getName}"
     if (sk == dk) return true
     if (srcIsDir && (dk + "/").startsWith(sk + "/")) return false
-    if (srcIsFile) {
-      val o = store.get(sk)
+    def copyThenDelete(from: String, to: String): Unit = {
+      val stat = region.objStat(g(from))
       copies.incrementAndGet()
-      store.put(dk, o) // COPY …
-      store.remove(sk) // … then DELETE: two steps, not one atom
-    } else {
+      region.putObj(g(to), region.objBytes(g(from)), stat.map(_._2)) // COPY …
+      region.removeObj(g(from)): Unit // … then DELETE: two steps, not one atom
+    }
+    if (srcIsFile) copyThenDelete(sk, dk)
+    else {
       val pre = s"$sk/"
-      val keys = store.keySet.stream.filter(_.startsWith(pre))
-        .toArray(n => new Array[String](n))
-      keys.foreach { kk =>
-        val o = store.get(kk)
-        copies.incrementAndGet()
-        store.put(s"$dk/${kk.substring(pre.length)}", o)
-        store.remove(kk)
-      }
+      objKeys.filter(_.startsWith(pre)).foreach(kk =>
+        copyThenDelete(kk, s"$dk/${kk.substring(pre.length)}"))
       val mpre = s"$bucket$pre"
-      val ms = markers.stream.filter(m =>
+      region.markerNames.filter(m =>
           m.startsWith(mpre) || m == marker(sk))
-        .toArray(n => new Array[String](n))
-      ms.foreach { m =>
-        markers.remove(m)
-        if (m == marker(sk)) markers.add(marker(dk))
-        else markers.add(s"$bucket$dk/${m.substring(mpre.length)}")
-      }
+        .foreach { m =>
+          region.removeMarker(m)
+          if (m == marker(sk)) region.addMarker(marker(dk))
+          else region.addMarker(s"$bucket$dk/${m.substring(mpre.length)}")
+        }
     }
     true
   }
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
     val k = key(f)
-    if (isFile(k)) { store.remove(k); return true }
+    if (isFile(k)) { region.removeObj(g(k)); return true }
     if (k.isEmpty || hasPrefix(k)) {
       val pre = s"$k/"
-      val keys = store.keySet.stream.filter(_.startsWith(pre))
-        .toArray(n => new Array[String](n))
-      val ms = markers.stream.filter(m =>
-          m.startsWith(s"$bucket$pre") || m == marker(k))
-        .toArray(n => new Array[String](n))
+      val keys = objKeys.filter(_.startsWith(pre))
+      val ms = region.markerNames.filter(m =>
+        m.startsWith(s"$bucket$pre") || m == marker(k))
       // markers nested UNDER k are contents too — a dir whose only
       // children are empty subdirectories is still non-empty for the
       // recursive=false contract
       if (!recursive && (keys.nonEmpty || ms.exists(_ != marker(k))))
         throw new IOException(s"directory not empty: $k")
-      keys.foreach(store.remove)
-      ms.foreach(markers.remove)
+      keys.foreach(kk => region.removeObj(g(kk)))
+      ms.foreach(region.removeMarker)
       true
-    } else markers.remove(marker(k))
+    } else region.removeMarker(marker(k))
   }
 }
 
