@@ -403,6 +403,91 @@ object FixtureGen {
         Seq("4", "video", "drone pass", "1048576", "0"),
         Seq("5", "image", "meadow", "3072", "0"))))
 
+    // llm7u/llm4cu/llm10u/llm23u: unicode/multilingual document tier
+    // (VERDICT r18 item 7). The synthetic lake is ASCII-only, so the text
+    // operators were never exercised on CJK, RTL, combining marks, emoji,
+    // bidi controls, or zero-width chars — each row below pins one of
+    // those surfaces, with PII planted INSIDE non-Latin context and messy
+    // URLs carrying unicode hosts/paths. Deterministic and committed; the
+    // DuckDB oracles read this same file, so every value is an
+    // engine-parity pin (Java regex vs RE2, UTF8String vs utf8proc).
+    write(s"$Dir/unicode_docs.csv",
+      csvQuoteAll(Seq("doc_id", "text", "url"), unicodeDocs))
+
     println(s"fixtures written under $Dir")
   }
+
+  /** (doc_id, text, url) rows for unicode_docs.csv. \u escapes are used
+    * for anything invisible (bidi marks, ZWSP, ZWJ, combining marks) so
+    * the generator source stays reviewable. */
+  val unicodeDocs: Seq[Seq[String]] = Seq(
+    // plain English with ' the ' markers (llm7's ASCII heuristic ground)
+    Seq("1", "the cat sat on the mat and the dog logged data today",
+      "HTTPS://WWW.Example.COM/Docs/A/?utm_source=rss&q=1#top"),
+    // English + planted PII (email, IP, card)
+    Seq("2", "please contact aria.lee@example.com or 192.168.10.7 " +
+      "card 4111111111111111 for details",
+      "http://example.com/a/"),
+    // Chinese (Han only, no spaces)
+    Seq("3", "今天天气很好我们去公园散步吧这是中文文本",
+      "https://example.com/a?utm_source=z"),
+    // Chinese + ASCII email embedded (must redact) + CJK-domain email
+    // (must NOT match: the domain class is ASCII-only in BOTH engines)
+    Seq("4", "联系 zhang.wei@example.cn 谢谢 或者 support@例子.com 再见",
+      "HTTPS://WWW.example.com/a/"),
+    // Japanese: kanji + hiragana + katakana
+    Seq("5", "これは日本語のテキストですカタカナもあります",
+      "https://例え.jp/ページ/?a=1&utm_x=9"),
+    // Korean hangul with spaces
+    Seq("6", "안녕하세요 한국어 텍스트 입니다",
+      "https://sub.EXAMPLE.com/путь/?utm_id=9&ref=home"),
+    // Arabic (RTL) + Arabic-Indic digits ٠١٢٣ (must NOT redact as card:
+    // \d is ASCII-only in Java-default and RE2 alike)
+    Seq("7", "هذا نص باللغة العربية ورقم ٠١٢٣٤٥٦٧٨٩٠١٢٣ للاختبار",
+      "HTTP://www.test.org/?utm_campaign=a"),
+    // Hebrew (RTL) + planted IP inside RTL context
+    Seq("8", "שרת 10.0.0.1 זמין בדיקה",
+      "https://test.org/x/y/"),
+    // Russian (Cyrillic)
+    Seq("9", "это русский текст для проверки системы",
+      "https://www.ТЕСТ.рф/Путь/?utm_a=1&b=2"),
+    // Greek
+    Seq("10", "αυτό είναι ελληνικό κείμενο για δοκιμή",
+      "https://example.com/b"),
+    // Hindi (Devanagari)
+    Seq("11", "यह हिंदी पाठ है और परीक्षण के लिए है",
+      "https://example.com/b/"),
+    // Thai (no spaces at all)
+    Seq("12", "นี่คือข้อความภาษาไทยสำหรับการทดสอบ",
+      "https://example.com/b?utm_source=x&utm_id=2"),
+    // NFC: precomposed é/ï (U+00E9, U+00EF)
+    Seq("13", "café résumé naïve déjà",
+      "https://nfc.example.com/"),
+    // NFD: SAME visible text, decomposed e+U+0301 etc — code-point counts
+    // must DIFFER from row 13 (neither engine may silently normalize)
+    Seq("14", "café résumé naïve déjà",
+      "https://nfd.example.com/"),
+    // emoji: BMP-external code points (each 1 code point, 2 UTF-16 units)
+    Seq("15", "I love pizza 🍕 and tacos 🌮 so much 😀😀",
+      "https://emoji.example.com/?utm_z=1"),
+    // ZWJ family sequence (7 code points) + skin-tone modifier pair
+    Seq("16", "👨\u200D👩\u200D👧\u200D👦 family and 👍🏽 thumbs",
+      "https://zwj.example.com/p/"),
+    // mixed script + email + number run
+    Seq("17", "Visit 北京 next week, email li.na@example.com, 123 items",
+      "https://mixed.example.com/p?utm_source=a&keep=1"),
+    // Turkish dotted capital İ (U+0130) — kept OUT of urls (lower() on
+    // İ is the one case ICU engines may disagree on)
+    Seq("18", "İstanbul'da yaşıyorum ve çalışıyorum",
+      "https://tr.example.com/"),
+    // German ß and umlauts
+    Seq("19", "die Straße ist größer als die Brücke",
+      "https://de.example.com/straße/"),
+    // bidi control marks (RLM U+200F, LRM U+200E) between scripts
+    Seq("20", "עברית \u200F mixed \u200E english",
+      "https://bidi.example.com/"),
+    // zero-width space U+200B: NOT whitespace to \s in Java or RE2 —
+    // "zero​width​space" must stay ONE whitespace-token
+    Seq("21", "zero\u200Bwidth\u200Bspace joined and plain words",
+      "https://zwsp.example.com/"))
 }

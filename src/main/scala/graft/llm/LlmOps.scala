@@ -937,9 +937,130 @@ object LlmOps extends QueryModule {
       |              else cast(0 as bigint) end),
       |  cast(0 as bigint), (a, b) -> a + b)""".stripMargin
 
+  // ---- unicode fixture tier (VERDICT r18 item 7) ---------------------------
+
+  /** Committed multilingual fixture (FixtureGen.unicodeDocs): CJK, RTL,
+    * combining marks (NFC/NFD pair), emoji/ZWJ, bidi controls, zero-width
+    * chars, PII planted inside non-Latin context, unicode-host URLs. The
+    * synthetic lake is ASCII-only; these rows are where the text operators'
+    * unicode behavior is actually pinned — each llm*u query below is an
+    * engine-parity contract (Java regex/UTF8String vs DuckDB RE2/utf8proc)
+    * over surfaces the ASCII lake never touches. */
+  private val UnicodeFixture = "/root/repo/fixtures/unicode_docs.csv"
+
+  private def unicodeDocs(s: SparkSession): DataFrame =
+    s.read.option("header", "true").option("quote", "\"")
+      .schema("doc_id BIGINT, text STRING, url STRING")
+      .csv(UnicodeFixture)
+
+  /** (label, BMP code-point range) per script — counted via
+    * strip-and-subtract, the llm7 recipe generalized beyond ASCII. */
+  private val ScriptRanges: Seq[(String, String, String)] = Seq(
+    // (label, Java-regex class, RE2 class for the DuckDB oracle)
+    ("kana", "[\\u3040-\\u30FF]", "[\\x{3040}-\\x{30FF}]"),
+    ("hangul", "[\\uAC00-\\uD7A3]", "[\\x{AC00}-\\x{D7A3}]"),
+    ("han", "[\\u4E00-\\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"),
+    ("arabic", "[\\u0600-\\u06FF]", "[\\x{0600}-\\x{06FF}]"),
+    ("hebrew", "[\\u0590-\\u05FF]", "[\\x{0590}-\\x{05FF}]"),
+    ("cyrillic", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\\u0370-\\u03FF]", "[\\x{0370}-\\x{03FF}]"),
+    ("devanagari", "[\\u0900-\\u097F]", "[\\x{0900}-\\x{097F}]"),
+    ("thai", "[\\u0E00-\\u0E7F]", "[\\x{0E00}-\\x{0E7F}]"),
+    ("latin", "[A-Za-z]", "[A-Za-z]"))
+
   // ---- declared queries --------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LLM-7u: script identification over the unicode fixture — llm7's
+    // strip-and-subtract counting per UNICODE BLOCK (length() is
+    // code-point semantics in both engines, so the counts are
+    // representation-exact even on the NFD row and the emoji rows).
+    // pred_script = greatest-count argmax; the CASE arm order IS the
+    // deterministic tie-break, identical in both engines.
+    "llm7u_langid_unicode" -> ((s, _) => {
+      def cnt(cls: String): Column =
+        (length(col("text")) -
+          length(regexp_replace(col("text"), cls, ""))).cast("int")
+      val counts = ScriptRanges.map { case (lbl, j, _) =>
+        cnt(j).as(s"c_$lbl") }
+      val g = greatest(ScriptRanges.map { case (lbl, _, _) =>
+        col(s"c_$lbl") }: _*)
+      val pred = ScriptRanges.foldRight(lit("unknown")) {
+        case ((lbl, _, _), e) =>
+          when(col(s"c_$lbl") === col("g") && col("g") > 0, lbl).otherwise(e)
+      }
+      unicodeDocs(s)
+        .select(col("doc_id") +: counts: _*)
+        .withColumn("g", g)
+        .withColumn("pred_script", pred)
+        .drop("g")
+        .orderBy("doc_id")
+    }),
+
+    // LLM-4cu: tokenization counts on unicode text — pins that \s and the
+    // ASCII word classes are ASCII-ONLY in both engines (ZWSP does not
+    // split a whitespace token; CJK contributes zero ASCII word tokens),
+    // and that neither engine normalizes (NFC/NFD rows differ in
+    // n_codepoints).
+    "llm4cu_tokens_unicode" -> ((s, _) =>
+      unicodeDocs(s).select(
+          col("doc_id"),
+          length(col("text")).as("n_codepoints"),
+          size(array_remove(split(col("text"), "\\s+"), ""))
+            .as("n_ws_tokens"),
+          size(array_remove(split(col("text"), "[^a-zA-Z0-9]+"), ""))
+            .as("n_ascii_word_tokens"),
+          (length(col("text")) - length(regexp_replace(col("text"),
+            "[\\u0000-\\u007F]", ""))).cast("int").as("n_nonascii"))
+        .orderBy("doc_id")),
+
+    // LLM-10u: PII redaction with the PII planted INSIDE RTL/CJK context
+    // in the fixture itself — same three patterns as llm10; additionally
+    // pins that \d and \b stay ASCII (Arabic-Indic digit runs are NOT
+    // card numbers in either engine) and that CJK↔digit transitions count
+    // as word boundaries in both.
+    "llm10u_redact_pii_unicode" -> ((s, _) =>
+      unicodeDocs(s).select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"),
+                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+              "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+            "\\b\\d{13,19}\\b", "<CARD>").as("clean_text"))
+        .orderBy("doc_id")),
+
+    // LLM-23u: URL canonicalization on REAL messy-url inputs with unicode
+    // hosts/paths (llm23 synthesizes ASCII urls from doc columns) — same
+    // canon pipeline: lower scheme+host, strip www., strip trailing slash,
+    // drop utm_* params, registered-domain suffix. lower() must agree on
+    // Cyrillic hosts (full-unicode case folding in both engines); the
+    // unicode path segment survives untouched.
+    "llm23u_url_canon_unicode" -> ((s, _) => {
+      val scheme = lower(regexp_extract(col("url"),
+        "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+      val host = regexp_replace(
+        lower(regexp_extract(col("url"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+        "^www\\.", "")
+      val path0 = regexp_extract(col("url"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+      val path = when(path0 === "", lit("/"))
+        .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+      val q = regexp_extract(col("url"), "\\?([^#]*)", 1)
+      val keptQ = array_join(
+        filter(split(q, "&"),
+          x => !startswith(x, lit("utm_")) && x =!= lit("")), "&")
+      unicodeDocs(s)
+        .withColumn("registered_domain",
+          regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+        .withColumn("canonical_url", concat(scheme, lit("://"), host, path,
+          when(keptQ =!= "", concat(lit("?"), keptQ)).otherwise(lit(""))))
+        .groupBy("canonical_url", "registered_domain")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("canonical_url")
+    }),
 
     // LLM-1: exact dedup — group on a 256-bit content hash, keep min id.
     "llm1_exact_dedup" -> ((s, d) =>
@@ -3186,6 +3307,94 @@ object LlmOps extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+
+    // unicode fixture tier: the CTE reads the SAME committed csv; script
+    // counts, greatest, and the CASE arm order are generated from the ONE
+    // ScriptRanges table the Spark side uses, so the argmax tie-break
+    // cannot drift between engines.
+    "llm7u_langid_unicode" -> {
+      val counts = ScriptRanges.map { case (lbl, _, re2) =>
+        s"""    CAST(length(text) - length(regexp_replace(text, '$re2', '', 'g')) AS INT) AS c_$lbl"""
+      }.mkString(",\n")
+      val g = ScriptRanges.map { case (lbl, _, _) => s"c_$lbl" }
+        .mkString("greatest(", ", ", ")")
+      val arms = ScriptRanges.map { case (lbl, _, _) =>
+        s"    WHEN c_$lbl = g AND g > 0 THEN '$lbl'" }.mkString("\n")
+      s"""WITH u AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+         |  FROM read_csv('$UnicodeFixture', header=true, quote='"',
+         |                all_varchar=true)),
+         |c AS (
+         |  SELECT doc_id,
+         |$counts
+         |  FROM u),
+         |withg AS (SELECT *, $g AS g FROM c)
+         |SELECT doc_id, ${ScriptRanges.map(r => s"c_${r._1}").mkString(", ")},
+         |  CASE
+         |$arms
+         |    ELSE 'unknown' END AS pred_script
+         |FROM withg ORDER BY doc_id""".stripMargin
+    },
+
+    "llm4cu_tokens_unicode" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(length(text) AS INT) AS n_codepoints,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |        t -> t <> '')) AS INT) AS n_ws_tokens,
+         |  CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+         |        t -> t <> '')) AS INT) AS n_ascii_word_tokens,
+         |  CAST(length(text) - length(regexp_replace(text,
+         |        '[\\x{0000}-\\x{007F}]', '', 'g')) AS INT) AS n_nonascii
+         |FROM read_csv('$UnicodeFixture', header=true, quote='"',
+         |              all_varchar=true)
+         |ORDER BY doc_id""".stripMargin,
+
+    // same three patterns, same order as llm10 — PII lives IN the fixture
+    "llm10u_redact_pii_unicode" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text,
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\b\\d{13,19}\\b', '<CARD>', 'g') AS clean_text
+         |FROM read_csv('$UnicodeFixture', header=true, quote='"',
+         |              all_varchar=true)
+         |ORDER BY doc_id""".stripMargin,
+
+    // llm23's canon pipeline over the fixture's real url column
+    "llm23u_url_canon_unicode" ->
+      s"""WITH u AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, url
+         |  FROM read_csv('$UnicodeFixture', header=true, quote='"',
+         |                all_varchar=true)),
+         |parts AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS host,
+         |    regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS q
+         |  FROM u),
+         |canon AS (
+         |  SELECT doc_id,
+         |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS registered_domain,
+         |    scheme || '://' || host ||
+         |    (CASE WHEN path0 = '' THEN '/'
+         |          ELSE regexp_replace(path0, '(.)/$$', '\\1') END) ||
+         |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canonical_url
+         |  -- array_to_string is NULL on an empty list in DuckDB (Spark's
+         |  -- array_join is ''); the fixture HAS all-utm queries, so pin it
+         |  FROM (SELECT *, coalesce(array_to_string(
+         |          list_filter(string_split(q, '&'),
+         |            x -> NOT starts_with(x, 'utm_') AND x <> ''), '&'), '')
+         |          AS kept
+         |        FROM parts))
+         |SELECT canonical_url, registered_domain,
+         |  min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM canon GROUP BY 1, 2 ORDER BY canonical_url""".stripMargin,
+
     "llm2c_simhash" ->
       s"WITH $simhashSqlCtes\nSELECT doc_id, simhash FROM sh ORDER BY doc_id",
 
