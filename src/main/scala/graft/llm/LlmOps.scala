@@ -111,11 +111,18 @@ object LlmOps extends QueryModule {
     * mean with zero probe-time cost). k ≤ 0 (the default) auto-scales the
     * cell count to [[scaledCells]](n) — one metadata-cheap count() at
     * build time. Returns (cent_id, cent: array<float>). */
-  def ivfCentroids(e: DataFrame, k: Int = 0, rounds: Int = 4): DataFrame = {
-    val kk = if (k > 0) k else scaledCells(e.count())
+  def ivfCentroids(e: DataFrame, k: Int = 0, rounds: Int = 4,
+                   seeds0: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
-    val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kk)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    // seeds0: already-persisted seed vectors (llm3e's oracle surface) —
+    // the xxhash64 sample is the ONLY non-SQL-expressible step of this
+    // training, so persisting it and training off the stored bytes is
+    // what lets the DuckDB oracle replay the Lloyd rounds exactly
+    val seeds = seeds0.getOrElse {
+      val kk = if (k > 0) k else scaledCells(e.count())
+      e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kk)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    }
     (1 to rounds).foldLeft(seeds) { (cents, r) =>
       val means = e.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("embedding"), col("cent")))
@@ -418,6 +425,24 @@ object LlmOps extends QueryModule {
     * llm3eb oracle surface): written once per (session, sf-dir) under
     * target/tmp-sinks where the DuckDB oracle can read the exact bytes
     * the audited queries clustered on. Returns the path. */
+  /** Memoized STABLE-PATH dump of llm3e's hash-sampled SEED vectors — the
+    * only xxhash64-dependent (non-SQL-expressible) step of IVF training.
+    * llm3e trains off these stored bytes, and its DuckDB oracle unrolls
+    * the 4 Lloyd rounds as materialized CTEs from the same bytes
+    * (VERDICT r18 item 8): training itself becomes hash-checked, not just
+    * the serve path llm3eb already pins. */
+  private[graft] def memoPersistedIvfSeeds(s: SparkSession,
+                                           d: String): String =
+    graft.StageMemo.value(s, s"llm3e.seeds.$d") {
+      val out = graft.OracleArtifacts.record("llm3e_seeds", d)
+      val e = Tables.embeddings(s, d)
+      e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(scaledCells(e.count()))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    }
+
   private[graft] def memoPersistedCentroids(s: SparkSession,
                                             d: String): String =
     graft.StageMemo.value(s, s"llm44.cents.$d") {
@@ -1273,8 +1298,11 @@ object LlmOps extends QueryModule {
       // checkpoint the trained quantizer ONCE: the nprobe count() below
       // and the broadcast crossJoin both consume it — without this the
       // count would run the 4-round training and the join would run it
-      // a second time
-      val cents = ivfCentroids(e).localCheckpoint()
+      // a second time. Seeds come from the persisted artifact (r19): the
+      // DuckDB oracle unrolls the same 4 rounds off the same bytes.
+      val cents = ivfCentroids(e,
+        seeds0 = Some(s.read.parquet(memoPersistedIvfSeeds(s, d))))
+        .localCheckpoint()
       // bounded driver scalar: the centroid table is ≤ √n rows
       val nprobe = math.max(8, (cents.count() / 2).toInt)
       val ranked = e.crossJoin(broadcast(cents))
@@ -3922,6 +3950,84 @@ object LlmOps extends QueryModule {
     // centroids: cosine cell assignment ((sim DESC, cent_id) tie-break),
     // the query's nprobe=8 probe set, candidate semi-join, exact cosine
     // re-rank, top-20
+    // llm3e TRAINING oracle (r19, VERDICT r18 item 8): unrolls the 4
+    // Lloyd rounds as materialized CTEs off the persisted seed bytes (the
+    // xxhash64 sample is the only non-SQL step), then replays the full
+    // probe. Each round replays Spark's decimal mean EXACTLY:
+    //  - float → DOUBLE → DECIMAL(28,12): the double hop matters — DuckDB
+    //    casts FLOAT→DECIMAL through the float's SHORTEST decimal repr,
+    //    while Spark quantizes the exact binary value (HALF_UP);
+    //    float→double is exact, and double→decimal agrees;
+    //  - the decimal(28,12) is turned into its exact unscaled HUGEINT via
+    //    its VARCHAR form (drop the '.'), summed exactly;
+    //  - Spark's avg = sum/count at scale 16 HALF_UP (away from zero) =
+    //    sign·((2·|s12·10⁴| + n) DIV (2n)) in HUGEINT;
+    //  - the scale-16 mean casts to FLOAT through one correctly-rounded
+    //    double division (mean unscaled < 2^53 — |components| < 1 — so
+    //    CAST(HUGEINT AS DOUBLE) is exact and /1e16 is the single
+    //    rounding, matching BigDecimal.floatValue's double hop).
+    "llm3e_ann_ivf" -> {
+      def roundCtes(prev: String, r: Int): String =
+        s"""sims$r AS (
+           |  SELECT e.vec_id, s.cent_id,
+           |    list_dot_product(e.embedding::DOUBLE[], s.cent::DOUBLE[]) /
+           |      sqrt(list_dot_product(e.embedding::DOUBLE[],
+           |                            e.embedding::DOUBLE[])) /
+           |      sqrt(list_dot_product(s.cent::DOUBLE[], s.cent::DOUBLE[])) AS sim
+           |  FROM e, $prev s),
+           |assign$r AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC, cent_id) rn FROM sims$r) WHERE rn = 1),
+           |means$r AS (
+           |  SELECT a.cent_id, i AS pos,
+           |    sum(CAST(replace(CAST(CAST(CAST(e.embedding[i] AS DOUBLE)
+           |      AS DECIMAL(28,12)) AS VARCHAR), '.', '') AS HUGEINT)) AS s12,
+           |    count(*) AS n
+           |  FROM assign$r a JOIN e USING (vec_id)
+           |       CROSS JOIN unnest(range(1, len(e.embedding)+1)) AS t(i)
+           |  GROUP BY a.cent_id, i),
+           |newc$r AS (
+           |  SELECT cent_id, list(CAST(CAST(
+           |      (CASE WHEN s12 >= 0 THEN (2*s12*10000 + n) // (2*n)
+           |            ELSE -((2*(-s12)*10000 + n) // (2*n)) END)
+           |      AS DOUBLE) / 1e16 AS FLOAT) ORDER BY pos) AS cent_new
+           |  FROM means$r GROUP BY cent_id),
+           |cents$r AS (
+           |  SELECT p.cent_id, coalesce(n.cent_new, p.cent) AS cent
+           |  FROM $prev p LEFT JOIN newc$r n USING (cent_id))""".stripMargin
+      val rounds = (1 to 4).map(r =>
+        roundCtes(if (r == 1) "seeds" else s"cents${r - 1}", r))
+        .mkString(",\n")
+      s"""WITH seeds AS (
+         |  SELECT cent_id, cent
+         |  FROM '${graft.OracleArtifacts.path("llm3e_seeds")}/*.parquet'),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |$rounds,
+         |psims AS (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, s.cent_id,
+         |    list_dot_product(e.embedding::DOUBLE[], s.cent::DOUBLE[]) /
+         |      sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |                            e.embedding::DOUBLE[])) /
+         |      sqrt(list_dot_product(s.cent::DOUBLE[], s.cent::DOUBLE[])) AS sim
+         |  FROM e, cents4 s),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY sim DESC, cent_id) AS rn FROM psims),
+         |np AS (SELECT greatest(8, count(*) // 2) AS np FROM cents4),
+         |corpus AS (SELECT vec_id, emb, cent_id AS cell
+         |           FROM ranked WHERE rn = 1 AND vec_id <> 0),
+         |qc AS (SELECT cent_id AS cell FROM ranked
+         |       WHERE vec_id = 0 AND rn <= (SELECT np FROM np)),
+         |q AS (SELECT embedding::DOUBLE[] AS qe
+         |      FROM embeddings WHERE vec_id = 0)
+         |SELECT c.vec_id,
+         |  round(list_dot_product(c.emb, q.qe) /
+         |        sqrt(list_dot_product(c.emb, c.emb)) /
+         |        sqrt(list_dot_product(q.qe, q.qe)), 6) AS cos_sim
+         |FROM corpus c JOIN qc USING (cell), q
+         |ORDER BY cos_sim DESC, c.vec_id LIMIT 20""".stripMargin
+    },
+
     "llm3eb_ann_ivf_audit" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id = 0),
