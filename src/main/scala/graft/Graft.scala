@@ -41,13 +41,19 @@ object Graft {
     * whose java.class.path is just a bootstrap jar (sbt). */
   private def withClusterConf(b: SparkSession.Builder): SparkSession.Builder =
     if (!master.startsWith("local-cluster")) b
-    else b
-      .config("spark.executor.extraClassPath",
-        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_CP",
-          sys.props.getOrElse("java.class.path", "")))
-      // keep executor heap inside the worker memory from the master string
-      .config("spark.executor.memory",
-        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+    else {
+      // keep the executor request inside the per-worker memory the master
+      // string grants (local-cluster[n,cores,memMB]) — a request above it
+      // is never satisfiable and the app hangs waiting for resources
+      val workerMb = "local-cluster\\[\\d+,\\d+,(\\d+)\\]".r
+        .findFirstMatchIn(master).map(_.group(1).toLong)
+      b.config("spark.executor.extraClassPath",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_CP",
+            sys.props.getOrElse("java.class.path", "")))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM",
+            workerMb.fold("3g")(mb => s"${math.min(3072L, mb)}m")))
+    }
 
   /** Object-store (s3a://) readiness — SINK-5's production path (the
     * reference uploads snapshots to S3, runcommand.py:463-498). This

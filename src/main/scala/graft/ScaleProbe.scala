@@ -16,9 +16,11 @@ import graft.plans.PlanMetrics
   * don't move with JIT/GC/host noise, so the growth column is trustworthy
   * even when wall time wobbles.
   *
-  * Usage: `runMain graft.ScaleProbe <sf01Dir> <sf1Dir> <outJson> [names]`.
-  * The sf1 lake comes from [[ScaleLake]] (10 shifted replicas of sf0.1 —
-  * distributions/skew/dup-rates preserved per replica).
+  * Usage: `runMain graft.ScaleProbe <loDir> <hiDir> <outJson> [names]`.
+  * The hi lake comes from [[ScaleLake]] (K shifted replicas of the lo
+  * lake — distributions/skew/dup-rates preserved per replica). The
+  * emitted sf_ratio is MEASURED (hi/lo lineitem row counts), not assumed,
+  * so an artifact over a 5-replica lake can't masquerade as a decade.
   */
 object ScaleProbe {
 
@@ -39,6 +41,8 @@ object ScaleProbe {
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Heavy)
     val spark = Graft.session("graft-scaleprobe")
     TmpStores.sweep()
+    val ratio = spark.read.parquet(s"$sf1/lineitem.parquet").count().toDouble /
+      spark.read.parquet(s"$sf01/lineitem.parquet").count()
 
     def run(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
@@ -65,9 +69,11 @@ object ScaleProbe {
         f""""time_growth": $tg%.2f, "sf01_shuffle_mb": ${b01 / 1e6}%.3f, """ +
         f""""sf1_shuffle_mb": ${b1 / 1e6}%.3f, "shuffle_growth": $bg%.2f}"""
     }
+    val head = "{\n" +
+      f""""lo_dir": "$sf01", "hi_dir": "$sf1", "sf_ratio": $ratio%.2f,""" +
+      "\n\"queries\": {\n"
     Files.writeString(Paths.get(outJson),
-      rows.mkString("{\n\"sf_ratio\": 10,\n\"queries\": {\n", ",\n",
-        "\n}}\n"))
+      rows.mkString(head, ",\n", "\n}}\n"))
     System.err.println(s"[probe] wrote $outJson")
     spark.stop()
   }

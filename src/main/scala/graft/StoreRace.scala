@@ -124,6 +124,13 @@ object StoreRace {
 
     // Invariant 3: every retained version still reads back complete after
     // the mid-race vacuums (marker-then-data delete order + grace window).
+    // Graft.session getOrCreate's may hand back a PRE-EXISTING session
+    // (StoreRaceSpec runs inside the suite's shared TestSession) — only
+    // stop what this call actually created, or every later suite inherits
+    // a stopped SparkContext.
+    val preExisting =
+      org.apache.spark.sql.SparkSession.getDefaultSession.exists(
+        s => !s.sparkContext.isStopped)
     val spark = session("store-race-check")
     val perVersion =
       try vs.map { v =>
@@ -134,7 +141,7 @@ object StoreRace {
         val owner = rows.map(r => (r.getInt(0), r.getInt(1))).distinct
         require(owner.length == 1, s"v$v mixes commits")
         owner.head
-      } finally spark.stop()
+      } finally if (!preExisting) spark.stop()
 
     // Invariant 4: no (writer, seq) commit appears under two versions.
     require(perVersion.distinct.length == perVersion.length,

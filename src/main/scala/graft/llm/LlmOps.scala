@@ -111,6 +111,15 @@ object LlmOps extends QueryModule {
     * mean with zero probe-time cost). k ≤ 0 (the default) auto-scales the
     * cell count to [[scaledCells]](n) — one metadata-cheap count() at
     * build time. Returns (cent_id, cent: array<float>). */
+  /** THE seed-sampling recipe (single definition — the persisted llm3e
+    * oracle seeds and every in-query training must stay byte-identical):
+    * k deterministically hash-ordered vectors, k ≤ 0 → [[scaledCells]]. */
+  private[graft] def ivfSeedSample(e: DataFrame, k: Int = 0): DataFrame = {
+    val kk = if (k > 0) k else scaledCells(e.count())
+    e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kk)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+  }
+
   def ivfCentroids(e: DataFrame, k: Int = 0, rounds: Int = 4,
                    seeds0: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
@@ -118,11 +127,7 @@ object LlmOps extends QueryModule {
     // the xxhash64 sample is the ONLY non-SQL-expressible step of this
     // training, so persisting it and training off the stored bytes is
     // what lets the DuckDB oracle replay the Lloyd rounds exactly
-    val seeds = seeds0.getOrElse {
-      val kk = if (k > 0) k else scaledCells(e.count())
-      e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kk)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    }
+    val seeds = seeds0.getOrElse(ivfSeedSample(e, k))
     (1 to rounds).foldLeft(seeds) { (cents, r) =>
       val means = e.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("embedding"), col("cent")))
@@ -425,30 +430,28 @@ object LlmOps extends QueryModule {
     * llm3eb oracle surface): written once per (session, sf-dir) under
     * target/tmp-sinks where the DuckDB oracle can read the exact bytes
     * the audited queries clustered on. Returns the path. */
-  /** Memoized STABLE-PATH dump of llm3e's hash-sampled SEED vectors — the
-    * only xxhash64-dependent (non-SQL-expressible) step of IVF training.
-    * llm3e trains off these stored bytes, and its DuckDB oracle unrolls
-    * the 4 Lloyd rounds as materialized CTEs from the same bytes
-    * (VERDICT r18 item 8): training itself becomes hash-checked, not just
-    * the serve path llm3eb already pins. */
-  private[graft] def memoPersistedIvfSeeds(s: SparkSession,
-                                           d: String): String =
-    graft.StageMemo.value(s, s"llm3e.seeds.$d") {
-      val out = graft.OracleArtifacts.record("llm3e_seeds", d)
-      val e = Tables.embeddings(s, d)
-      e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-        .limit(scaledCells(e.count()))
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-        .coalesce(1).write.mode("overwrite").parquet(out)
-      out
-    }
-
   private[graft] def memoPersistedCentroids(s: SparkSession,
                                             d: String): String =
     graft.StageMemo.value(s, s"llm44.cents.$d") {
       val out = graft.OracleArtifacts.record("llm44_centroids", d)
       memoIvfCentroids(s, d).coalesce(1)
         .write.mode("overwrite").parquet(out)
+      out
+    }
+
+  /** Memoized STABLE-PATH dump of llm3e's hash-sampled SEED vectors — the
+    * only xxhash64-dependent (non-SQL-expressible) step of IVF training.
+    * llm3e trains off these stored bytes, and its DuckDB oracle unrolls
+    * the 4 Lloyd rounds as materialized CTEs from the same bytes
+    * (VERDICT r18 item 8): training itself becomes hash-checked, not just
+    * the serve path llm3eb already pins. Uses [[ivfSeedSample]] — the ONE
+    * sampling recipe every ivfCentroids caller trains on. */
+  private[graft] def memoPersistedIvfSeeds(s: SparkSession,
+                                           d: String): String =
+    graft.StageMemo.value(s, s"llm3e.seeds.$d") {
+      val out = graft.OracleArtifacts.record("llm3e_seeds", d)
+      ivfSeedSample(Tables.embeddings(s, d))
+        .coalesce(1).write.mode("overwrite").parquet(out)
       out
     }
 
@@ -3962,10 +3965,10 @@ object LlmOps extends QueryModule {
     //    its VARCHAR form (drop the '.'), summed exactly;
     //  - Spark's avg = sum/count at scale 16 HALF_UP (away from zero) =
     //    sign·((2·|s12·10⁴| + n) DIV (2n)) in HUGEINT;
-    //  - the scale-16 mean casts to FLOAT through one correctly-rounded
-    //    double division (mean unscaled < 2^53 — |components| < 1 — so
-    //    CAST(HUGEINT AS DOUBLE) is exact and /1e16 is the single
-    //    rounding, matching BigDecimal.floatValue's double hop).
+    //  - the scale-16 mean casts to FLOAT by rendering the exact decimal
+    //    STRING and single-rounding it (DuckDB's fast_float parse), the
+    //    same single rounding as BigDecimal.floatValue's Float.parseFloat
+    //    path — no intermediate double, so no 2^53 magnitude constraint.
     "llm3e_ann_ivf" -> {
       def roundCtes(prev: String, r: Int): String =
         s"""sims$r AS (
@@ -3987,12 +3990,18 @@ object LlmOps extends QueryModule {
            |  FROM assign$r a JOIN e USING (vec_id)
            |       CROSS JOIN unnest(range(1, len(e.embedding)+1)) AS t(i)
            |  GROUP BY a.cent_id, i),
+           |mu$r AS (
+           |  SELECT cent_id, pos,
+           |    (CASE WHEN s12 >= 0 THEN (2*s12*10000 + n) // (2*n)
+           |          ELSE -((2*(-s12)*10000 + n) // (2*n)) END) AS u
+           |  FROM means$r),
            |newc$r AS (
-           |  SELECT cent_id, list(CAST(CAST(
-           |      (CASE WHEN s12 >= 0 THEN (2*s12*10000 + n) // (2*n)
-           |            ELSE -((2*(-s12)*10000 + n) // (2*n)) END)
-           |      AS DOUBLE) / 1e16 AS FLOAT) ORDER BY pos) AS cent_new
-           |  FROM means$r GROUP BY cent_id),
+           |  SELECT cent_id, list(CAST(
+           |      (CASE WHEN u < 0 THEN '-' ELSE '' END ||
+           |       CAST(abs(u) // 10000000000000000 AS VARCHAR) || '.' ||
+           |       lpad(CAST(abs(u) % 10000000000000000 AS VARCHAR), 16, '0'))
+           |      AS FLOAT) ORDER BY pos) AS cent_new
+           |  FROM mu$r GROUP BY cent_id),
            |cents$r AS (
            |  SELECT p.cent_id, coalesce(n.cent_new, p.cent) AS cent
            |  FROM $prev p LEFT JOIN newc$r n USING (cent_id))""".stripMargin

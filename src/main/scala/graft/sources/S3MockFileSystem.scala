@@ -56,6 +56,11 @@ object S3MockFileSystem {
     * specs and queries share a region). */
   def install(conf: Configuration): Unit = {
     conf.set("fs.s3m.impl", classOf[S3MockFileSystem].getName)
+    // Hadoop's FileSystem cache keys on (scheme, authority, ugi) — NOT on
+    // the conf — so a second session in one JVM would resolve a cached FS
+    // pointing at the FIRST session's region while its executors write to
+    // the new one. A mock can afford a fresh instance per access.
+    conf.set("fs.s3m.impl.disable.cache", "true")
     if (conf.get(RootKey) == null)
       conf.set(RootKey,
         Files.createTempDirectory("graft-s3m-region").toString)
@@ -71,11 +76,40 @@ object S3MockFileSystem {
     private val t = Paths.get(rootDir, "t")
     Seq(o, m, t).foreach(Files.createDirectories(_))
 
-    private def enc(name: String): String = URLEncoder.encode(name, "UTF-8")
-    private def dec(file: String): String = URLDecoder.decode(file, "UTF-8")
+    /** Filename for a key: URL-encoded, but a long key ('/' inflates to
+      * %2F — committer temp paths under a partitioned table run deep)
+      * switches to prefix + SHA-256 to stay under the 255-byte Linux
+      * filename component limit (real S3 allows 1024-byte keys). Hashed
+      * names are listed through their sidecar `.name` file holding the
+      * raw key, keeping listings exact. */
+    private def enc(name: String): String = {
+      val e = URLEncoder.encode(name, "UTF-8")
+      if (e.length <= 200) e
+      else {
+        val h = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(name.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        s"LONG-$h"
+      }
+    }
+    private def sidecarFor(dir: JPath, n: String): Unit = {
+      val e = enc(n)
+      if (e.startsWith("LONG-")) {
+        val tmp = Files.createTempFile(t, "name", null)
+        Files.write(tmp, n.getBytes("UTF-8"))
+        Files.move(tmp, dir.resolve(e + ".name"),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
+    private def dec(dir: JPath, file: String): String =
+      if (file.startsWith("LONG-"))
+        new String(Files.readAllBytes(dir.resolve(file + ".name")), "UTF-8")
+      else URLDecoder.decode(file, "UTF-8")
     private def ls(dir: JPath): Seq[String] = {
       val s = Files.list(dir)
-      try s.iterator().asScala.map(p => dec(p.getFileName.toString)).toVector
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.endsWith(".name"))
+        .map(f => dec(dir, f)).toVector
       finally s.close()
     }
     private implicit class IterAdapter[A](it: java.util.Iterator[A]) {
@@ -95,9 +129,12 @@ object S3MockFileSystem {
       try Some((Files.size(p), Files.getLastModifiedTime(p).toMillis))
       catch { case _: java.nio.file.NoSuchFileException => None }
     }
-    /** Atomic PUT: stage then ATOMIC_MOVE — visible whole or not at all. */
+    /** Atomic PUT: stage then ATOMIC_MOVE — visible whole or not at all.
+      * The sidecar (if any) lands first so a listed hashed object always
+      * resolves its raw key. */
     def putObj(n: String, bytes: Array[Byte],
                mtime: Option[Long] = None): Unit = {
+      sidecarFor(o, n)
       val tmp = Files.createTempFile(t, "put", null)
       Files.write(tmp, bytes)
       mtime.foreach(ms => Files.setLastModifiedTime(tmp,
@@ -105,18 +142,23 @@ object S3MockFileSystem {
       Files.move(tmp, o.resolve(enc(n)), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING): Unit
     }
-    def removeObj(n: String): Boolean =
+    def removeObj(n: String): Boolean = {
+      Files.deleteIfExists(o.resolve(enc(n) + ".name"))
       Files.deleteIfExists(o.resolve(enc(n)))
+    }
 
     def markerExists(n: String): Boolean = Files.exists(m.resolve(enc(n)))
     def markerNames: Seq[String] = ls(m)
     def addMarker(n: String): Unit = {
+      sidecarFor(m, n)
       try Files.createFile(m.resolve(enc(n)))
       catch { case _: java.nio.file.FileAlreadyExistsException => }
       (): Unit
     }
-    def removeMarker(n: String): Boolean =
+    def removeMarker(n: String): Boolean = {
+      Files.deleteIfExists(m.resolve(enc(n) + ".name"))
       Files.deleteIfExists(m.resolve(enc(n)))
+    }
   }
 }
 
@@ -163,8 +205,12 @@ class S3MockFileSystem extends FileSystem {
   private def isFile(k: String): Boolean = region.objExists(g(k))
   private def hasPrefix(k: String): Boolean = {
     val pre = s"$k/"
-    objKeys.exists(_.startsWith(pre)) ||
-      region.markerExists(marker(k)) ||
+    // O(1) marker probe first — the common mkdirs'd-dir case skips the
+    // O(region) listings (a disk region pays per-entry where the old heap
+    // map paid O(1); at test scale the listings are small, but don't pay
+    // them when a probe answers)
+    region.markerExists(marker(k)) ||
+      objKeys.exists(_.startsWith(pre)) ||
       region.markerNames.exists(_.startsWith(s"$bucket$pre"))
   }
 

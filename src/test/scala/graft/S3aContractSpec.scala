@@ -121,6 +121,33 @@ class S3aContractSpec extends SparkSpec {
     assert(!fs.exists(src))
   }
 
+  test("s3m: keys whose encoded name exceeds the 255-byte filename limit " +
+      "store hashed with an exact-listing sidecar (deep committer paths)") {
+    s3mReady()
+    val fs = new org.apache.hadoop.fs.Path("s3m://graft-test/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a deep hive-partitioned committer-temp shape: '/'→%2F triples, so
+    // this key's encoded form is far past 255 bytes — real S3 allows
+    // 1024-byte keys and the mock must too
+    val deep = "s3m://graft-test/tbl/" +
+      (1 to 12).map(i => s"col$i=value_$i").mkString("/") +
+      "/_temporary/0/_temporary/attempt_20260816_0001_m_000000_0/" +
+      "part-00000-0123456789abcdef-c000.snappy.parquet"
+    val p = new org.apache.hadoop.fs.Path(deep)
+    val o = fs.create(p)
+    o.write("deep".getBytes); o.close()
+    assert(fs.exists(p) && fs.getFileStatus(p).getLen === 4L)
+    // listing the parent resolves the RAW key through the sidecar
+    val parent = p.getParent
+    val listed = fs.listStatus(parent).map(_.getPath.getName)
+    assert(listed.contains(p.getName), s"hashed key lost in listing: ${listed.mkString(",")}")
+    // rename (the committer's task->job promote) and delete still work
+    val dst = new org.apache.hadoop.fs.Path(parent, "renamed.parquet")
+    assert(fs.rename(p, dst))
+    assert(fs.exists(dst) && !fs.exists(p))
+    assert(fs.delete(dst, false))
+  }
+
   test("s3m: objects are immutable — append fails; PUT visibility is " +
       "atomic at close") {
     s3mReady()
