@@ -1043,6 +1043,18 @@ object LlmOps extends QueryModule {
             "[\\u0000-\\u007F]", ""))).cast("int").as("n_nonascii"))
         .orderBy("doc_id")),
 
+    // LLM-8u: rolling-hash fingerprint over the unicode tier — llm8's
+    // byte-polynomial (RollingHash64 folds UTF-8 BYTES) exercised where
+    // code point ≠ byte: the llm8 oracle's ord()-per-char replay is valid
+    // only on ASCII, so this row pins the byte-level contract on CJK,
+    // emoji (4-byte sequences), combining marks and bidi controls — and
+    // pins that the NFC/NFD fixture pair fingerprint DIFFERENTLY.
+    "llm8u_fingerprint_unicode" -> ((s, _) =>
+      unicodeDocs(s).select(
+          col("doc_id"),
+          call_function("rolling_hash64", col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
     // LLM-10u: PII redaction with the PII planted INSIDE RTL/CJK context
     // in the fixture itself — same three patterns as llm10; additionally
     // pins that \d and \b stay ASCII (Arabic-Indic digit runs are NOT
@@ -3378,6 +3390,32 @@ object LlmOps extends QueryModule {
          |        '[\\x{0000}-\\x{007F}]', '', 'g')) AS INT) AS n_nonascii
          |FROM read_csv('$UnicodeFixture', header=true, quote='"',
          |              all_varchar=true)
+         |ORDER BY doc_id""".stripMargin,
+
+    // llm8's Horner fold replayed over UTF-8 BYTES (not code points):
+    // encode() gives the utf8 blob, hex() its nibbles, and each byte is
+    // rebuilt from its two hex digits — ord() would hand back code
+    // points and diverge on every multi-byte char
+    "llm8u_fingerprint_unicode" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |            THEN h - 18446744073709551616::HUGEINT ELSE h END
+         |       AS BIGINT) AS fingerprint
+         |FROM (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    list_reduce(
+         |      list_prepend(0::HUGEINT,
+         |        list_transform(range(1, octet_length(encode(text)) + 1),
+         |          i -> ((strpos('0123456789ABCDEF',
+         |                        substr(hx, 2*CAST(i AS INT)-1, 1))-1)*16
+         |              + strpos('0123456789ABCDEF',
+         |                       substr(hx, 2*CAST(i AS INT), 1))-1
+         |              + 1)::HUGEINT)),
+         |      (acc, b) -> (acc * 257 + b) % 18446744073709551616::HUGEINT)
+         |      AS h
+         |  FROM (SELECT doc_id, text, hex(encode(text)) AS hx
+         |        FROM read_csv('$UnicodeFixture', header=true, quote='"',
+         |                      all_varchar=true)))
          |ORDER BY doc_id""".stripMargin,
 
     // same three patterns, same order as llm10 — PII lives IN the fixture
