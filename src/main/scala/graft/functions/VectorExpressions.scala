@@ -100,6 +100,84 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `l2_sq(array<float>, array<float>) -> double`: squared L2 distance in
+  * one fused codegen'd loop — the other embedding hot-path kernel (r19).
+  * Every IVF-PQ surface runs it O(n·k) per training/encode pass
+  * (cell assignment, per-subspace Lloyd rounds, ADC LUTs, exact re-rank),
+  * previously as an interpreted `aggregate(zip_with(...))` pair of
+  * higher-order expressions allocating a lambda frame per element.
+  *
+  * Bit-parity contract with that HOF formulation (the oracles replay these
+  * doubles): left-to-right accumulation of (x−y)² in double; mismatched
+  * lengths → null (zip_with pads with null, nulling the aggregate); a null
+  * ELEMENT → null (same propagation); empty arrays → 0.0 (the aggregate's
+  * zero element, NOT null — EmptyAudit shapes hit this).
+  */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_sq expects (array<float>, array<float>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  // may return null for non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `minhash_sig(array<string>, k) -> array<bigint>`: k-lane MinHash
   * signature in ONE fused loop — each shingle is xxhash64'd once, lane j is
   * a cheap splitmix remix of that hash, minima tracked in a local array.
@@ -351,6 +429,10 @@ object VectorExtensions {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2Sq].getName, "l2_sq"),
+      (children: Seq[Expression]) => L2Sq(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),

@@ -168,12 +168,15 @@ object LlmOps extends QueryModule {
       .as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.subvec").as("subvec"))
 
-  /** Squared L2 distance of two float arrays, accumulated in double. */
+  /** Squared L2 distance of two float arrays, accumulated in double —
+    * the native codegen'd [[graft.functions.L2Sq]] since r19 (one fused
+    * loop inside whole-stage codegen; previously an interpreted
+    * aggregate(zip_with(...)) HOF pair allocating a lambda frame per
+    * element on every IVF-PQ training/encode/probe pass). Bit-identical
+    * doubles by construction: same left-to-right accumulation order, so
+    * every oracle that replays these distances is unaffected. */
   private[graft] def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      (x.cast("double") - y.cast("double")) *
-        (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("l2_sq", a, b)
 
   /** PQ codebook training: per subspace, k centroids = deterministic
     * hash-sampled seed subvectors refined by `rounds` Lloyd rounds (the

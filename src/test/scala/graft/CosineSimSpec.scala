@@ -66,6 +66,49 @@ class CosineSimSpec extends SparkSpec {
       lit(Array(0.0f)), lit(Array(1.0f))).eval(null) === null)
   }
 
+  test("l2_sq == HOF formulation, bit-exact, on real embeddings; edge " +
+    "cases match zip_with/aggregate semantics") {
+    val e = Tables.embeddings(spark, Sf0001).limit(200)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    // the pre-r19 interpreted formulation — the bit-parity reference
+    def l2Hof(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) =>
+        (p.cast("double") - q.cast("double")) *
+          (p.cast("double") - q.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    val diff = a.join(b, col("a_id") + 1 === col("b_id"))
+      .select(expr("l2_sq(a_emb, b_emb)").as("fast"),
+        l2Hof(col("a_emb"), col("b_emb")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+    val s = spark
+    import s.implicits._
+    val edge = Seq(
+      ("mismatch", Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      ("empty", Array.empty[Float], Array.empty[Float]),
+      ("ok", Array(1.0f, 2.0f), Array(3.0f, 1.0f)))
+      .toDF("k", "a", "b")
+    val rows = edge.selectExpr("k", "l2_sq(a, b) AS d")
+      .collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(rows("mismatch") === null, "length mismatch must null (HOF parity)")
+    assert(rows("empty") === 0.0, "empty arrays fold to the 0.0 zero element")
+    assert(rows("ok") === 5.0)
+    // interpreted eval agrees with codegen
+    def lit2(a: Array[Float]) =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+    assert(graft.functions.L2Sq(
+      lit2(Array(1.0f, 2.0f)), lit2(Array(3.0f, 1.0f))).eval(null) === 5.0)
+    assert(graft.functions.L2Sq(
+      lit2(Array(1.0f)), lit2(Array(1.0f, 2.0f))).eval(null) === null)
+    assert(graft.functions.L2Sq(
+      lit2(Array.empty[Float]), lit2(Array.empty[Float])).eval(null) === 0.0)
+  }
+
   test("cosine_sim is usable from plain SQL (extension registration)") {
     val r = spark.sql(
       "SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
