@@ -122,12 +122,21 @@ object LlmOps extends QueryModule {
 
   def ivfCentroids(e: DataFrame, k: Int = 0, rounds: Int = 4,
                    seeds0: Option[DataFrame] = None): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
     // seeds0: already-persisted seed vectors (llm3e's oracle surface) —
     // the xxhash64 sample is the ONLY non-SQL-expressible step of this
     // training, so persisting it and training off the stored bytes is
     // what lets the DuckDB oracle replay the Lloyd rounds exactly
     val seeds = seeds0.getOrElse(ivfSeedSample(e, k))
+    // the round assignment keeps the row_number formulation DELIBERATELY:
+    // rn is dropped right after the rn=1 cut, so RULE-1 (TopKRewrite)
+    // rewrites it into the heap operator — map-side pruned to one row per
+    // (vec, map partition) before the exchange, no sort. An explicit
+    // min(struct(…, embedding)) agg ships the same row count but measured
+    // SLOWER here (the array-payload struct comparator beats the heap's
+    // k=1 streaming pass only on paper); the serve-path assignments in
+    // llm3e/llm3eb/llm28c use the agg because THEIR old formulation kept
+    // rn for a shared checkpoint, which blocked the rewrite entirely.
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
     (1 to rounds).foldLeft(seeds) { (cents, r) =>
       val means = e.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("embedding"), col("cent")))
@@ -228,6 +237,9 @@ object LlmOps extends QueryModule {
     * index build and the STRM-22 streaming maintenance share. Output
     * (vec_id, cell). */
   def ivfAssignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    // rn dropped immediately → RULE-1 rewrites this into the heap
+    // operator: map-side pruned to one row per (vec, map partition), no
+    // per-group sort, no struct materialization per candidate row
     val w = Window.partitionBy("vec_id").orderBy(col("cdist"), col("cent_id"))
     vectors.crossJoin(broadcast(cents))
       .withColumn("cdist", l2sq(col("embedding"), col("cent")))
@@ -559,6 +571,7 @@ object LlmOps extends QueryModule {
     // (a residual codebook is trained on residuals, never pre-supplied)
     val cents = cents0.getOrElse(ivfCentroids(train).localCheckpoint())
     cents.write.mode("overwrite").parquet(s"$store/centroids")
+    // rn dropped right after the cut → RULE-1 heap rewrite applies
     val wCell = Window.partitionBy("vec_id")
       .orderBy(col("cdist"), col("cent_id"))
     val cells = index.crossJoin(broadcast(cents))
@@ -1311,8 +1324,6 @@ object LlmOps extends QueryModule {
     // rows-only + ApproxSpec recall floor.
     "llm3e_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
       // checkpoint the trained quantizer ONCE: the nprobe count() below
       // and the broadcast crossJoin both consume it — without this the
       // count would run the 4-round training and the join would run it
@@ -1323,16 +1334,26 @@ object LlmOps extends QueryModule {
         .localCheckpoint()
       // bounded driver scalar: the centroid table is ≤ √n rows
       val nprobe = math.max(8, (cents.count() / 2).toInt)
-      val ranked = e.crossJoin(broadcast(cents))
+      // corpus assignment (r19 re-plan): the OLD shared checkpoint kept
+      // the rank column alive for a second cut, which blocked the RULE-1
+      // heap rewrite and shipped all n·k candidate rows — embeddings
+      // included — through a window sort exchange. Splitting the corpus
+      // cut (rn dropped immediately → heap operator: one row per vec per
+      // map partition, no sort) from the query's own nprobe ranking (one
+      // vector × √n cells — driver-scalar sized) removes both.
+      val wc = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cent_id"))
+      val corpus = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("embedding"), col("cent")))
-        .withColumn("rn", row_number().over(w))
-        // project BEFORE the cut: the 64-float centroid array and sim are
-        // dead past rn — carrying them would double the checkpointed bytes
-        .select(col("vec_id"), col("embedding"), col("cent_id"), col("rn"))
-        .localCheckpoint()  // reused for corpus cells AND query probe cells
-      val corpus = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
+        .withColumn("rn", row_number().over(wc))
+        .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= nprobe)
+      val qCells = e.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(cents))
+        .select(col("cent_id"),
+          cosine(col("embedding"), col("cent")).as("sim"))
+        .orderBy(col("sim").desc, col("cent_id")).limit(nprobe)
         .select(col("cent_id").as("cell"))
       val qEmb = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
@@ -1355,18 +1376,24 @@ object LlmOps extends QueryModule {
     "llm3eb_ann_ivf_audit" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val cents = s.read.parquet(memoPersistedCentroids(s, d))
-      val w = Window.partitionBy("vec_id")
+      // corpus assignment re-plan (r19, same as llm3e): the rn-keeping
+      // checkpoint shipped n·k embedding-carrying rows through a window
+      // sort — the sf1 probe measured it 16× per decade. rn now drops
+      // immediately → RULE-1 heap operator, one row per vec per map
+      // partition, no sort.
+      val wc = Window.partitionBy("vec_id")
         .orderBy(col("sim").desc, col("cent_id"))
-      val ranked = e.crossJoin(broadcast(cents))
+      val corpus = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col("embedding"), col("cent")))
-        .withColumn("rn", row_number().over(w))
-        // project BEFORE the cut (llm3e's discipline): cent and sim are
-        // dead past rn
-        .select(col("vec_id"), col("embedding"), col("cent_id"), col("rn"))
-        .localCheckpoint() // reused for corpus cells AND query probe cells
-      val corpus = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
+        .withColumn("rn", row_number().over(wc))
+        .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 8)
+      val qCells = e.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(cents))
+        .select(col("cent_id"),
+          cosine(col("embedding"), col("cent")).as("sim"))
+        .orderBy(col("sim").desc, col("cent_id")).limit(8)
         .select(col("cent_id").as("cell"))
       val qEmb = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
@@ -3085,18 +3112,15 @@ object LlmOps extends QueryModule {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0)
       val corpus = e.filter(col("vec_id") =!= 0)
-      val wCell = Window.partitionBy("vec_id")
-        .orderBy(col("cdist"), col("cent_id"))
-      val ranked = e.crossJoin(
-          broadcast(s.read.parquet(memoPersistedCentroids(s, d))))
-        .withColumn("cdist", l2sq(col("embedding"), col("cent")))
-        .withColumn("rn", row_number().over(wCell))
-        // project before the cut: cent (64 floats) and cdist are dead
-        .select(col("vec_id"), col("cent_id"), col("rn"))
-        .localCheckpoint() // corpus cells AND query probe cells reuse it
-      val cells = ranked.filter(col("rn") === 1 && col("vec_id") =!= 0)
-        .select(col("vec_id"), col("cent_id").as("cell"))
-      val qCells = ranked.filter(col("vec_id") === 0 && col("rn") <= 8)
+      val cents = broadcast(s.read.parquet(memoPersistedCentroids(s, d)))
+      // cell routing via [[ivfAssignCells]]' min(struct) argmin (r19) —
+      // one combined row per vector crosses the exchange, replacing the
+      // rn-keeping window checkpoint (n·k rows through a sort)
+      val cells = ivfAssignCells(corpus, cents)
+      val qCells = q.crossJoin(cents)
+        .select(col("cent_id"),
+          l2sq(col("embedding"), col("cent")).as("cdist"))
+        .orderBy(col("cdist"), col("cent_id")).limit(8)
         .select(col("cent_id").as("cell"))
       val codebook = s.read.parquet(memoPersistedCodebook(s, d, 8))
       val qsub = pqSubvectors(q, 8, 8)

@@ -899,4 +899,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerGroup"),
       s"declared query must pick up the rewrite:\n$p")
   }
+
+  test("llm3e/llm3eb/llm28c: corpus cell assignment is the heap operator, " +
+    "never a window sort over n·k candidate rows (r19 re-plan)") {
+    // the pre-r19 shape kept rn alive for a shared localCheckpoint, which
+    // BLOCKED the RULE-1 rewrite and hid an n·k embedding-carrying window
+    // sort inside the checkpoint (sf1 probe: llm3eb ×16 per decade). The
+    // split corpus/query cuts drop rn immediately, so the rewrite fires
+    // and the plan is visible end to end — pin both properties.
+    for (name <- Seq("llm3e_ann_ivf", "llm3eb_ann_ivf_audit",
+        "llm28c_ivfpq")) {
+      val df = SparkEntry.queries(name)(spark, Sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroup"),
+        s"$name corpus assignment must plan through the heap operator:\n$p")
+      assert(!p.contains("Window"),
+        s"$name must not window-sort candidate rows:\n$p")
+    }
+  }
 }
