@@ -132,10 +132,11 @@ object LlmOps extends QueryModule {
     // rewrites it into the heap operator — map-side pruned to one row per
     // (vec, map partition) before the exchange, no sort. An explicit
     // min(struct(…, embedding)) agg ships the same row count but measured
-    // SLOWER here (the array-payload struct comparator beats the heap's
-    // k=1 streaming pass only on paper); the serve-path assignments in
-    // llm3e/llm3eb/llm28c use the agg because THEIR old formulation kept
-    // rn for a shared checkpoint, which blocked the rewrite entirely.
+    // SLOWER (the array-payload struct comparator loses to the heap's
+    // k=1 streaming pass — BENCH_NOTES r19). The serve-path assignments
+    // in llm3e/llm3eb/llm28c now use this same drop-rn heap shape via
+    // [[ivfAssignCells]]/[[ivfAssignCellsCos]]; their OLD formulation
+    // kept rn for a shared checkpoint, which blocked the rewrite.
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
     (1 to rounds).foldLeft(seeds) { (cents, r) =>
       val means = e.crossJoin(broadcast(cents))
@@ -246,6 +247,22 @@ object LlmOps extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  /** Cosine sibling of [[ivfAssignCells]], keeping the embedding: best
+    * cell per vector under (sim DESC, cent_id) — the llm3e/llm3eb corpus
+    * assignment (r19 re-plan). Same drop-rn heap shape: rn never survives
+    * the cut, so RULE-1 plans the TopKPerGroup operator (PlanSpec pins
+    * it). Output (vec_id, embedding, cell). */
+  private[graft] def ivfAssignCellsCos(vectors: DataFrame,
+                                       cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
   }
 
   /** Long-form PQ encoding (vec_id, sub, code) — the layout ADC scans
@@ -1338,17 +1355,10 @@ object LlmOps extends QueryModule {
       // the rank column alive for a second cut, which blocked the RULE-1
       // heap rewrite and shipped all n·k candidate rows — embeddings
       // included — through a window sort exchange. Splitting the corpus
-      // cut (rn dropped immediately → heap operator: one row per vec per
-      // map partition, no sort) from the query's own nprobe ranking (one
+      // cut (ivfAssignCellsCos → heap operator: one row per vec per map
+      // partition, no sort) from the query's own nprobe ranking (one
       // vector × √n cells — driver-scalar sized) removes both.
-      val wc = Window.partitionBy("vec_id")
-        .orderBy(col("sim").desc, col("cent_id"))
-      val corpus = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(cents))
-        .withColumn("sim", cosine(col("embedding"), col("cent")))
-        .withColumn("rn", row_number().over(wc))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val corpus = ivfAssignCellsCos(e.filter(col("vec_id") =!= 0), cents)
       val qCells = e.filter(col("vec_id") === 0)
         .crossJoin(broadcast(cents))
         .select(col("cent_id"),
@@ -1378,17 +1388,9 @@ object LlmOps extends QueryModule {
       val cents = s.read.parquet(memoPersistedCentroids(s, d))
       // corpus assignment re-plan (r19, same as llm3e): the rn-keeping
       // checkpoint shipped n·k embedding-carrying rows through a window
-      // sort — the sf1 probe measured it 16× per decade. rn now drops
-      // immediately → RULE-1 heap operator, one row per vec per map
-      // partition, no sort.
-      val wc = Window.partitionBy("vec_id")
-        .orderBy(col("sim").desc, col("cent_id"))
-      val corpus = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(cents))
-        .withColumn("sim", cosine(col("embedding"), col("cent")))
-        .withColumn("rn", row_number().over(wc))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      // sort — the sf1 probe measured it 16× per decade. ivfAssignCellsCos
+      // → RULE-1 heap operator, one row per vec per map partition, no sort.
+      val corpus = ivfAssignCellsCos(e.filter(col("vec_id") =!= 0), cents)
       val qCells = e.filter(col("vec_id") === 0)
         .crossJoin(broadcast(cents))
         .select(col("cent_id"),
@@ -3113,9 +3115,10 @@ object LlmOps extends QueryModule {
       val q = e.filter(col("vec_id") === 0)
       val corpus = e.filter(col("vec_id") =!= 0)
       val cents = broadcast(s.read.parquet(memoPersistedCentroids(s, d)))
-      // cell routing via [[ivfAssignCells]]' min(struct) argmin (r19) —
-      // one combined row per vector crosses the exchange, replacing the
-      // rn-keeping window checkpoint (n·k rows through a sort)
+      // cell routing via [[ivfAssignCells]] (r19): drop-rn heap shape —
+      // one row per vector per map partition crosses the exchange,
+      // replacing the rn-keeping window checkpoint (n·k rows through a
+      // sort)
       val cells = ivfAssignCells(corpus, cents)
       val qCells = q.crossJoin(cents)
         .select(col("cent_id"),

@@ -80,7 +80,9 @@ class CosineSimSpec extends SparkSpec {
     val diff = a.join(b, col("a_id") + 1 === col("b_id"))
       .select(expr("l2_sq(a_emb, b_emb)").as("fast"),
         l2Hof(col("a_emb"), col("b_emb")).as("ref"))
-      .filter(col("fast") =!= col("ref"))
+      // null-SAFE inequality: a native-nulls-where-HOF-doesn't regression
+      // must fail, not fall out of the comparison
+      .filter(!(col("fast") <=> col("ref")))
     assert(diff.count() === 0)
     val s = spark
     import s.implicits._
