@@ -396,6 +396,24 @@ object LlmOps extends QueryModule {
     graft.StageMemo.frame(s, s"llm28.codebook.m$m.$d")(
       pqTrain(Tables.embeddings(s, d), m = m))
 
+  /** llm44's top-2 cosine cell posting — the pre-checkpoint fragment of
+    * [[semdedupKept]], exposed so PlanSpec can pin its plan BEFORE the
+    * localCheckpoint truncates visibility (the r19 llm3eb lesson: an
+    * rn-keeping window hid an n·k embedding-carrying sort behind the
+    * checkpoint). Same drop-rn heap shape as [[ivfAssignCellsCos]] but
+    * `rn <= 2`: RULE-1 plans the TopKPerGroup operator, no per-vector
+    * sort of the n·nCells candidate rows. Output (vec_id, embedding,
+    * cell) — one row per posted cell. */
+  private[graft] def semdedupCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val wc = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("embedding"), col("cent")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
   /** SemDeDup keep/drop off a GIVEN quantizer (llm44's pipeline over the
     * persisted shared centroids; its oracle replays this contract): post
     * each vector to its
@@ -407,13 +425,7 @@ object LlmOps extends QueryModule {
     * sits at cosine ≥ τ. */
   private[graft] def semdedupKept(e: DataFrame, cents: DataFrame,
                                   tau: Double = 0.45): DataFrame = {
-    val wc = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cent_id"))
-    val cells = e.crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col("embedding"), col("cent")))
-      .withColumn("rn", row_number().over(wc))
-      .filter(col("rn") <= 2)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val cells = semdedupCells(e, cents)
       .localCheckpoint() // both sides of the within-cell self-join
     val pa = cells.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"))

@@ -61,15 +61,36 @@ object S3MockFileSystem {
     // pointing at the FIRST session's region while its executors write to
     // the new one. A mock can afford a fresh instance per access.
     conf.set("fs.s3m.impl.disable.cache", "true")
-    if (conf.get(RootKey) == null)
-      conf.set(RootKey,
-        Files.createTempDirectory("graft-s3m-region").toString)
+    if (conf.get(RootKey) == null) {
+      val dir = Files.createTempDirectory("graft-s3m-region")
+      // this JVM owns the region it created: sweep it at exit so repeated
+      // test/Verify runs don't accumulate full dump copies under tmp
+      // (executor JVMs receive RootKey via the shipped conf and never
+      // enter this branch, so only the creating driver deletes)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rec(p: JPath): Unit = {
+          if (Files.isDirectory(p)) {
+            val s = Files.list(p)
+            try s.forEach(rec(_)) finally s.close()
+          }
+          Files.deleteIfExists(p): Unit
+        }
+        try rec(dir) catch { case _: Throwable => () }
+      }))
+      conf.set(RootKey, dir.toString)
+    }
   }
 
   /** Flat on-disk key space: objects under `o/`, directory markers under
     * `m/`, PUT staging under `t/`; file name = URL-encoded full key
     * ("bucket/a/b/c"). Stateless beyond the directory, so every FS
-    * instance (any JVM) constructing over the same root sees one region. */
+    * instance (any JVM) constructing over the same root sees one region.
+    *
+    * Listings scan the whole flat region — O(total objects) per metadata
+    * call, like a naive LIST on a real store. Acceptable at test scale
+    * (regions hold committer temp files + small dumps); if a future
+    * workload makes FileOutputCommitter's O(files) metadata calls bite,
+    * shard `o/` by bucket/first key segment so listings scan one subtree. */
   final class Region(rootDir: String) {
     private val o = Paths.get(rootDir, "o")
     private val m = Paths.get(rootDir, "m")
@@ -101,15 +122,22 @@ object S3MockFileSystem {
           StandardCopyOption.REPLACE_EXISTING): Unit
       }
     }
-    private def dec(dir: JPath, file: String): String =
+    /** Raw key for a listed filename; None when a LONG- entry's sidecar is
+      * gone — i.e. a concurrent remover got between our listing and this
+      * resolve (removals delete the entry FIRST, so sidecar-missing means
+      * the entry itself is dead or dying; a lister skips it rather than
+      * failing mid-commit). */
+    private def dec(dir: JPath, file: String): Option[String] =
       if (file.startsWith("LONG-"))
-        new String(Files.readAllBytes(dir.resolve(file + ".name")), "UTF-8")
-      else URLDecoder.decode(file, "UTF-8")
+        try Some(new String(
+          Files.readAllBytes(dir.resolve(file + ".name")), "UTF-8"))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      else Some(URLDecoder.decode(file, "UTF-8"))
     private def ls(dir: JPath): Seq[String] = {
       val s = Files.list(dir)
       try s.iterator().asScala.map(_.getFileName.toString)
         .filterNot(_.endsWith(".name"))
-        .map(f => dec(dir, f)).toVector
+        .flatMap(f => dec(dir, f)).toVector
       finally s.close()
     }
     private implicit class IterAdapter[A](it: java.util.Iterator[A]) {
@@ -142,9 +170,24 @@ object S3MockFileSystem {
       Files.move(tmp, o.resolve(enc(n)), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING): Unit
     }
+    /** Reads bytes + mtime as ONE guarded step: None when the object
+      * vanished under a concurrent delete/rename (rename's COPY side needs
+      * a single success-or-absent answer, not a stat that can go stale
+      * before the read). */
+    def objRead(n: String): Option[(Array[Byte], Long)] = {
+      val p = o.resolve(enc(n))
+      try {
+        val mtime = Files.getLastModifiedTime(p).toMillis
+        Some((Files.readAllBytes(p), mtime))
+      } catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+    // entry FIRST, sidecar second: a concurrent lister that saw the LONG-
+    // entry must still be able to resolve its sidecar (dec() additionally
+    // tolerates the post-delete window by skipping)
     def removeObj(n: String): Boolean = {
+      val r = Files.deleteIfExists(o.resolve(enc(n)))
       Files.deleteIfExists(o.resolve(enc(n) + ".name"))
-      Files.deleteIfExists(o.resolve(enc(n)))
+      r
     }
 
     def markerExists(n: String): Boolean = Files.exists(m.resolve(enc(n)))
@@ -156,8 +199,9 @@ object S3MockFileSystem {
       (): Unit
     }
     def removeMarker(n: String): Boolean = {
+      val r = Files.deleteIfExists(m.resolve(enc(n)))
       Files.deleteIfExists(m.resolve(enc(n) + ".name"))
-      Files.deleteIfExists(m.resolve(enc(n)))
+      r
     }
   }
 }
@@ -313,17 +357,26 @@ class S3MockFileSystem extends FileSystem {
     } else if (hasPrefix(dk) && srcIsDir) dk = s"$dk/${src.getName}"
     if (sk == dk) return true
     if (srcIsDir && (dk + "/").startsWith(sk + "/")) return false
-    def copyThenDelete(from: String, to: String): Unit = {
-      val stat = region.objStat(g(from))
-      copies.incrementAndGet()
-      region.putObj(g(to), region.objBytes(g(from)), stat.map(_._2)) // COPY …
-      region.removeObj(g(from)): Unit // … then DELETE: two steps, not one atom
-    }
-    if (srcIsFile) copyThenDelete(sk, dk)
-    else {
+    // COPY (one guarded read — bytes+mtime together, so a concurrent
+    // delete yields the contract's false/skip, not FileNotFoundException
+    // out of a stat-then-read gap) … then DELETE: two steps, not one atom
+    def copyThenDelete(from: String, to: String): Boolean =
+      region.objRead(g(from)) match {
+        case Some((bytes, mtime)) =>
+          copies.incrementAndGet()
+          region.putObj(g(to), bytes, Some(mtime))
+          region.removeObj(g(from)): Unit
+          true
+        case None => false // source vanished under us
+      }
+    if (srcIsFile) {
+      if (!copyThenDelete(sk, dk)) return false
+    } else {
       val pre = s"$sk/"
+      // a key that vanished mid-prefix-rename is simply skipped — exactly
+      // S3's per-key, non-atomic batch-rename behavior
       objKeys.filter(_.startsWith(pre)).foreach(kk =>
-        copyThenDelete(kk, s"$dk/${kk.substring(pre.length)}"))
+        copyThenDelete(kk, s"$dk/${kk.substring(pre.length)}"): Unit)
       val mpre = s"$bucket$pre"
       region.markerNames.filter(m =>
           m.startsWith(mpre) || m == marker(sk))

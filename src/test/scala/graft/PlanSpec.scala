@@ -11,6 +11,13 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** True iff the plan contains the WINDOW operator itself — a
+    * word-boundary match, so operators that merely contain the substring
+    * (WindowGroupLimit, which a future Spark rule may insert with no
+    * per-group sort) don't trip no-window assertions (r19 ADVICE). */
+  private def hasWindowExec(p: String): Boolean =
+    "\\bWindow\\b".r.findFirstIn(p).isDefined
+
   /** Every node of an executed plan, recursing through the stages AQE
     * hides (shared by the shuffle-schema assertions — one traversal
     * implementation, so a Spark upgrade that changes AQE nesting is
@@ -255,12 +262,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial count") ||
       p.toLowerCase.contains("partial"),
       s"heavy hitters must map-side combine:\n$p")
-    assert(!p.contains("Window"), s"no window needed for heavy hitters:\n$p")
+    assert(!hasWindowExec(p), s"no window needed for heavy hitters:\n$p")
   }
 
   test("agg3: arg-max is a partial/final aggregate, not a window") {
     val p = planOf("agg3_argmax")
-    assert(!p.contains("Window"),
+    assert(!hasWindowExec(p),
       s"agg3 must compile to an aggregate (map-side combine), no window:\n$p")
     // max_by's struct ordering plans as SortAggregate; the load-bearing
     // property is the partial (map-side) phase before the exchange
@@ -805,7 +812,7 @@ class PlanSpec extends SparkSpec {
     }
     assert(planOn.contains("TopKPerGroup"),
       s"expected the heap operator in:\n$planOn")
-    assert(!planOn.contains("Window") && !planOn.contains("Sort "),
+    assert(!hasWindowExec(planOn) && !planOn.contains("Sort "),
       s"the Window/Sort pair must be gone:\n$planOn")
     val (planOff, rowsOff) = withRewrite(on = false) {
       val df = topkPattern(3)
@@ -914,8 +921,26 @@ class PlanSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("TopKPerGroup"),
         s"$name corpus assignment must plan through the heap operator:\n$p")
-      assert(!p.contains("Window"),
+      assert(!hasWindowExec(p),
         s"$name must not window-sort candidate rows:\n$p")
     }
+  }
+
+  test("llm44: top-2 semdedup cell posting plans through the heap " +
+    "operator, pinned on the PRE-checkpoint fragment (r19 verdict)") {
+    // semdedupKept localCheckpoints its cells cut, which truncates the
+    // visible plan of the full query — exactly how the llm3eb bug hid.
+    // Pin the fragment itself: same drop-rn shape, rn <= 2, so RULE-1
+    // must plan TopKPerGroup and the n·nCells candidate rows must never
+    // meet a per-vector window sort.
+    val e = Tables.embeddings(spark, Sf0001)
+    val cents = graft.llm.LlmOps.memoIvfCentroids(spark, Sf0001)
+    val df = graft.llm.LlmOps.semdedupCells(e, cents)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"),
+      s"llm44 cell posting must plan through the heap operator:\n$p")
+    assert(!hasWindowExec(p),
+      s"llm44 cell posting must not window-sort candidate rows:\n$p")
   }
 }

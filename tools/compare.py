@@ -29,11 +29,14 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written lake (ScaleLake): dir of parts
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(oracle):
@@ -72,8 +75,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {v}")
     print(f"\n{n_ok}/{len(results)} oracle-checked queries OK "
           f"({len(results)} with oracle, of all queries)")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                       "n_ok": n_ok, "n_total": len(results),
+                       "results": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 0 if n_ok == len(results) else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
