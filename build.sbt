@@ -42,4 +42,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$driverHeap",
+  // This container's platform default charset is US-ASCII
+  // (native.encoding=ANSI_X3.4-1968), and Spark's VARIANT string decode
+  // uses the platform default — parse_json silently turns every
+  // non-ASCII char into U+FFFD replacement chars (one per UTF-8 byte)
+  // unless the JVM runs UTF-8. IngestFuzzSpec pins the byte-exact
+  // round-trip; Graft.session warns when a JVM is launched without this.
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
 )

@@ -175,8 +175,29 @@ object Graft {
           "RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // Executor JVMs must run UTF-8 regardless of the node's locale:
+      // Spark's VARIANT string decode uses the platform default charset,
+      // so an ASCII-locale executor silently corrupts every non-ASCII
+      // variant string to U+FFFD runs (found by IngestFuzzSpec on this
+      // container, whose native.encoding is ANSI_X3.4-1968). Local modes
+      // ignore this conf; real clusters and local-cluster[...] apply it.
+      .config("spark.executor.extraJavaOptions", "-Dfile.encoding=UTF-8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The DRIVER's default charset can't be fixed post-launch
+    // (Charset.defaultCharset is cached at JVM start) — warn loudly so a
+    // raw `java -cp` launch without -Dfile.encoding=UTF-8 is visibly
+    // unsound for VARIANT ops instead of silently lossy. build.sbt adds
+    // the flag to every forked test/run JVM; tools/lc_verify.sh to its
+    // raw launches.
+    if (java.nio.charset.Charset.defaultCharset !=
+        java.nio.charset.StandardCharsets.UTF_8)
+      System.err.println(
+        "[graft] WARNING: JVM default charset is " +
+          s"${java.nio.charset.Charset.defaultCharset} (not UTF-8). " +
+          "Spark VARIANT decodes strings with the platform charset — " +
+          "non-ASCII variant values WILL corrupt to U+FFFD. " +
+          "Relaunch with -Dfile.encoding=UTF-8.")
     // getOrCreate() silently ignores .config() when a session pre-exists in
     // the JVM; assert the load-bearing configs actually apply (ADVICE.md r01).
     require(spark.conf.get("spark.sql.session.timeZone") == "UTC",

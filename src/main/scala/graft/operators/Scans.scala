@@ -130,6 +130,16 @@ object Scans extends QueryModule {
     // the parser. n_tags distinguishes an EMPTY <tags/> and an ABSENT
     // tags element (both 0) from populated lists — the null-handling
     // contract the golden CSV pins.
+    //
+    // DIRTY-XML posture (IngestFuzzSpec findings, r20): typed attributes
+    // are safe ONLY on trusted documents like this committed fixture —
+    // on junk-bearing XML an uncastable attribute can throw out of the
+    // scan (it bypasses PERMISSIVE's corrupt-record path), so production
+    // ingest types attributes as STRING + try_cast after the scan. And
+    // PERMISSIVE's quarantine granularity for a structurally-malformed
+    // row is the REST OF THE SPLIT (one corrupt record swallows every
+    // row after the error) — bound the blast radius with smaller
+    // maxPartitionBytes and monitor the corrupt column.
     "scan11_xml" -> ((s, _) => {
       val schema = StructType(Seq(
         StructField("_id", IntegerType), StructField("_kind", StringType),

@@ -20,6 +20,6 @@ SPARK_SCALA_VERSION=2.13 \
 SPARK_GRAFT_MASTER='local-cluster[2,8,4096]' \
 SPARK_GRAFT_EXECUTOR_CP="$CP" \
 SPARK_GRAFT_CPUS=16 \
-java -cp "$CP" -Xmx8g graft.Verify "$SF" "$OUT" $ONLY
+java -Dfile.encoding=UTF-8 -cp "$CP" -Xmx8g graft.Verify "$SF" "$OUT" $ONLY
 
 python3 tools/compare.py "$SF" "$OUT"
