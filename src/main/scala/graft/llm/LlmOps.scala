@@ -1147,6 +1147,141 @@ object LlmOps extends QueryModule {
         .orderBy("canonical_url")
     }),
 
+    // LLM-20u: boilerplate segment-dedup over the unicode fixture (llm20's
+    // recipe at fixture grain: 4-token segments, df >= 2 drops). The
+    // corpus is byte-unique — including the NFC/NFD twin pair, whose
+    // segments an engine that silently normalized WOULD merge and drop —
+    // so the pinned contract is the identity round-trip: every doc's
+    // text_clean reassembles byte-exactly (CJK no-space docs ride through
+    // as one token; ZWSP/bidi controls survive tokenize→hash→join→
+    // string_agg in both engines), n_dropped = 0 everywhere.
+    "llm20u_boilerplate_unicode" -> ((s, _) => {
+      val segs = unicodeDocs(s)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+            lit(4))).as("st"))
+        .select(col("doc_id"), (col("st") / 4).cast("long").as("seg_idx"),
+          array_join(slice(col("toks"), col("st") + 1, lit(4)), " ")
+            .as("seg"))
+        .withColumn("h", xxhash64(col("seg")))
+        .localCheckpoint() // feeds the df aggregate AND the reassembly join
+      val df = segs.groupBy("h").agg(countDistinct("doc_id").as("df"))
+      segs.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("df") < 2,
+              struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")), " ").as("text_clean"),
+          count(when(col("df") < 2, 1)).as("n_kept"),
+          count(when(col("df") >= 2, 1)).as("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM-24u: unigram-LM quality scoring on the fixture — pins the
+    // tokenizer's unicode edges BOTH engines must agree on: lower() on
+    // İ/ß/Greek/Cyrillic (full-unicode case folding), accented letters
+    // as token SEPARATORS under the ASCII class ([^a-z0-9] matches é in
+    // Java and RE2), Arabic-Indic digits NOT matching 0-9, and CJK docs
+    // contributing zero tokens (they drop out of the inner join — absent
+    // rows are part of the contract).
+    "llm24u_quality_lm_unicode" -> ((s, _) => {
+      val toks = unicodeDocs(s)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .localCheckpoint() // uni and the scoring join both consume the chain
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val total = uni.agg(sum("n").cast("double").as("total"))
+      toks.join(uni, "tok").crossJoin(total)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(log(col("n").cast("double") / col("total"))), 6)
+            .as("logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM-29u: Laplace-smoothed bigram LM on the fixture — the llm29
+    // pipeline where adjacency itself crosses unicode boundaries (the
+    // mixed-script rows produce bigrams spanning a CJK-induced split),
+    // decimal-summed per doc exactly like llm29 so the engines agree at
+    // 6 dp.
+    "llm29u_bigram_lm_unicode" -> ((s, _) => {
+      val arr = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+      val docs = unicodeDocs(s)
+        .select(col("doc_id"), arr.as("arr")).localCheckpoint()
+      val bi = docs.filter(size(col("arr")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("arr"), lit(1), size(col("arr")) - 1),
+          slice(col("arr"), lit(2), size(col("arr")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint()
+      val uni = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val vocab = docs.select(explode(col("arr")).as("tok"))
+        .agg(countDistinct("tok").cast("double").as("vsize"))
+      bi.join(bc, Seq("w1", "w2")).join(uni, "w1").crossJoin(vocab)
+        .withColumn("lp",
+          log((col("cb") + lit(1.0)) / (col("cu") + col("vsize"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (round(sum(col("lp").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)) * lit(1e6)) / lit(1e6)).as("bigram_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM-34u: span excision on the fixture — llm34's bench/hit/excise
+    // machinery at span length 1 with bench = docs {1, 13}. The pin is
+    // two-sided: doc 15/21's ASCII "and" IS excised (the positive path,
+    // exists()-window filtering on unicode token arrays), while doc 14 —
+    // the NFD twin of bench doc 13 — is NOT touched: its tokens differ
+    // from the bench's NFC bytes, and an engine that normalized under
+    // the hood would excise the whole doc.
+    "llm34u_span_excise_unicode" -> ((s, _) => {
+      val words = split(col("text"), " ")
+      val isBench = col("doc_id") === 1 || col("doc_id") === 13
+      val docs = unicodeDocs(s)
+      val bench = docs.filter(isBench)
+        .select(explode(words).as("gram")).distinct()
+      val hitStarts = docs.filter(!isBench)
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("w")))).as("i"), col("w"))
+        .select(col("doc_id"), col("i"),
+          element_at(col("w"), col("i")).as("gram"))
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(collect_set(col("i")).as("starts"))
+      docs.filter(!isBench)
+        .select(col("doc_id"), words.as("w"))
+        .join(hitStarts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("starts"), array().cast("array<int>")).as("starts"),
+          col("w"))
+        .select(col("doc_id"),
+          filter(col("w"), (_, j) => !exists(col("starts"),
+            st => st === j + 1)).as("clean"),
+          col("w"))
+        .select(col("doc_id"),
+          (size(col("w")) - size(col("clean"))).cast("long").as("n_removed"),
+          concat_ws(" ", col("clean")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM-51u: winnowing fingerprints on the fixture, summarized per doc
+    // (the pair view is empty on a byte-unique corpus; the per-doc
+    // min/max/count of the fingerprint SET is the strong parity surface):
+    // the md5-over-3-gram ladder and w=4 window minima must agree
+    // byte-for-byte where grams carry CJK, Cyrillic, Greek, Devanagari,
+    // Arabic digits, and emoji (multi-byte UTF-8 inside the hashed gram).
+    "llm51u_winnowing_unicode" -> ((s, _) =>
+      winnowFingerprints(unicodeDocs(s))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"),
+          min("fp").as("min_fp"), max("fp").as("max_fp"))
+        .orderBy("doc_id")),
+
     // LLM-1: exact dedup — group on a 256-bit content hash, keep min id.
     "llm1_exact_dedup" -> ((s, d) =>
       Tables.documents(s, d)
@@ -3505,6 +3640,143 @@ object LlmOps extends QueryModule {
          |SELECT canonical_url, registered_domain,
          |  min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM canon GROUP BY 1, 2 ORDER BY canonical_url""".stripMargin,
+
+    // llm20's segment recipe at fixture grain (4-token segments, df >= 2);
+    // DuckDB groups the seg STRINGS where Spark groups xxhash64(seg) —
+    // byte-equality and hash-equality must induce the same classes
+    "llm20u_boilerplate_unicode" ->
+      s"""WITH u AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+         |  FROM read_csv('$UnicodeFixture', header=true, quote='"',
+         |                all_varchar=true)),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM u),
+         |st AS (SELECT doc_id, words,
+         |         unnest(generate_series(0, greatest(len(words) - 1, 0), 4))
+         |           AS st
+         |       FROM w),
+         |seg AS (SELECT doc_id, st // 4 AS seg_idx,
+         |          array_to_string(words[st+1:st+4], ' ') AS seg FROM st),
+         |df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1)
+         |SELECT s.doc_id,
+         |  COALESCE(string_agg(CASE WHEN df.df < 2 THEN s.seg END,
+         |                      ' ' ORDER BY s.seg_idx), '') AS text_clean,
+         |  count(CASE WHEN df.df < 2 THEN 1 END) AS n_kept,
+         |  count(CASE WHEN df.df >= 2 THEN 1 END) AS n_dropped
+         |FROM seg s JOIN df USING (seg)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // llm24's unigram LM over the fixture: RE2's [^a-z0-9] and utf8proc
+    // lower() vs Java's regex and UTF8String casing — 6-dp-rounded scores
+    // must agree, and CJK-only docs must be absent from BOTH results.
+    // ONE documented engine split is aligned explicitly: Java lowercases
+    // U+0130 (İ) per Unicode SpecialCasing to i + COMBINING DOT ABOVE
+    // (U+0307) while utf8proc uses the simple map to bare i — the oracle
+    // pre-expands İ to the SpecialCasing form so the tokenizer contract
+    // ("combining marks are separators") is pinned identically.
+    "llm24u_quality_lm_unicode" ->
+      s"""WITH u AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    replace(text, chr(304), 'i' || chr(775)) AS text
+         |  FROM read_csv('$UnicodeFixture', header=true, quote='"',
+         |                all_varchar=true)),
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+         |  FROM u),
+         |t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+         |uni AS (SELECT tok, count(*) AS n FROM t2 GROUP BY tok),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM uni)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  round(avg(ln(CAST(n AS DOUBLE) / total)), 6) AS logprob
+         |FROM t2 JOIN uni USING (tok) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // llm29's smoothed bigram LM over the fixture, decimal-summed per doc
+    // (same İ → i+U+0307 SpecialCasing alignment as llm24u)
+    "llm29u_bigram_lm_unicode" ->
+      s"""WITH u AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    replace(text, chr(304), 'i' || chr(775)) AS text
+         |  FROM read_csv('$UnicodeFixture', header=true, quote='"',
+         |                all_varchar=true)),
+         |raw AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok,
+         |    generate_subscripts(
+         |      string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+         |  FROM u),
+         |t2 AS (
+         |  SELECT doc_id, tok,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+         |  FROM raw WHERE tok <> ''),
+         |big AS (
+         |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+         |  FROM t2 a JOIN t2 b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+         |uni AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY 1),
+         |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+         |v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vsize FROM t2),
+         |sc AS (
+         |  SELECT g.doc_id,
+         |    LN((c.cb + 1.0) / (u.cu + v.vsize)) AS lp
+         |  FROM big g JOIN bc c ON g.w1 = c.w1 AND g.w2 = c.w2
+         |  JOIN uni u ON g.w1 = u.w1 CROSS JOIN v)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         |        * 1000000.0) / 1000000.0 AS bigram_logprob
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // llm34's excision at span length 1, bench = docs {1, 13}: the ASCII
+    // "and" hits excise; the NFD twin of bench doc 13 must NOT match
+    "llm34u_span_excise_unicode" ->
+      s"""WITH u AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+         |  FROM read_csv('$UnicodeFixture', header=true, quote='"',
+         |                all_varchar=true)),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS wd FROM u),
+         |ng AS (SELECT doc_id, i, wd[i] AS gram
+         |       FROM w, unnest(range(1, len(wd) + 1)) AS g(i)),
+         |bench AS (SELECT DISTINCT gram FROM ng WHERE doc_id IN (1, 13)),
+         |hs AS (SELECT t.doc_id, list(DISTINCT t.i) AS starts
+         |       FROM ng t JOIN bench b ON t.gram = b.gram
+         |       WHERE t.doc_id NOT IN (1, 13) GROUP BY t.doc_id),
+         |cl AS (
+         |  SELECT w.doc_id, w.wd, COALESCE(hs.starts, []) AS starts,
+         |    [w.wd[p] FOR p IN range(1, len(w.wd) + 1)
+         |     IF len([s FOR s IN COALESCE(hs.starts, [])
+         |             IF s = p]) = 0] AS clean
+         |  FROM w LEFT JOIN hs ON w.doc_id = hs.doc_id
+         |  WHERE w.doc_id NOT IN (1, 13))
+         |SELECT doc_id,
+         |  CAST(len(wd) - len(clean) AS BIGINT) AS n_removed,
+         |  COALESCE(array_to_string(clean, ' '), '') AS clean_text
+         |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // llm51's md5 3-gram / w=4 winnow ladder over the fixture, summarized
+    // per doc (md5 hashes UTF-8 bytes in both engines)
+    "llm51u_winnowing_unicode" ->
+      s"""WITH u AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+         |  FROM read_csv('$UnicodeFixture', header=true, quote='"',
+         |                all_varchar=true)),
+         |d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '),
+         |                             x -> x <> '') AS t
+         |  FROM u),
+         |g AS (
+         |  SELECT doc_id,
+         |    [CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')),
+         |                          1, 8)) AS BIGINT)
+         |     for i in range(1, len(t) - 1)] AS hs
+         |  FROM d WHERE len(t) >= 6),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_distinct([list_min(hs[j:j+3])
+         |                   for j in range(1, len(hs) - 2)]) AS fps
+         |  FROM g),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+         |SELECT doc_id, count(*) AS n_fps,
+         |  min(fp) AS min_fp, max(fp) AS max_fp
+         |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm2c_simhash" ->
       s"WITH $simhashSqlCtes\nSELECT doc_id, simhash FROM sh ORDER BY doc_id",
