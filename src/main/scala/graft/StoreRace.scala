@@ -152,12 +152,119 @@ object StoreRace {
       s""""distinct_data_dirs":${dirs.distinct.length},"torn_reads":0}"""
   }
 
+  /** One crash-victim writer: runs commit's REAL first half (the parquet
+    * write of a private data dir), drops a beacon naming the dir, then
+    * parks — the orchestrator SIGKILLs this process inside the exact
+    * window the commit protocol claims is safe: after the data write,
+    * before the marker claim. SIGKILL bypasses every shutdown hook, so
+    * nothing "cleans up" on the way down — the orphan is as raw as a
+    * kernel OOM-kill would leave it. */
+  def crashWrite(root: String, beacon: String): Unit = {
+    val spark = session("store-race-victim")
+    import spark.implicits._
+    val df = Seq.tabulate(RowsPerCommit)(i => (999, 1, i))
+      .toDF("writer", "seq", "row")
+    // commit()'s first step, verbatim: private UUID dir, errorifexists
+    val dataName = s"data-${java.util.UUID.randomUUID()}"
+    df.coalesce(1).write.mode("errorifexists")
+      .parquet(new File(root, dataName).toString)
+    Files.write(Paths.get(beacon),
+      dataName.getBytes(StandardCharsets.UTF_8))
+    Thread.sleep(Long.MaxValue) // parked in the kill window
+  }
+
+  /** SIGKILL-a-writer-mid-commit proof (VERDICT r19 item 7): the claimed
+    * crash invariant — an unclaimed data dir is INVISIBLE to readers,
+    * harmless to later writers, protected by vacuum's orphan grace while
+    * young, and sweepable once the grace lapses — verified against a real
+    * forcibly-killed JVM, not an in-process simulated crash. */
+  def crashKill(root: String): String = {
+    // same shared-TestSession discipline as race(): only stop a session
+    // this call itself created
+    val preExisting =
+      org.apache.spark.sql.SparkSession.getDefaultSession.exists(
+        s => !s.sparkContext.isStopped)
+    val spark = session("store-race-crash")
+    try {
+      import spark.implicits._
+      def snapshot(writer: Int, seq: Int) =
+        Seq.tabulate(RowsPerCommit)(i => (writer, seq, i))
+          .toDF("writer", "seq", "row").coalesce(1)
+      // a committed baseline the victim's orphan must never disturb
+      val v1 = VersionedStore.commit(snapshot(1, 1), root)
+
+      // fork the victim; kill it inside the data-written/marker-unclaimed
+      // window (the beacon marks entry into that window)
+      val logDir = new File(root, "_racelogs"); logDir.mkdirs()
+      val beacon = new File(logDir, "victim.beacon").toString
+      val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+      val pb = new ProcessBuilder(java, "-Xmx2g", "-cp",
+        sys.props("java.class.path"), "graft.StoreRace", "crashwrite",
+        root, beacon)
+      pb.environment().put("SPARK_GRAFT_CPUS", "2")
+      pb.environment().remove("SPARK_GRAFT_MASTER")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new File(logDir, "victim.log"))
+      val victim = pb.start()
+      val deadline = System.currentTimeMillis() + 120000
+      while (!Files.exists(Paths.get(beacon)) &&
+             System.currentTimeMillis() < deadline) {
+        require(victim.isAlive, s"victim died before the kill window; " +
+          s"see $logDir/victim.log")
+        Thread.sleep(50)
+      }
+      require(Files.exists(Paths.get(beacon)),
+        "victim never reached the kill window")
+      victim.destroyForcibly() // SIGKILL — no hooks, no cleanup
+      victim.waitFor()
+      val orphan = new String(Files.readAllBytes(Paths.get(beacon)),
+        StandardCharsets.UTF_8).trim
+
+      // 1. orphan bytes exist, but the store never saw a commit
+      require(new File(root, orphan).isDirectory,
+        s"expected the victim's data dir $orphan on disk")
+      require(VersionedStore.versions(root) == Seq(v1),
+        s"killed writer must not add a version: ${VersionedStore.versions(root)}")
+      val after = VersionedStore.read(spark, root)
+        .select("writer", "seq", "row").collect()
+      require(after.length == RowsPerCommit &&
+        after.forall(_.getInt(0) == 1),
+        "reader after the kill must still see exactly the v1 snapshot")
+
+      // 2. restart: the next writer commits normally over the orphan
+      val v2 = VersionedStore.commit(snapshot(2, 1), root)
+      require(v2 == v1 + 1, s"restart writer got v$v2, expected ${v1 + 1}")
+
+      // 3. young orphan survives a graced vacuum (in-flight protection) …
+      VersionedStore.vacuum(root, keep = 10)
+      require(new File(root, orphan).isDirectory,
+        "default-grace vacuum must not sweep a young orphan")
+      // … and is swept once the grace lapses (no writer can be live here)
+      VersionedStore.vacuum(root, keep = 10, orphanGraceMs = 0)
+      require(!new File(root, orphan).exists(),
+        "grace-lapsed vacuum must sweep the crash orphan")
+
+      // 4. every retained version still reads back complete
+      VersionedStore.versions(root).foreach { v =>
+        val rows = VersionedStore.read(spark, root, v)
+          .select("writer", "seq", "row").collect()
+        require(rows.length == RowsPerCommit, s"v$v torn after sweep")
+      }
+      s"""{"store_crash_kill":"ok","orphan_visible_versions":0,""" +
+        s""""restart_version":$v2,"orphan_swept":true}"""
+    } finally if (!preExisting) spark.stop()
+  }
+
   def main(args: Array[String]): Unit = args(0) match {
     case "write" =>
       write(args(1), args(2).toInt, args(3).toInt, args(4).toInt)
+    case "crashwrite" =>
+      crashWrite(args(1), args(2))
     case "race" =>
       val line = race(args(1), args(2).toInt, args(3).toInt)
       println(line)
+    case "crash" =>
+      println(crashKill(args(1)))
     case other => sys.error(s"unknown mode $other")
   }
 }

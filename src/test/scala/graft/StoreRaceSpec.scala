@@ -27,4 +27,18 @@ class StoreRaceSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(artifact.contains("\"torn_reads\":0"))
     graft.operators.VersionedStore.destroy(root)
   }
+
+  test("SIGKILL of a writer between data write and marker claim: orphan " +
+    "invisible, restart clean, grace-gated vacuum sweeps it (r19 item 7)") {
+    assume(new java.io.File(
+      sys.props("java.home"), "bin/java").canExecute,
+      "needs a forkable JVM")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-storecrash").toString + "/store"
+    val artifact = StoreRace.crashKill(root)
+    assert(artifact.contains("\"store_crash_kill\":\"ok\""))
+    assert(artifact.contains("\"orphan_visible_versions\":0"))
+    assert(artifact.contains("\"orphan_swept\":true"))
+    graft.operators.VersionedStore.destroy(root)
+  }
 }
