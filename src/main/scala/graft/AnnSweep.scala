@@ -41,6 +41,24 @@ object AnnSweep {
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional grids (r20, VERDICT r19 item 3): at a 10× corpus the
+    // binding dial is the ADC shortlist (BENCH_NOTES r17 finding 2) —
+    // the default {100,200,400} grid under-provisions it, so the sf1
+    // run passes a corpus-scaled grid instead of hardcoding a new one.
+    //   args(1): comma shortlist grid   (default 100,200,400)
+    //   args(2): comma nprobe grid, halfCells always appended
+    //            (default 4,6,8,12)
+    //   args(3): "nocells" skips the nCells-scaling section (it rebuilds
+    //            3 stores — expensive at big SFs, and the dial it
+    //            measures is already pinned by the committed r15/r18
+    //            tables)
+    val shortGrid = args.lift(1)
+      .map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(100, 200, 400))
+    val nprobeGrid = args.lift(2)
+      .map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(4, 6, 8, 12))
+    val skipCells = args.lift(3).contains("nocells")
     val s: SparkSession = Graft.session("graft-ann-sweep")
     val e = Tables.embeddings(s, d).localCheckpoint()
     val exact = (0L until NQ.toLong).map(q => q -> exactTop20(e, q)).toMap
@@ -57,8 +75,8 @@ object AnnSweep {
         (s.read.parquet(s"$store/centroids").count() / 2).toInt)
     }.toMap
     for ((label, store, residual) <- stores;
-         nprobe <- (Seq(4, 6, 8, 12) :+ halfCells(label)).distinct.sorted;
-         shortlist <- Seq(100, 200, 400)) {
+         nprobe <- (nprobeGrid :+ halfCells(label)).distinct.sorted;
+         shortlist <- shortGrid) {
       val t0 = System.nanoTime()
       val recalls = (0L until NQ.toLong).map { q =>
         val got = graft.llm.LlmOps.ivfpqProbe(
@@ -79,6 +97,7 @@ object AnnSweep {
     // (FAISS convention ~√n) and keeps nprobe as the serve dial; this
     // section measures exactly that: same corpus, k ∈ {16,32,64}, probed
     // at fixed nprobe=8 AND at nprobe=k/2 (fixed 50% probed fraction).
+    if (skipCells) { s.stop(); return }
     println(f"%n${"nCells"}%6s ${"nprobe"}%6s ${"short"}%5s " +
       f"${"recall@20(q0)"}%14s ${"mean recall@20"}%15s ${"ms/probe"}%9s")
     for (k <- Seq(16, 32, 64)) {

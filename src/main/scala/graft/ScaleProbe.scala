@@ -33,7 +33,11 @@ object ScaleProbe {
     "llm28c_ivfpq", "llm28f_ivfpq_batch",
     "strm15_idempotent_ingest", "llm22b_bpe_train", "llm22c_bpe_encode",
     "ivm5_incremental_join_agg", "er2_entity_clusters", "llm32b_span_dup_hashed",
-    "sql6_large_volume")
+    "sql6_large_volume",
+    // r20 (VERDICT r19 item 2): the dedup/semantic serves whose linearity
+    // was argued but unmeasured — semantic dedup's cell-bucketed pair scan
+    // and the sign-LSH banded embedding near-dup
+    "llm44_semdedup", "llm21b_embed_neardup_lsh")
 
   def main(args: Array[String]): Unit = {
     val (sf01, sf1, outJson) = (args(0), args(1), args(2))

@@ -39,8 +39,11 @@ def main(sf_dir, out_dir, json_out=None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    import time
     for name in sorted(oracle):
         sql = oracle[name]
+        t0 = time.time()
+        print(f"[compare] {name} ...", flush=True)
         try:
             spark = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
@@ -69,6 +72,8 @@ def main(sf_dir, out_dir, json_out=None):
                 break
         results[name] = "OK" if bad is None else \
             f"VALUE_MISMATCH row {bad[0]}: spark={bad[1]} duck={bad[2]}"
+        print(f"[compare] {name}: {results[name][:60]} "
+              f"({time.time() - t0:.1f}s)", flush=True)
     n_ok = sum(1 for v in results.values() if v == "OK")
     for name, v in results.items():
         if v != "OK":
