@@ -78,14 +78,32 @@ object LlmOps extends QueryModule {
     * Union-of-tables probing keeps recall high at moderate cosine
     * (p_match = 1-(1-p^k)^L): single-table sign LSH has near-zero recall
     * when similarities sit around 0.3-0.5, which is what real embedding
-    * corpora look like. k scales with corpus size (bucket count 2^k), L
-    * buys recall — both O(1) columns, no extra shuffle. */
-  def lshIndex(emb: DataFrame, tables: Int = 8, k: Int = 3): DataFrame =
+    * corpora look like. k scales with corpus size (bucket count 2^k,
+    * [[scaledLshBits]] by default — one metadata-cheap count()), L buys
+    * recall — both O(1) columns, no extra shuffle. */
+  def lshIndex(emb: DataFrame, tables: Int = 8, k: Int = 0): DataFrame = {
+    val kk = if (k > 0) k else scaledLshBits(emb.count())
     emb.select(col("vec_id"),
       posexplode(call_function("lsh_buckets", col("embedding"),
-        lit(tables), lit(k))))
+        lit(tables), lit(kk))))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
+  }
+
+  /** Sign-LSH plane count for an n-vector corpus: enough bits to hold the
+    * DESIGN bucket occupancy (~250 vectors — the sf0.1 density the r8
+    * tables=8/k=3 default was tuned at) as the corpus grows. The bucket
+    * self-join's candidate work is Σ bucket² ∝ n·occupancy, so FIXED
+    * occupancy keeps the banded dedup/probe paths LINEAR in n — the r20
+    * sf1 probe measured ×91/decade shuffle growth at a pinned k=3
+    * (occupancy grew 10×, pairs 100×). Recall at higher k is bought back
+    * with more tables at the same linear cost — the standard sign-LSH
+    * dial. Every gate SF (n ≤ 2000) still resolves to k=3, so committed
+    * floors and oracle dumps are unchanged; the dumps' consumers and
+    * their DuckDB replays read (table, bucket) from the persisted bytes
+    * and adapt automatically. */
+  def scaledLshBits(n: Long): Int =
+    math.max(3, math.ceil(math.log(n / 250.0) / math.log(2.0)).toInt)
 
   /** FAISS-convention cell count for an n-vector corpus: max(16, ⌈√n⌉).
     * The r17 AnnSweep measured the fixed-16 default decaying recall@20

@@ -29,7 +29,7 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, skip=()):
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -41,6 +41,11 @@ def main(sf_dir, out_dir, json_out=None):
     results = {}
     import time
     for name in sorted(oracle):
+        if name in skip:
+            # declared O(n^2)-oracle exact baselines whose DuckDB replay
+            # is priced out at big SFs; tools/replica_check.py covers them
+            results[name] = "SKIPPED_oracle_infeasible_at_sf"
+            continue
         sql = oracle[name]
         t0 = time.time()
         print(f"[compare] {name} ...", flush=True)
@@ -75,20 +80,22 @@ def main(sf_dir, out_dir, json_out=None):
         print(f"[compare] {name}: {results[name][:60]} "
               f"({time.time() - t0:.1f}s)", flush=True)
     n_ok = sum(1 for v in results.values() if v == "OK")
+    n_skip = sum(1 for v in results.values() if v.startswith("SKIPPED"))
     for name, v in results.items():
-        if v != "OK":
+        if v != "OK" and not v.startswith("SKIPPED"):
             print(f"FAIL {name}: {v}")
-    print(f"\n{n_ok}/{len(results)} oracle-checked queries OK "
-          f"({len(results)} with oracle, of all queries)")
+    print(f"\n{n_ok}/{len(results) - n_skip} oracle-checked queries OK "
+          f"({len(results)} with oracle, {n_skip} skipped)")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
                        "n_ok": n_ok, "n_total": len(results),
                        "results": results}, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
-    return 0 if n_ok == len(results) else 1
+    return 0 if n_ok + n_skip == len(results) else 1
 
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else None))
+                  sys.argv[3] if len(sys.argv) > 3 else None,
+                  set(sys.argv[4].split(",")) if len(sys.argv) > 4 else ()))
