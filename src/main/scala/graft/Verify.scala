@@ -36,9 +36,9 @@ object Verify {
     TmpStores.sweep() // leftover scratch stores from crashed JVMs
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -57,8 +57,10 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       toJsonObject(SparkEntry.oracleSql.view
         .filterKeys(k => only.forall(_.contains(k))).toMap))
-    System.err.println(s"[verify] done: ${SparkEntry.queries.size - failed}/" +
-      s"${SparkEntry.queries.size} queries wrote output")
+    // count over the FILTERED set — a 3-query dev run used to print the
+    // full registry size as its denominator
+    System.err.println(s"[verify] done: ${selected.size - failed}/" +
+      s"${selected.size} queries wrote output")
     spark.stop()
   }
 }
