@@ -414,21 +414,32 @@ object LlmOps extends QueryModule {
     graft.StageMemo.frame(s, s"llm28.codebook.m$m.$d")(
       pqTrain(Tables.embeddings(s, d), m = m))
 
-  /** llm44's top-2 cosine cell posting — the pre-checkpoint fragment of
+  /** llm44's top-m cosine cell posting — the pre-checkpoint fragment of
     * [[semdedupKept]], exposed so PlanSpec can pin its plan BEFORE the
     * localCheckpoint truncates visibility (the r19 llm3eb lesson: an
     * rn-keeping window hid an n·k embedding-carrying sort behind the
     * checkpoint). Same drop-rn heap shape as [[ivfAssignCellsCos]] but
-    * `rn <= 2`: RULE-1 plans the TopKPerGroup operator, no per-vector
+    * `rn <= m`: RULE-1 plans the TopKPerGroup operator, no per-vector
     * sort of the n·nCells candidate rows. Output (vec_id, embedding,
-    * cell) — one row per posted cell. */
-  private[graft] def semdedupCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    * cell) — one row per posted cell.
+    *
+    * `m` is SemDeDup's recall dial, measured at the sf1 decade
+    * (BENCH_NOTES r20, τ=0.45, √n cells): drop-recall 0.39 / 0.71 /
+    * 0.95 / 1.00 at m = 2 / 4 / 8 / 16 for candidate-pair fractions
+    * 2.8% / 10.8% / 37% / 84% of n²/2 — precision stays exactly 1 at
+    * every m (the within-cell verify is exact). The default m=2 is the
+    * paper's boundary-pair fix, calibrated for tight-cluster dup
+    * populations; a corpus whose dup threshold sits at moderate cosine
+    * (like this synthetic lake's τ=0.45 ≈ 63°) buys recall with m, paying
+    * Σ|cell|² linearly in m. */
+  private[graft] def semdedupCells(e: DataFrame, cents: DataFrame,
+                                   m: Int = 2): DataFrame = {
     val wc = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cent_id"))
     e.crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("embedding"), col("cent")))
       .withColumn("rn", row_number().over(wc))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= m)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
   }
 
