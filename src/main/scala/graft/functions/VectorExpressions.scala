@@ -421,6 +421,77 @@ case class RollingHash64(child: Expression)
     copy(child = c)
 }
 
+/** `simhash64(string) -> bigint`: 64-bit SimHash over space-separated
+  * unigram tokens on the engine's cross-engine hash protocol (per-token
+  * hash = first 16 hex digits of md5(token), i.e. the first 8 digest
+  * bytes big-endian — exactly [[graft.llm.LlmOps.simhashOf]], which stays
+  * the spec reference, and exactly what the DuckDB oracle recomputes).
+  * This native kernel replaces the interpreted HOF formulation that
+  * allocated a 64-element array per token per row (zip_with(acc,
+  * sequence(0,63), …) folds) — llm2c/llm2d's map stage, the engine's
+  * single most expensive interpreted expression. Tokenization happens at
+  * the UTF-8 BYTE level (0x20 never occurs inside a multi-byte sequence,
+  * so byte-splitting ≡ string-splitting on ' '), and each token hashes
+  * without materializing a substring. Codegen emits one static call per
+  * row — the row loop stays inside whole-stage codegen, zero lambda
+  * frames. */
+case class Simhash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Simhash64.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Simhash64.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Simhash64 =
+    copy(child = c)
+}
+
+object Simhash64 {
+  // MessageDigest is not thread-safe; one instance per executor thread
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Bit-identical to [[graft.llm.LlmOps.simhashOf]] (ApproxSpec pins the
+    * equivalence on real documents and adversarial strings). */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    val md = md5.get()
+    val counts = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          md.reset()
+          md.update(bytes, start, i - start)
+          val d = md.digest()
+          var h = 0L
+          var j = 0
+          while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+          var b = 0
+          while (b < 64) {
+            counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
 /** Registration via the sanctioned extension point; Graft.session applies
   * this so the functions resolve everywhere (SQL included). */
 object VectorExtensions {
@@ -453,6 +524,10 @@ object VectorExtensions {
       new FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
       (children: Seq[Expression]) => RollingHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (children: Seq[Expression]) => Simhash64(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("stripe_sums"),
       new ExpressionInfo(classOf[StripeSums].getName, "stripe_sums"),

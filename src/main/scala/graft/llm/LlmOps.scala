@@ -1019,7 +1019,7 @@ object LlmOps extends QueryModule {
     * keeps it one). shiftleft(1, 63) wraps to Long.MinValue (Java shift
     * semantics — bit 63 is the sign bit); the mask sum starts there and
     * only moves toward zero, so ANSI overflow checking never fires. */
-  private[llm] val simhashCol: String =
+  private[graft] val simhashCol: String =
     """aggregate(
       |  zip_with(
       |    aggregate(
@@ -1366,14 +1366,18 @@ object LlmOps extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
-    // LLM-2c: SimHash fingerprints — md5-protocol simhash computed as one
-    // row-local HOF expression (zero shuffle, no UDF; see [[simhashCol]]).
-    // HASH-MATCHES the DuckDB oracle: both engines fold the identical
-    // ±1 bit counts from the identical md5 token hashes (VERDICT r10 #4 —
-    // promoted from spec-only).
+    // LLM-2c: SimHash fingerprints — md5-protocol simhash as the NATIVE
+    // codegen'd simhash64 kernel (r20; bit-identical to [[simhashOf]] and
+    // to the retained HOF reference [[simhashCol]], both pinned by
+    // ApproxSpec — the HOF form allocated a 64-element array per token
+    // per row and was the engine's most expensive interpreted
+    // expression). Zero shuffle, no UDF. HASH-MATCHES the DuckDB oracle:
+    // both engines fold the identical ±1 bit counts from the identical
+    // md5 token hashes (VERDICT r10 #4 — promoted from spec-only).
     "llm2c_simhash" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), expr(simhashCol).as("simhash"))
+        .select(col("doc_id"),
+          call_function("simhash64", col("text")).as("simhash"))
         .orderBy("doc_id")),
 
     // LLM-2d: simhash near-dup PAIRS — the dedup consumer of llm2c's
@@ -1405,7 +1409,8 @@ object LlmOps extends QueryModule {
       // both sides of the self-join read the materialized fingerprints —
       // without the cut Spark recomputes the full md5 fold per side
       val sh = Tables.documents(s, d)
-        .select(col("doc_id"), expr(simhashCol).as("simhash"))
+        .select(col("doc_id"),
+          call_function("simhash64", col("text")).as("simhash"))
         .localCheckpoint()
       val bands = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(i =>

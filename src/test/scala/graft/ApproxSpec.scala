@@ -151,7 +151,11 @@ class ApproxSpec extends SparkSpec {
     assert(LlmOps.simhashOf(base) === hb, "deterministic")
   }
 
-  test("llm2c: declarative HOF simhash equals the scalar reference") {
+  test("llm2c: native simhash64 kernel ≡ HOF formulation ≡ scalar " +
+    "reference, on real documents") {
+    // the declared query serves the NATIVE kernel (r20); the retained HOF
+    // column and the scalar are the two independent references it must
+    // match bit-for-bit
     val got = SparkEntry.queries("llm2c_simhash")(spark, Sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val docs = Tables.documents(spark, Sf0001)
@@ -160,7 +164,28 @@ class ApproxSpec extends SparkSpec {
     assert(docs.nonEmpty && got.size === docs.length)
     docs.foreach { case (id, text) =>
       assert(got(id) === LlmOps.simhashOf(text),
-        s"doc $id: declarative ${got(id)} vs scalar ${LlmOps.simhashOf(text)}")
+        s"doc $id: native ${got(id)} vs scalar ${LlmOps.simhashOf(text)}")
+    }
+    val hof = Tables.documents(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr(LlmOps.simhashCol).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hof === got, "HOF formulation drifted from the native kernel")
+  }
+
+  test("llm2c: native simhash64 ≡ scalar on adversarial strings " +
+    "(unicode, multi-space, emoji, huge token)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val nasty = Seq(
+      "", " ", "   ", "a", "a b", " a  b ", "中文 テキスト 테스트",
+      "🙂 👍🏽 👨‍👩‍👧‍👦", "é é", "x" * 100000,
+      ("tok " * 500).trim, "\t notsplit\ttab", "a,b;c a,b;c")
+    val rows = nasty.toDF("text")
+      .select(col("text"), expr("simhash64(text)").as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === LlmOps.simhashOf(r.getString(0)),
+        s"native drifted on ${r.getString(0).take(40)}")
     }
   }
 
