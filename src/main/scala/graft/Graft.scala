@@ -181,7 +181,13 @@ object Graft {
       // variant string to U+FFFD runs (found by IngestFuzzSpec on this
       // container, whose native.encoding is ANSI_X3.4-1968). Local modes
       // ignore this conf; real clusters and local-cluster[...] apply it.
-      .config("spark.executor.extraJavaOptions", "-Dfile.encoding=UTF-8")
+      // APPEND to any executor options supplied by spark-defaults.conf /
+      // --conf (they arrive as system properties before the builder runs)
+      // rather than replacing them — a bare .config() would silently
+      // clobber a deployment's GC/agent flags (ADVICE r20).
+      .config("spark.executor.extraJavaOptions",
+        (sys.props.get("spark.executor.extraJavaOptions").toSeq
+          :+ "-Dfile.encoding=UTF-8").mkString(" "))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The DRIVER's default charset can't be fixed post-launch

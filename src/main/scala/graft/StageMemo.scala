@@ -61,9 +61,41 @@ object StageMemo {
         }
     }
 
+  /** [[frame]] + a stored-layout claim (r21): the stage is hash-
+    * repartitioned by `keys` into the session's shuffle-partition count
+    * (explicit N — AQE never coalesces a user-specified repartition)
+    * before the checkpoint, and the memoized scan is re-wrapped to carry
+    * that HashPartitioning (localCheckpoint alone scans back as
+    * UnknownPartitioning under AQE). Consumers whose aggregates/joins
+    * cluster by `keys` (or a superset, or an alias of them) then satisfy
+    * their required distribution straight from the stored blocks — zero
+    * exchanges per consumer. This is the in-session analogue of bucketing
+    * a derived table: at 100 TB the memo is a bucketed parquet/Delta
+    * stage output and the identical plans apply. */
+  def partitionedFrame(s: SparkSession, key: String, keys: Seq[String])
+                      (build: => DataFrame): DataFrame =
+    cache.get((s, key)) match {
+      case Some(df) => df.asInstanceOf[DataFrame]
+      case None =>
+        hookEviction(s)
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val cp = BlockHygiene.pin(
+          build.repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
+            .localCheckpoint())
+        val df = org.apache.spark.sql.classic.GraftPlanBridge
+          .withHashPartitioning(cp, keys, n)
+        cache.putIfAbsent((s, key), df) match {
+          case Some(winner) =>
+            cp.unpersist() // lost the race: free the duplicate's blocks
+            winner.asInstanceOf[DataFrame]
+          case None => df
+        }
+    }
+
   /** Memoized non-frame artifact (a written store's path, a collected
     * scalar). `build` runs at most once per (session, key) absent a race;
     * on a race both builds run and one result wins. */
+  // (see also PartitionedCheckpoint below for the non-memoized variant)
   def value[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
     cache.get((s, key)) match {
       case Some(v) => v.asInstanceOf[T]
@@ -73,4 +105,22 @@ object StageMemo {
         cache.putIfAbsent((s, key), v)
           .fold(v)(_.asInstanceOf[T])
     }
+}
+
+/** Un-memoized twin of [[StageMemo.partitionedFrame]] for per-call setup
+  * frames inside iterative operators (labelPropagation's adjacency,
+  * pagerank's normalized edges when no memo is passed): checkpoint the
+  * frame hash-partitioned by `keys` and keep the partitioning visible on
+  * the scan, so every round's group-by over it is exchange-free. NOT
+  * pinned — Bench/Verify block hygiene reclaims it between queries. */
+object PartitionedCheckpoint {
+  def apply(df: org.apache.spark.sql.DataFrame,
+            keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val cp = df
+      .repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
+      .localCheckpoint()
+    org.apache.spark.sql.classic.GraftPlanBridge
+      .withHashPartitioning(cp, keys, n)
+  }
 }

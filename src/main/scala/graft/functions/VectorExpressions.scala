@@ -434,7 +434,14 @@ case class RollingHash64(child: Expression)
   * so byte-splitting ≡ string-splitting on ' '), and each token hashes
   * without materializing a substring. Codegen emits one static call per
   * row — the row loop stays inside whole-stage codegen, zero lambda
-  * frames. */
+  * frames.
+  *
+  * NULL semantics (ADVICE r20): NULL in → NULL out (null-intolerant
+  * UnaryExpression), matching the HOF column [[graft.llm.LlmOps.simhashCol]]
+  * — and deliberately NOT the scalar spec [[graft.llm.LlmOps.simhashOf]],
+  * which as a plain JVM function maps null to 0L (the empty-text
+  * fingerprint). Column-level NULL propagation is the engine contract;
+  * ApproxSpec pins the null row. */
 case class Simhash64(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

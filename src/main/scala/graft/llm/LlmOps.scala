@@ -79,8 +79,15 @@ object LlmOps extends QueryModule {
     * (p_match = 1-(1-p^k)^L): single-table sign LSH has near-zero recall
     * when similarities sit around 0.3-0.5, which is what real embedding
     * corpora look like. k scales with corpus size (bucket count 2^k,
-    * [[scaledLshBits]] by default — one metadata-cheap count()), L buys
-    * recall — both O(1) columns, no extra shuffle. */
+    * [[scaledLshBits]] by default — one count() action at build time,
+    * metadata-cheap for raw parquet scans, a real pass for derived
+    * frames), L buys recall — both O(1) columns, no extra shuffle.
+    * k=0 REQUIRES a deterministic `emb` (ADVICE r20): the count runs as a
+    * separate job from the index build, so a non-deterministic input
+    * could be counted at one n and indexed at another — every in-repo
+    * caller passes a raw table scan or a checkpointed frame, both
+    * deterministic; callers with derived non-checkpointed inputs should
+    * pass k explicitly or checkpoint first. */
   def lshIndex(emb: DataFrame, tables: Int = 8, k: Int = 0): DataFrame = {
     val kk = if (k > 0) k else scaledLshBits(emb.count())
     emb.select(col("vec_id"),
@@ -850,15 +857,25 @@ object LlmOps extends QueryModule {
     * k lanes, b bands of r rows; emits pairs with exact J >= threshold. */
   def minhashNearDupPairs(docs: DataFrame, threshold: Double,
                           k: Int = 128, bands: Int = 32): DataFrame = {
-    // materialize shingles + banded signatures ONCE: both feed a self-join,
-    // and Spark would otherwise recompute the whole shingle→sig pipeline on
-    // each side. localCheckpoint here == "persist the signature table"
-    // (Delta/parquet stage output) in the 100 TB deployment.
+    // materialize shingles ONCE: they feed the signature pipeline AND both
+    // exact-verification sides. localCheckpoint here == "persist the
+    // shingle table" (Delta/parquet stage output) in the 100 TB deployment.
     val sh = shingled(docs).localCheckpoint()
-    val banded = bandedOf(sh, k, bands).localCheckpoint()
-    val l = banded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
-    val rt = banded.select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash"))
-    val candidates = l.join(rt, Seq("band_idx", "band_hash"))
+    // r21 (guide §2.4): candidates come from ONE exchange of the band rows
+    // — group each (band_idx, band_hash) bucket's members into an array and
+    // expand the a<b pairs locally — instead of the former band-table
+    // SELF-JOIN, which shuffled the identical band rows twice and built a
+    // hash table per bucket just to rediscover bucket membership. Bucket
+    // fan-out and skew posture are unchanged (a bucket of c docs still
+    // emits its c·(c−1)/2 pairs in the task owning the bucket); the banded
+    // frame now has a single consumer, so its former localCheckpoint
+    // (one full signature-table materialization) is gone too.
+    val candidates = bandedOf(sh, k, bands)
+      .groupBy("band_idx", "band_hash")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     // exact verification: join shingle sets back by id (arrays shipped once)
@@ -922,23 +939,48 @@ object LlmOps extends QueryModule {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         dfCap: Int = 1000): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
-      .localCheckpoint()  // feeds sizes + df + both join sides
+      .localCheckpoint()  // feeds sizes + the posting-list grouping
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // shingles3 emits DISTINCT shingles per doc, so count(*) == doc freq
-    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df_docs"))
-      .filter(col("df_docs") <= dfCap)
-      .select("shingle")
-    val capped = sh.join(keep, "shingle")
-    val a = capped.select(col("shingle"), col("doc_id").as("a_id"))
-    val b = capped.select(col("shingle"), col("doc_id").as("b_id"))
-    a.join(b, "shingle").filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+    postingPairCounts(sh, dfCap, ordered = true)
       .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Shared pair-enumeration core of the posting-list dedup family (llm2b
+    * Jaccard, llm2e containment): per-shingle posting lists are collected
+    * into arrays by ONE exchange of (shingle, doc_id) and candidate pairs
+    * expand LOCALLY from each array (two chained generators in the same
+    * stage) — replacing the former posting-table SELF-JOIN, which
+    * exchanged the identical rows twice and probed a per-shingle hash
+    * table just to rediscover list membership (r21; guide §2.4 "remove
+    * shuffles outright"). Fan-out, skew posture and OUTPUT are identical:
+    * a shingle of document frequency df still emits its df·(df−1)
+    * (directed) candidate rows inside the task that owns the shingle —
+    * the dfCap bounds per-shingle work exactly as before (and caps the
+    * collected array at dfCap elements), df=1 shingles are pruned before
+    * expansion (they emit no pairs either way), and map-side partial
+    * aggregation collapses candidates to one (a_id, b_id, n_common) row
+    * per pair before the only remaining exchange. shingles3 emits
+    * DISTINCT shingles per doc, so count(*) per shingle == document
+    * frequency. Returns a_id < b_id pairs when `ordered`, both directed
+    * orders otherwise. */
+  private def postingPairCounts(sh: DataFrame, dfCap: Int,
+                                ordered: Boolean): DataFrame = {
+    val posts = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df_docs"), collect_list("doc_id").as("ids"))
+      .filter(col("df_docs") <= dfCap && col("df_docs") >= 2)
+      .select("ids")
+    val cmp = if (ordered) col("a_id") < col("b_id")
+              else col("a_id") =!= col("b_id")
+    posts
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(cmp)
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
   }
 
   /** Distributed connected components by iterative min-label propagation —
@@ -1347,15 +1389,12 @@ object LlmOps extends QueryModule {
     "llm2e_containment" -> ((s, d) => {
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
-        .localCheckpoint() // feeds sizes + df filter + both join sides
+        .localCheckpoint() // feeds sizes + the posting-list grouping
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df_docs"))
-        .filter(col("df_docs") <= 1000).select("shingle")
-      val capped = sh.join(keep, "shingle")
-      val a = capped.select(col("shingle"), col("doc_id").as("a_id"))
-      val b = capped.select(col("shingle"), col("doc_id").as("b_id"))
-      a.join(b, "shingle").filter(col("a_id") =!= col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+      // directed pairs via the shared posting-list expansion (see
+      // [[postingPairCounts]]) — one exchange instead of the former
+      // capped-posting self-join's two
+      postingPairCounts(sh, dfCap = 1000, ordered = false)
         .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
           "a_id")
         .filter(col("n_a") >= 5)
@@ -3433,11 +3472,20 @@ object LlmOps extends QueryModule {
   def bpeTrain(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
     import s.implicits._
     val rc = new RoundCheckpointer
-    var toks = rc.step(docs.select(col("doc_id"),
-        filter(split(col("text"), " "), t => t =!= "").as("toks")))
+    // r21: the corpus state rides the NUL-delimited STRING representation
+    // ([[bpeWrap]]) instead of a token array — the merge apply is then one
+    // codegen'd literal replace() per row ([[applyMergeStr]]) instead of
+    // the former aggregate() HOF fold, which was CodegenFallback
+    // (interpreted per row) and copied the accumulator array per token —
+    // O(tokens²) allocation per document. doc_id no longer rides the
+    // round state either: pair counting never reads it, so each round's
+    // checkpoint carries exactly the corpus bytes.
+    var corpus = rc.step(docs.select(bpeWrap(col("text")).as("s")))
     val merges = Seq.newBuilder[(Int, String, Long, String, String)]
     for (r <- 1 to rounds) {
-      val top = toks.select(explode(zip_with(
+      val top = corpus
+        .select(bpeToks(col("s")).as("toks"))
+        .select(explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
           (x, y) => concat(x, lit(PairSep), y))).as("pair"))
@@ -3450,37 +3498,67 @@ object LlmOps extends QueryModule {
         // the final round's winner needs no corpus rewrite — nothing
         // downstream reads the merged tokens (saves a full map pass)
         if (r < rounds) {
-          toks = rc.step(toks.select(col("doc_id"),
-            applyMerge(col("toks"), xs, ys).as("toks")))
+          corpus = rc.step(corpus.select(
+            applyMergeStr(col("s"), xs, ys).as("s")))
         }
       }
     }
     merges.result().toDF("round", "merge", "n", "x", "y").orderBy("round")
   }
 
-  /** Greedy left-to-right application of ONE merge rule (x, y) to a token
-    * array: a codegen'd `aggregate()` fold, linear in tokens. */
-  private def applyMerge(toks: Column, xs: String, ys: String): Column = {
-    val (x, y, m) = (lit(xs), lit(ys), lit(xs + " " + ys))
-    aggregate(toks, array().cast("array<string>"),
-      (acc, t) => when(
-        size(acc) > 0 && element_at(acc, -1) === x && t === y,
-        concat(slice(acc, lit(1), size(acc) - 1), array(m)))
-        .otherwise(concat(acc, array(t))))
-  }
+  /** NUL-delimited corpus representation of a document's token sequence:
+    * every non-empty space-split token wrapped in its OWN delimiters
+    * (`␀t₁␀␀t₂␀…`) — the exact representation the DuckDB oracle runs
+    * (bpeTrainCtes), adopted engine-side in r21. Raw tokens cannot
+    * contain NUL (the standing [[PairSep]] assumption) and merged units
+    * are space-joined, so the encoding is unambiguous and a literal
+    * replace over it is full-token-anchored. */
+  private def bpeWrap(text: Column): Column =
+    // concat_ws treats a NULL array as empty — guard so NULL text stays
+    // NULL end-to-end (the array form's semantics: split(NULL) → NULL)
+    when(text.isNull, lit(null).cast("string")).otherwise(
+      concat_ws("", transform(
+        filter(split(text, " "), t => t =!= ""),
+        t => concat(lit(PairSep), t, lit(PairSep)))))
+
+  /** Token array back out of the [[bpeWrap]] representation (pair
+    * counting wants positional pairs). */
+  private def bpeToks(sCol: Column): Column =
+    filter(split(trim(sCol, PairSep), PairSep + PairSep), t => t =!= "")
+
+  /** Greedy left-to-right application of ONE merge rule (x, y) on the
+    * [[bpeWrap]] string: `replace()` — left-to-right, non-overlapping —
+    * IS the greedy fold (consecutive-pair chains consume left-first, a
+    * unit merged this pass cannot re-match: the replacement `␀x y␀` has
+    * no internal delimiter boundary and scanning resumes after it). The
+    * same argument the DuckDB oracle's replace() ladder documents; BpeSpec
+    * pins the golden merge sequences either way. One codegen'd string op
+    * per row per rule, vs the former interpreted O(tokens²) array fold. */
+  private def applyMergeStr(sCol: Column, xs: String, ys: String): Column =
+    call_function("replace", sCol,
+      lit(PairSep + xs + PairSep + PairSep + ys + PairSep),
+      lit(PairSep + xs + " " + ys + PairSep))
+
+  /** Token count of a [[bpeWrap]] string: every token carries exactly two
+    * NUL delimiters (merged units are space-joined, never NUL-joined), so
+    * n_tok = (#NUL chars) / 2 — two codegen'd string ops, no split. */
+  private def bpeTokCount(sCol: Column): Column =
+    ((length(sCol) - length(call_function("replace", sCol, lit(PairSep))))
+      / lit(2)).cast("int")
 
   /** Tokenizer APPLICATION: encode documents with an ordered learned merge
     * list (see llm22c). One map pass per merge rule, no shuffle at all —
-    * the per-doc outputs are (raw token count, encoded token count). */
+    * the per-doc outputs are (raw token count, encoded token count). All
+    * merge rules apply inside ONE projection over the [[bpeWrap]] string
+    * (chained replace()s), so the whole encode is a single codegen span. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val raw = docs.select(col("doc_id"),
-        filter(split(col("text"), " "), t => t =!= "").as("toks"))
-      .withColumn("n_tok_raw", size(col("toks")))
+    val raw = docs.select(col("doc_id"), bpeWrap(col("text")).as("s"))
+      .withColumn("n_tok_raw", bpeTokCount(col("s")))
     val enc = merges.foldLeft(raw) { case (df, (xs, ys)) =>
-      df.withColumn("toks", applyMerge(col("toks"), xs, ys))
+      df.withColumn("s", applyMergeStr(col("s"), xs, ys))
     }
     enc.select(col("doc_id"), col("n_tok_raw"),
-      size(col("toks")).as("n_tok_bpe"))
+      bpeTokCount(col("s")).as("n_tok_bpe"))
   }
 
   /** Shared oracle CTE chain ending in `sh(doc_id, simhash)` — the md5

@@ -74,11 +74,16 @@ object GraphOps extends QueryModule {
     // prebuilt = (norm, vstat) already materialized (the graph1 memo) —
     // the normalized edge table and vertex inventory are derived datasets
     // of the edge list, identical for every (damping, iters) run
-    val norm = prebuilt.map(_._1).getOrElse(edges
-      .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
-      .select(col("src"), col("dst"),
-        (col("w").cast("double") / col("outw")).as("p"))
-      .localCheckpoint())
+    // checkpointed partitioned-by-dst (partitioning kept visible) so each
+    // round's contribution aggregate (groupBy dst-aliased-v after the
+    // broadcast rank join) needs no exchange — one setup shuffle buys
+    // iters exchange-free rounds
+    val norm = prebuilt.map(_._1).getOrElse(graft.PartitionedCheckpoint(
+      edges
+        .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
+        .select(col("src"), col("dst"),
+          (col("w").cast("double") / col("outw")).as("p")),
+      Seq("dst")))
     // ONE shuffle inventories the vertex space AND flags out-edge presence
     // (src rows carry out=1, dst rows out=0; max() ORs them) — replacing
     // the former distinct + left_anti pair of checkpoints. verts/dangling
@@ -191,11 +196,13 @@ object GraphOps extends QueryModule {
     val Scale = 1000000000000L // 1e12
     // (src, dst, w, outw): integer edge table with the source's total
     // out-weight riding along — the exact-arithmetic analogue of norm
-    val en = prebuilt.map(_._1).getOrElse(edges
-      .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
-      .select(col("src"), col("dst"), col("w").cast("long").as("w"),
-        col("outw").cast("long").as("outw"))
-      .localCheckpoint())
+    // same round-exchange removal as pagerankRounds (partitioned by dst)
+    val en = prebuilt.map(_._1).getOrElse(graft.PartitionedCheckpoint(
+      edges
+        .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
+        .select(col("src"), col("dst"), col("w").cast("long").as("w"),
+          col("outw").cast("long").as("outw")),
+      Seq("dst")))
     val verts = prebuilt.map(_._2).getOrElse(
       edges.select(col("src").as("v"))
         .unionByName(edges.select(col("dst").as("v")))
@@ -334,7 +341,14 @@ object GraphOps extends QueryModule {
     * scan. Same derived-dataset memoization as [[partCoPurchaseEdges]]:
     * built once per (session, sf-dir), read from memory afterwards. */
   private def partAdj(s: SparkSession, d: String): DataFrame =
-    graft.StageMemo.frame(s, s"graph.part_adj.$d") {
+    // r21: memoized hash-partitioned by v (StageMemo.partitionedFrame —
+    // the partitioning stays VISIBLE on the checkpoint scan), so every
+    // consumer that groups by v — each LPA round's two stacked aggs, the
+    // degree table, graph6's wedge rollup start — satisfies its
+    // distribution from the stored layout and exchanges NOTHING (guide
+    // §2.4; the bucketed-table pattern, in-session). At 100 TB this memo
+    // IS a bucketed/partitioned derived table and the same plans apply.
+    graft.StageMemo.partitionedFrame(s, s"graph.part_adj.$d", Seq("v")) {
       val e = partCoPurchaseEdges(s, d)
       e.select(col("x").as("v"), col("y").as("u"))
         .unionByName(e.select(col("y").as("v"), col("x").as("u")))
@@ -443,26 +457,72 @@ object GraphOps extends QueryModule {
     val rc = new RoundCheckpointer
     // one-time broadcast gate: the per-round drop set is ≤ the vertex count
     val small = degrees(edges0).count() <= broadcastCap
-    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    var edges = edges0
-    var i = 0
-    var converged = false
-    while (i < maxRounds && !converged) {
-      i += 1
-      // materialize the (small) drop set once per round — the degree agg
-      // would otherwise recompute for the isEmpty probe AND each anti-join
-      val drop = degrees(edges).filter(col("deg") < k).select("v")
-        .localCheckpoint()
-      if (drop.isEmpty) converged = true
-      else {
-        val next = edges
-          .join(bc(drop.withColumnRenamed("v", "x")), Seq("x"), "left_anti")
-          .join(bc(drop.withColumnRenamed("v", "y")), Seq("y"), "left_anti")
-          .select("x", "y")
-        edges = rc.step(next)
+    if (small) {
+      // r21 fast path (guide §2.4/§5): below the cap the peel keeps ONE
+      // CUMULATIVE dropped-vertex set (vertex-sized, checkpointed per
+      // round) and every round filters the ORIGINAL memoized edge table
+      // through two broadcast anti-joins — the surviving edge list is
+      // never rewritten or re-materialized, so the per-round
+      // localCheckpoint of ~|E| rows (and the block churn/GC it cost —
+      // the BENCH_NOTES r20 graph4 diagnosis) is gone; per round exactly
+      // one job runs (the drop-set checkpoint; its isEmpty probe reads
+      // the checkpointed blocks). Equivalence to the iterative rewrite:
+      // anti-joining edges0 against the UNION of all rounds' drops is the
+      // same set as chaining per-round anti-joins — vertex-set difference
+      // is cumulative. Round i's degree agg scans edges0 from memory and
+      // re-applies the (broadcast) filter, which is the trade: one extra
+      // broadcast probe per scan instead of one full edge materialization
+      // per round.
+      var dropped: Option[DataFrame] = None
+      var nDropped = 0L // driver scalar: rc.step releases the superseded
+                        // round's blocks, so the previous frame can't be
+                        // re-counted — carry its count instead
+      def surviving: DataFrame = dropped.fold(edges0)(dr =>
+        edges0
+          .join(broadcast(dr.withColumnRenamed("v", "x")), Seq("x"), "left_anti")
+          .join(broadcast(dr.withColumnRenamed("v", "y")), Seq("y"), "left_anti")
+          .select("x", "y"))
+      var i = 0
+      var converged = false
+      while (i < maxRounds && !converged) {
+        i += 1
+        val low = degrees(surviving).filter(col("deg") < k).select("v")
+        val nextDropped = rc.step(dropped.fold(low)(_.unionByName(low)))
+        val c = nextDropped.count() // reads the checkpointed blocks
+        // no NEW drops this round ⇔ the cumulative set did not grow
+        // (a dropped vertex has no surviving edges, so it can never
+        // re-enter `low` — the union only ever adds fresh vertices).
+        // Either way the LIVE checkpoint is nextDropped — rc.step just
+        // released its predecessor — so the returned filter must point
+        // at it even on the converged (row-identical) round.
+        if (c > nDropped) nDropped = c else converged = true
+        if (c > 0) dropped = Some(nextDropped)
       }
+      surviving
+    } else {
+      // above the cap: the r1–r20 iterative-rewrite loop — per-round
+      // shuffle anti-joins against a SHRINKING checkpointed edge list is
+      // the only correct plan once the drop set itself is cluster-sized
+      var edges = edges0
+      var i = 0
+      var converged = false
+      while (i < maxRounds && !converged) {
+        i += 1
+        // materialize the (small) drop set once per round — the degree agg
+        // would otherwise recompute for the isEmpty probe AND each anti-join
+        val drop = degrees(edges).filter(col("deg") < k).select("v")
+          .localCheckpoint()
+        if (drop.isEmpty) converged = true
+        else {
+          val next = edges
+            .join(drop.withColumnRenamed("v", "x"), Seq("x"), "left_anti")
+            .join(drop.withColumnRenamed("v", "y"), Seq("y"), "left_anti")
+            .select("x", "y")
+          edges = rc.step(next)
+        }
+      }
+      edges
     }
-    edges
   }
 
   /** GRAPH-5 — synchronous label propagation (Raghavan et al. 2007) over
@@ -485,9 +545,14 @@ object GraphOps extends QueryModule {
     // prebuiltAdj: an already-materialized (v, u) both-direction neighbor
     // list (the partAdj memo) — skips rebuilding the per-call checkpoint
     val nb = prebuiltAdj.getOrElse(
-      edges.select(col("x").as("v"), col("y").as("u"))
-        .unionByName(edges.select(col("y").as("v"), col("x").as("u")))
-        .localCheckpoint()) // scanned every round
+      // checkpointed hash-partitioned by v (partitioning kept visible) so
+      // each round's stacked aggs (groupBy(v, ulbl) then groupBy(v)) run
+      // exchange-free off the stored layout — same r21 rationale as the
+      // partAdj memo; scanned every round
+      graft.PartitionedCheckpoint(
+        edges.select(col("x").as("v"), col("y").as("u"))
+          .unionByName(edges.select(col("y").as("v"), col("x").as("u"))),
+        Seq("v")))
     var labels = nb.select(col("v")).distinct().withColumn("lbl", col("v"))
     val small = labels.count() <= broadcastCap
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -520,7 +585,14 @@ object GraphOps extends QueryModule {
       // datasets of the memoized edge list — built once per (session,
       // sf-dir), so the timed work is the 5 iteration rounds themselves
       val e = purchaseEdges(s, d)
-      val en = graft.StageMemo.frame(s, s"graph.prx_en.$d")(e
+      // r21: the memoized edge table is stored partitioned by dst — each
+      // PageRank round's contribution aggregate groups by dst (aliased
+      // v), so with the rank vector broadcast the round's ONE exchange
+      // disappears outright: alias-aware output partitioning carries
+      // hash(dst) through the broadcast join + project into the groupBy
+      // (guide §2.4). The memo build pays the single shuffle instead.
+      val en = graft.StageMemo.partitionedFrame(
+        s, s"graph.prx_en.$d", Seq("dst"))(e
         .join(e.groupBy("src").agg(sum("w").as("outw")), "src")
         .select(col("src"), col("dst"), col("w").cast("long").as("w"),
           col("outw").cast("long").as("outw")))

@@ -187,6 +187,14 @@ class ApproxSpec extends SparkSpec {
       assert(r.getLong(1) === LlmOps.simhashOf(r.getString(0)),
         s"native drifted on ${r.getString(0).take(40)}")
     }
+    // NULL edge (ADVICE r20): the COLUMN contract is NULL in → NULL out
+    // (null-intolerant expression, same as the HOF form); the scalar spec
+    // simhashOf(null) returns 0L — documented divergence, pinned here.
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(expr("simhash64(text)").as("h")).collect()
+    assert(nullRow(0).isNullAt(0), "simhash64(NULL) must be NULL")
+    assert(LlmOps.simhashOf(null) === 0L,
+      "scalar spec maps null to the empty fingerprint")
   }
 
   test("llm2d: lossless banding — band join equals brute-force pairs") {

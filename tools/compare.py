@@ -38,6 +38,16 @@ def main(sf_dir, out_dir, json_out=None, skip=()):
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # validate the skip list (ADVICE r20): a misspelled entry would
+    # silently drop a real query from the gate while still exiting 0
+    unknown = set(skip) - set(oracle)
+    if unknown:
+        print(f"ERROR: skip list names unknown queries: {sorted(unknown)}")
+        return 2
+    if skip:
+        print(f"[compare] SKIPPING {len(set(skip))} queries "
+              f"(replica_check.py covers them): {sorted(set(skip))}",
+              flush=True)
     results = {}
     import time
     for name in sorted(oracle):
