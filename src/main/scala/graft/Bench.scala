@@ -142,12 +142,23 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
 
+    // Memo builds run inside some query's FIRST run and median-of-3
+    // discards that run, so their cost is invisible to the per-query
+    // medians (VERDICT r21 #5). Report each build and the total so
+    // layout/memoization claims are falsifiable from the artifacts.
+    // Keys ADD to the JSON lines; existing keys unchanged.
+    val memoBuilds = StageMemo.buildSeconds(spark).sortBy(-_._2)
+    memoBuilds.foreach { case (k, sec) =>
+      System.err.println(f"[bench] memo build $k%-40s $sec%8.2f s") }
+    val memoTotal = memoBuilds.map(_._2).sum
+    System.err.println(f"[bench] memo build TOTAL (untimed by medians) $memoTotal%8.2f s")
+
     // full per-query map (+ per-query max−min spread) → file + stderr
     // (not the driver-parsed line)
     val medians = results.map { case (n, v, _) => n -> v }
     val spreads = results.map { case (n, _, sp) => n -> sp }
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(medians)},"spread":${qmap(spreads)},"noise":${fmt(noise)},"n_queries":${results.size},"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(medians)},"spread":${qmap(spreads)},"noise":${fmt(noise)},"memo_build_total":${fmt(memoTotal)},"memo_builds":${qmap(memoBuilds)},"n_queries":${results.size},"failed":$nFail,"sf":"$sfDir"}"""
     val out = new java.io.File("target/bench_full.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
@@ -158,7 +169,7 @@ object Bench {
     // total) so a cross-round diff reads "failed", not "not run" (ADVICE r4)
     val head = medians.filter(r => headline.contains(r._1))
     val slow = medians.filter(_._2 >= 0).sortBy(-_._2).take(5)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise":${fmt(noise)},"queries":${qmap(head)},"slowest":${qmap(slow)},"n_queries":${results.size},"failed":$nFail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","noise":${fmt(noise)},"memo_build_total":${fmt(memoTotal)},"queries":${qmap(head)},"slowest":${qmap(slow)},"n_queries":${results.size},"failed":$nFail,"sf":"$sfDir"}""")
     if (nFail > 0)
       System.err.println(s"[bench] $nFail queries FAILED — see above")
     spark.stop()

@@ -34,6 +34,26 @@ object StageMemo {
   private val evictionHooked =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
 
+  /** Per-session ledger of (memo key → build seconds), appended on every
+    * actual build (cache miss). Bench reports the total as
+    * `memo_build_total` and each entry on stderr (VERDICT r21 #5: memo
+    * builds are untimed by the per-query medians — the first run of a
+    * query pays them and median-of-3 discards it — so their cost must be
+    * visible SOMEWHERE for plan-layout claims to be falsifiable). */
+  private val buildLog =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Double]
+
+  /** Build ledger for `s`, insertion-order-free: (key, seconds) pairs. */
+  def buildSeconds(s: SparkSession): Seq[(String, Double)] =
+    buildLog.collect { case ((ss, k), sec) if ss eq s => (k, sec) }.toSeq
+
+  private def logged[T](s: SparkSession, key: String)(build: => T): T = {
+    val t0 = System.nanoTime()
+    val v = build
+    buildLog.put((s, key), (System.nanoTime() - t0) / 1e9)
+    v
+  }
+
   private def hookEviction(s: SparkSession): Unit =
     if (evictionHooked.putIfAbsent(s, ()).isEmpty) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -46,81 +66,44 @@ object StageMemo {
     }
 
   /** The stage frame for (session, key): built, localCheckpointed, and
-    * pinned on first use; returned from the memo afterwards. */
+    * pinned on first use; returned from the memo afterwards.
+    *
+    * Pin AFTER winning the putIfAbsent (ADVICE r21): the loser of a build
+    * race is released through its RDD ([[RoundCheckpointer.release]] —
+    * `Dataset.unpersist` only uncaches via the CacheManager, which never
+    * held a localCheckpoint's blocks), and because the loser was never
+    * pinned its blocks stay eligible for [[BlockHygiene.dropUnpinned]]
+    * either way. */
   def frame(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.get((s, key)) match {
       case Some(df) => df.asInstanceOf[DataFrame]
       case None =>
         hookEviction(s)
-        val df = BlockHygiene.pin(build.localCheckpoint())
-        cache.putIfAbsent((s, key), df) match {
+        val cp = logged(s, key)(build.localCheckpoint())
+        cache.putIfAbsent((s, key), cp) match {
           case Some(winner) =>
-            df.unpersist() // lost the race: free the duplicate's blocks
+            RoundCheckpointer.release(cp) // lost the race: free the blocks
             winner.asInstanceOf[DataFrame]
-          case None => df
+          case None => BlockHygiene.pin(cp)
         }
     }
 
-  /** [[frame]] + a stored-layout claim (r21): the stage is hash-
-    * repartitioned by `keys` into the session's shuffle-partition count
-    * (explicit N — AQE never coalesces a user-specified repartition)
-    * before the checkpoint, and the memoized scan is re-wrapped to carry
-    * that HashPartitioning (localCheckpoint alone scans back as
-    * UnknownPartitioning under AQE). Consumers whose aggregates/joins
-    * cluster by `keys` (or a superset, or an alias of them) then satisfy
-    * their required distribution straight from the stored blocks — zero
-    * exchanges per consumer. This is the in-session analogue of bucketing
-    * a derived table: at 100 TB the memo is a bucketed parquet/Delta
-    * stage output and the identical plans apply. */
-  def partitionedFrame(s: SparkSession, key: String, keys: Seq[String])
-                      (build: => DataFrame): DataFrame =
-    cache.get((s, key)) match {
-      case Some(df) => df.asInstanceOf[DataFrame]
-      case None =>
-        hookEviction(s)
-        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val cp = BlockHygiene.pin(
-          build.repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
-            .localCheckpoint())
-        val df = org.apache.spark.sql.classic.GraftPlanBridge
-          .withHashPartitioning(cp, keys, n)
-        cache.putIfAbsent((s, key), df) match {
-          case Some(winner) =>
-            cp.unpersist() // lost the race: free the duplicate's blocks
-            winner.asInstanceOf[DataFrame]
-          case None => df
-        }
-    }
+  // r21's partitionedFrame / PartitionedCheckpoint (fixed-N stored-layout
+  // claims over localCheckpoint scans) were removed in r22: the layout
+  // pinned every consumer stage at N=shuffle.partitions tasks, forfeiting
+  // AQE coalescing and skew handling — driver-measured severe regressions
+  // on graph1/graph4/graph5 (VERDICT r21 #1-3).
 
   /** Memoized non-frame artifact (a written store's path, a collected
     * scalar). `build` runs at most once per (session, key) absent a race;
     * on a race both builds run and one result wins. */
-  // (see also PartitionedCheckpoint below for the non-memoized variant)
   def value[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
     cache.get((s, key)) match {
       case Some(v) => v.asInstanceOf[T]
       case None =>
         hookEviction(s)
-        val v = build
+        val v = logged(s, key)(build)
         cache.putIfAbsent((s, key), v)
           .fold(v)(_.asInstanceOf[T])
     }
-}
-
-/** Un-memoized twin of [[StageMemo.partitionedFrame]] for per-call setup
-  * frames inside iterative operators (labelPropagation's adjacency,
-  * pagerank's normalized edges when no memo is passed): checkpoint the
-  * frame hash-partitioned by `keys` and keep the partitioning visible on
-  * the scan, so every round's group-by over it is exchange-free. NOT
-  * pinned — Bench/Verify block hygiene reclaims it between queries. */
-object PartitionedCheckpoint {
-  def apply(df: org.apache.spark.sql.DataFrame,
-            keys: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val cp = df
-      .repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
-      .localCheckpoint()
-    org.apache.spark.sql.classic.GraftPlanBridge
-      .withHashPartitioning(cp, keys, n)
-  }
 }

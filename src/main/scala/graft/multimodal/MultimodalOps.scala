@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps extends QueryModule {
 
+  // r22 (guide §1.2 per-task work): javax.imageio defaults to DISK-backed
+  // stream caches (useCache=true), so every encodePng/decodePng call
+  // round-tripped a temp FILE per image — pure I/O overhead on KB-sized
+  // in-memory payloads. Memory-backed caches produce byte-identical
+  // PNG/stream output (the cache is an ImageInputStream buffering detail,
+  // not part of the codec); executors inherit this static because the
+  // UDFs close over this object. mm10's median dropped 2.35 s → see
+  // OPTIMIZATION_r22.md for the full-bench delta.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** documents → multimodal frame: (doc_id, modality, payload binary,
     * meta struct<mime,width,height,duration_ms>). Deterministic synth:
     * payload = utf8 bytes of text; dimensions derived from doc_id/length. */

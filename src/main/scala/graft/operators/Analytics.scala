@@ -464,24 +464,27 @@ object Analytics extends QueryModule {
     }),
 
     // AGG-20: market-basket co-purchase pairs — which parts ship together?
-    // The self-join is keyed on l_orderkey, so fan-out per order is
-    // basket² (baskets are small and bounded in practice — max 13 here);
-    // the distinct() first collapses repeated (order, part) lines so a
-    // part ordered twice in one order can't double-count. pair counts are
-    // map-side-combined; top-20 = TakeOrderedAndProject. A pathological
-    // mega-basket at 100 TB is AQE-skew-split; a df-cap like llm2b's would
-    // drop it outright if policy allows.
-    "agg20_copurchase_pairs" -> ((s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_partkey").distinct()
-      val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = op.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, Seq("l_orderkey"))
+    // r22 (guide §2.4; the llm2b postingPairCounts pattern): ONE exchange
+    // groups each order's DISTINCT part set into an array (collect_set
+    // dedups in the aggregate — the former separate distinct() exchange
+    // is gone) and the a<b pairs expand LOCALLY via two chained
+    // generators, replacing the former basket self-join that scanned and
+    // dedup-shuffled lineitem TWICE just to rediscover basket membership.
+    // Fan-out per order is still basket² (small and bounded — max 13
+    // here) and lands in the task owning the order, exactly as the
+    // self-join's; pair counts are map-side-combined before the only
+    // remaining exchange; top-20 = TakeOrderedAndProject. A pathological
+    // mega-basket at 100 TB caps its own array at basket size; a df-cap
+    // like llm2b's would drop it outright if policy allows.
+    "agg20_copurchase_pairs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(col("ps")).as("part_a"), col("ps"))
+        .select(col("part_a"), explode(col("ps")).as("part_b"))
         .filter(col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // TS-5: MAD robust outliers — median absolute deviation replaces ts3's
     // μ/σ so the gate itself can't be dragged by the outliers it hunts

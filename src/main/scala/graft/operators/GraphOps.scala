@@ -73,17 +73,18 @@ object GraphOps extends QueryModule {
   : (DataFrame, Int) = {
     // prebuilt = (norm, vstat) already materialized (the graph1 memo) —
     // the normalized edge table and vertex inventory are derived datasets
-    // of the edge list, identical for every (damping, iters) run
-    // checkpointed partitioned-by-dst (partitioning kept visible) so each
-    // round's contribution aggregate (groupBy dst-aliased-v after the
-    // broadcast rank join) needs no exchange — one setup shuffle buys
-    // iters exchange-free rounds
-    val norm = prebuilt.map(_._1).getOrElse(graft.PartitionedCheckpoint(
-      edges
-        .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
-        .select(col("src"), col("dst"),
-          (col("w").cast("double") / col("outw")).as("p")),
-      Seq("dst")))
+    // of the edge list, identical for every (damping, iters) run.
+    // r22: plain localCheckpoint again — the r21 fixed-N partitioned
+    // layout (PartitionedCheckpoint by dst) removed one Exchange per
+    // round but pinned every round at N=shuffle.partitions tasks, which
+    // forbids AQE coalescing/skew-splitting: driver-measured 0.27x at 32
+    // cores, 8-vs-32-core ratio 0.13 (VERDICT r21 #1). The AQE-managed
+    // per-round exchange is the scale-correct plan.
+    val norm = prebuilt.map(_._1).getOrElse(edges
+      .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("outw")).as("p"))
+      .localCheckpoint())
     // ONE shuffle inventories the vertex space AND flags out-edge presence
     // (src rows carry out=1, dst rows out=0; max() ORs them) — replacing
     // the former distinct + left_anti pair of checkpoints. verts/dangling
@@ -196,13 +197,12 @@ object GraphOps extends QueryModule {
     val Scale = 1000000000000L // 1e12
     // (src, dst, w, outw): integer edge table with the source's total
     // out-weight riding along — the exact-arithmetic analogue of norm
-    // same round-exchange removal as pagerankRounds (partitioned by dst)
-    val en = prebuilt.map(_._1).getOrElse(graft.PartitionedCheckpoint(
-      edges
-        .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
-        .select(col("src"), col("dst"), col("w").cast("long").as("w"),
-          col("outw").cast("long").as("outw")),
-      Seq("dst")))
+    // (plain checkpoint again — see the r22 note on pagerankRounds' norm)
+    val en = prebuilt.map(_._1).getOrElse(edges
+      .join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"),
+        col("outw").cast("long").as("outw"))
+      .localCheckpoint())
     val verts = prebuilt.map(_._2).getOrElse(
       edges.select(col("src").as("v"))
         .unionByName(edges.select(col("dst").as("v")))
@@ -322,12 +322,22 @@ object GraphOps extends QueryModule {
     * pattern) and the edge set is ONE distinct shuffle on (x, y). */
   private def partCoPurchaseEdges(s: SparkSession, d: String): DataFrame =
     graft.StageMemo.frame(s, s"graph.part_edges.$d") {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-        .distinct()
-      li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("x"), col("b.p").as("y"))
+      // r22 (guide §2.4; the llm2b/agg20 posting-list pattern): ONE
+      // exchange groups each order's distinct part set (collect_set
+      // dedups in the aggregate) and the x<y pairs expand LOCALLY —
+      // replacing the former (order, part) distinct + basket self-join,
+      // which shuffled the same rows twice and whose hash-relation build
+      // was the memo's GC hot spot (BENCH_NOTES r20: the basket² edge
+      // self-join's allocations drove graph4's sf1 spread). Same edge
+      // set: per order, all x<y combinations of its distinct parts, then
+      // one global distinct.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey").cast("long")).as("ps"))
+        .select(explode(col("ps")).as("x"), col("ps"))
+        .select(col("x"), explode(col("ps")).as("y"))
+        .filter(col("x") < col("y"))
+        .select("x", "y")
         .distinct()
     }
 
@@ -341,14 +351,12 @@ object GraphOps extends QueryModule {
     * scan. Same derived-dataset memoization as [[partCoPurchaseEdges]]:
     * built once per (session, sf-dir), read from memory afterwards. */
   private def partAdj(s: SparkSession, d: String): DataFrame =
-    // r21: memoized hash-partitioned by v (StageMemo.partitionedFrame —
-    // the partitioning stays VISIBLE on the checkpoint scan), so every
-    // consumer that groups by v — each LPA round's two stacked aggs, the
-    // degree table, graph6's wedge rollup start — satisfies its
-    // distribution from the stored layout and exchanges NOTHING (guide
-    // §2.4; the bucketed-table pattern, in-session). At 100 TB this memo
-    // IS a bucketed/partitioned derived table and the same plans apply.
-    graft.StageMemo.partitionedFrame(s, s"graph.part_adj.$d", Seq("v")) {
+    // r22: plain StageMemo.frame again — r21's partitionedFrame(Seq("v"))
+    // layout showed NO exchange reduction in its own dumped plans (8 → 8)
+    // while its count-run went 0.21 s → 7.20 s and graph6 entered the
+    // bench slowest-5 (VERDICT r21 #1/ADVICE). The fixed-N layout claim
+    // is withdrawn; consumers keep their AQE-managed exchanges.
+    graft.StageMemo.frame(s, s"graph.part_adj.$d") {
       val e = partCoPurchaseEdges(s, d)
       e.select(col("x").as("v"), col("y").as("u"))
         .unionByName(e.select(col("y").as("v"), col("x").as("u")))
@@ -457,72 +465,34 @@ object GraphOps extends QueryModule {
     val rc = new RoundCheckpointer
     // one-time broadcast gate: the per-round drop set is ≤ the vertex count
     val small = degrees(edges0).count() <= broadcastCap
-    if (small) {
-      // r21 fast path (guide §2.4/§5): below the cap the peel keeps ONE
-      // CUMULATIVE dropped-vertex set (vertex-sized, checkpointed per
-      // round) and every round filters the ORIGINAL memoized edge table
-      // through two broadcast anti-joins — the surviving edge list is
-      // never rewritten or re-materialized, so the per-round
-      // localCheckpoint of ~|E| rows (and the block churn/GC it cost —
-      // the BENCH_NOTES r20 graph4 diagnosis) is gone; per round exactly
-      // one job runs (the drop-set checkpoint; its isEmpty probe reads
-      // the checkpointed blocks). Equivalence to the iterative rewrite:
-      // anti-joining edges0 against the UNION of all rounds' drops is the
-      // same set as chaining per-round anti-joins — vertex-set difference
-      // is cumulative. Round i's degree agg scans edges0 from memory and
-      // re-applies the (broadcast) filter, which is the trade: one extra
-      // broadcast probe per scan instead of one full edge materialization
-      // per round.
-      var dropped: Option[DataFrame] = None
-      var nDropped = 0L // driver scalar: rc.step releases the superseded
-                        // round's blocks, so the previous frame can't be
-                        // re-counted — carry its count instead
-      def surviving: DataFrame = dropped.fold(edges0)(dr =>
-        edges0
-          .join(broadcast(dr.withColumnRenamed("v", "x")), Seq("x"), "left_anti")
-          .join(broadcast(dr.withColumnRenamed("v", "y")), Seq("y"), "left_anti")
-          .select("x", "y"))
-      var i = 0
-      var converged = false
-      while (i < maxRounds && !converged) {
-        i += 1
-        val low = degrees(surviving).filter(col("deg") < k).select("v")
-        val nextDropped = rc.step(dropped.fold(low)(_.unionByName(low)))
-        val c = nextDropped.count() // reads the checkpointed blocks
-        // no NEW drops this round ⇔ the cumulative set did not grow
-        // (a dropped vertex has no surviving edges, so it can never
-        // re-enter `low` — the union only ever adds fresh vertices).
-        // Either way the LIVE checkpoint is nextDropped — rc.step just
-        // released its predecessor — so the returned filter must point
-        // at it even on the converged (row-identical) round.
-        if (c > nDropped) nDropped = c else converged = true
-        if (c > 0) dropped = Some(nextDropped)
+    // r22: the r20 shrinking-checkpoint loop, restored. The r21 "fast
+    // path" (one cumulative drop set + broadcast anti-joins over the
+    // ORIGINAL edge table every round) regressed the driver's bench 3.92
+    // → 9.81 s (VERDICT r21 #2): each round re-scanned the full edge set
+    // and re-shuffled the full filtered width into the degree aggregate,
+    // which costs more than the per-round |E| checkpoint it saved. The
+    // shrinking working set is the right §5 posture — per-round cost
+    // falls as the core tightens.
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var edges = edges0
+    var i = 0
+    var converged = false
+    while (i < maxRounds && !converged) {
+      i += 1
+      // materialize the (small) drop set once per round — the degree agg
+      // would otherwise recompute for the isEmpty probe AND each anti-join
+      val drop = degrees(edges).filter(col("deg") < k).select("v")
+        .localCheckpoint()
+      if (drop.isEmpty) converged = true
+      else {
+        val next = edges
+          .join(bc(drop.withColumnRenamed("v", "x")), Seq("x"), "left_anti")
+          .join(bc(drop.withColumnRenamed("v", "y")), Seq("y"), "left_anti")
+          .select("x", "y")
+        edges = rc.step(next)
       }
-      surviving
-    } else {
-      // above the cap: the r1–r20 iterative-rewrite loop — per-round
-      // shuffle anti-joins against a SHRINKING checkpointed edge list is
-      // the only correct plan once the drop set itself is cluster-sized
-      var edges = edges0
-      var i = 0
-      var converged = false
-      while (i < maxRounds && !converged) {
-        i += 1
-        // materialize the (small) drop set once per round — the degree agg
-        // would otherwise recompute for the isEmpty probe AND each anti-join
-        val drop = degrees(edges).filter(col("deg") < k).select("v")
-          .localCheckpoint()
-        if (drop.isEmpty) converged = true
-        else {
-          val next = edges
-            .join(drop.withColumnRenamed("v", "x"), Seq("x"), "left_anti")
-            .join(drop.withColumnRenamed("v", "y"), Seq("y"), "left_anti")
-            .select("x", "y")
-          edges = rc.step(next)
-        }
-      }
-      edges
     }
+    edges
   }
 
   /** GRAPH-5 — synchronous label propagation (Raghavan et al. 2007) over
@@ -545,14 +515,9 @@ object GraphOps extends QueryModule {
     // prebuiltAdj: an already-materialized (v, u) both-direction neighbor
     // list (the partAdj memo) — skips rebuilding the per-call checkpoint
     val nb = prebuiltAdj.getOrElse(
-      // checkpointed hash-partitioned by v (partitioning kept visible) so
-      // each round's stacked aggs (groupBy(v, ulbl) then groupBy(v)) run
-      // exchange-free off the stored layout — same r21 rationale as the
-      // partAdj memo; scanned every round
-      graft.PartitionedCheckpoint(
-        edges.select(col("x").as("v"), col("y").as("u"))
-          .unionByName(edges.select(col("y").as("v"), col("x").as("u"))),
-        Seq("v")))
+      edges.select(col("x").as("v"), col("y").as("u"))
+        .unionByName(edges.select(col("y").as("v"), col("x").as("u")))
+        .localCheckpoint()) // scanned every round
     var labels = nb.select(col("v")).distinct().withColumn("lbl", col("v"))
     val small = labels.count() <= broadcastCap
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -585,14 +550,12 @@ object GraphOps extends QueryModule {
       // datasets of the memoized edge list — built once per (session,
       // sf-dir), so the timed work is the 5 iteration rounds themselves
       val e = purchaseEdges(s, d)
-      // r21: the memoized edge table is stored partitioned by dst — each
-      // PageRank round's contribution aggregate groups by dst (aliased
-      // v), so with the rank vector broadcast the round's ONE exchange
-      // disappears outright: alias-aware output partitioning carries
-      // hash(dst) through the broadcast join + project into the groupBy
-      // (guide §2.4). The memo build pays the single shuffle instead.
-      val en = graft.StageMemo.partitionedFrame(
-        s, s"graph.prx_en.$d", Seq("dst"))(e
+      // r22: plain StageMemo.frame again — the r21 partitioned-by-dst
+      // layout was the round's worst regression (0.27x at 32 cores,
+      // scaling ratio 0.13; VERDICT r21 #1): pinning each round's
+      // aggregate at a fixed N forfeits AQE coalescing AND skew handling
+      // for the life of the memo, on a power-law dst key.
+      val en = graft.StageMemo.frame(s, s"graph.prx_en.$d")(e
         .join(e.groupBy("src").agg(sum("w").as("outw")), "src")
         .select(col("src"), col("dst"), col("w").cast("long").as("w"),
           col("outw").cast("long").as("outw")))

@@ -351,6 +351,26 @@ class ApproxSpec extends SparkSpec {
     assert(plan.contains("df_docs"), s"df filter missing from plan:\n$plan")
   }
 
+  test("llm2b: df == dfCap boundary is inclusive (r21 pin)") {
+    // Three identical docs share every shingle at document frequency
+    // exactly 3: the posting-list expansion must KEEP a shingle at
+    // df == dfCap (the filter is <=, and the collected posting array is
+    // exactly dfCap long — the boundary r22 churn must not regress) and
+    // prune it one below.
+    import spark.implicits._
+    val docs = Seq((0L, "w1 w2 w3 w4"), (1L, "w1 w2 w3 w4"),
+        (2L, "w1 w2 w3 w4"))
+      .toDF("doc_id", "text")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      LlmOps.ngramJaccardPairs(docs, threshold = 0.9, dfCap = cap)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(3) === Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      "df == dfCap shingles must survive (inclusive cap)")
+    assert(pairs(2) === Set.empty[(Long, Long)],
+      "df == dfCap + 1 shingles must be pruned")
+  }
+
   test("llm31: merged source signatures track exact source-level Jaccard") {
     import graft.llm.LlmOps
     val sh = Tables.documents(spark, Sf0001)
