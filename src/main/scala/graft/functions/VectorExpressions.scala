@@ -267,6 +267,104 @@ case class Shingles3(child: Expression)
     copy(child = c)
 }
 
+/** `word_ngrams(string, n, drop_empty) -> array<string>`: ALL n-word
+  * sliding windows of a space-tokenized text, in order, multiplicity
+  * kept — semantics identical to the HOF formulation
+  * `transform(sequence(1, size(t) - n + 1), i -> concat_ws(' ', slice(t, i, n)))`
+  * with `t = filter(split(text, ' '), x -> x <> '')` when `dropEmpty`
+  * (llm32/llm32b/llm36's gram stream) or `t = split(text, ' ')` when not
+  * (llm37's — empty tokens ride along, so a gram reproduces the source
+  * text's exact spacing). Fewer than n tokens → empty array (the callers'
+  * former `size(t) >= n` row filter becomes a no-op explode). The HOF
+  * tree is interpreted (no whole-stage codegen for lambda expressions)
+  * and allocates a lambda frame + an n-element slice array + a concat
+  * per window — measured 2.4 µs/gram at bench scale (G32 probe, r22);
+  * this kernel tokenizes ONCE at the UTF-8 byte level (0x20 never occurs
+  * inside a multi-byte sequence) and emits each gram as a zero-copy
+  * slice of the row's bytes whenever the window's tokens are separated
+  * by single spaces (always, for drop_empty=false), building a joined
+  * buffer only across multi-space gaps. */
+case class WordNGrams(child: Expression, n: Int, dropEmpty: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, s"word_ngrams n must be >= 1, got $n")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .getBytes
+    // token boundaries as byte offsets: starts(k) inclusive, ends(k)
+    // exclusive. split(text, " ") yields one token per inter-space run
+    // INCLUDING empties (k consecutive spaces => k-1 empty tokens between
+    // the two words, plus leading/trailing empties); dropEmpty mirrors
+    // the filter(_ <> "") wrapper by keeping non-empty runs only.
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var m = 0
+    def push(s: Int, e: Int): Unit = {
+      if (!(dropEmpty && e == s)) {
+        if (m == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(m) = s; ends(m) = e; m += 1
+      }
+    }
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        push(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var w = 0
+    while (w + n <= m) {
+      val from = starts(w)
+      val to = ends(w + n - 1)
+      // token bytes + (n-1) single-space joiners == the source span length
+      // exactly when every inter-token gap in the window is one space —
+      // then the gram IS the source slice (zero copy; always true when
+      // empties are kept, since an empty token "absorbs" its gap)
+      var tokBytes = 0
+      var k = w
+      while (k < w + n) { tokBytes += ends(k) - starts(k); k += 1 }
+      val joined = tokBytes + (n - 1)
+      out(w) =
+        if (to - from == joined)
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(
+            bytes, from, joined)
+        else {
+          val buf = new Array[Byte](joined)
+          var pos = 0
+          k = w
+          while (k < w + n) {
+            if (k > w) { buf(pos) = ' '; pos += 1 }
+            val len = ends(k) - starts(k)
+            System.arraycopy(bytes, starts(k), buf, pos, len)
+            pos += len
+            k += 1
+          }
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(buf)
+        }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordNGrams =
+    copy(child = c)
+}
+
 /** `lsh_buckets(array<float>, tables, k) -> array<int>`: multi-table
   * random-hyperplane sign buckets. Semantically identical to the HOF
   * formulation (weight for (table t, plane p, dim i) =
@@ -526,6 +624,18 @@ object VectorExtensions {
             s"lsh_buckets tables/k must be literals, got $other")
         }
         LshBuckets(children(0), intLit(children(1)), intLit(children(2)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        def lit(e: Expression): Any = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams n/drop_empty must be literals, got $other")
+        }
+        WordNGrams(children(0), lit(children(1)).toString.toInt,
+          lit(children(2)).toString.toBoolean)
       }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash64"),

@@ -2064,14 +2064,13 @@ object LlmOps extends QueryModule {
     // string (8-gram strings are ~60 B; the hash is 8) and re-verify the
     // rare matches; here the string join keeps exact oracle parity.
     "llm16_decontaminate" -> ((s, d) => {
-      val words = split(col("text"), " ")
+      // r22: native word_ngrams kernel, empties kept (the raw-split
+      // window variant — see llm37); the position index the former
+      // explode(sequence) carried was dropped right after, so the
+      // kernel's positionless stream is the same gram multiset.
       val grams = Tables.documents(s, d)
-        .select(col("doc_id"), words.as("w"))
-        .filter(size(col("w")) >= 8)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), size(col("w")) - 7)).as("i"), col("w"))
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("w"), col("i"), lit(8))).as("gram"))
+        .select(col("doc_id"), explode(call_function("word_ngrams",
+          col("text"), lit(8), lit(false))).as("gram"))
       val bench = grams.filter(col("doc_id") % 50 === 0)
         .select("gram").distinct()
       val hits = grams.filter(col("doc_id") % 50 =!= 0)
@@ -2916,12 +2915,13 @@ object LlmOps extends QueryModule {
     // directly so the DuckDB oracle can hash-match the result.
     "llm32_span_dup" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          filter(split(col("text"), " "), t => t =!= "").as("t"))
-        .filter(size(col("t")) >= 8)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - 7),
-          i => concat_ws(" ", slice(col("t"), i, lit(8))))).as("gram"))
+        // r22: native word_ngrams kernel (one byte-level tokenize pass,
+        // zero-copy gram slices) replaces the interpreted HOF window
+        // chain — same grams, same multiplicity; docs under 8 tokens
+        // emit an empty array, which explode drops like the former
+        // size(t) >= 8 row filter (guide: codegen/expressions).
+        .select(col("doc_id"), explode(call_function("word_ngrams",
+          col("text"), lit(8), lit(true))).as("gram"))
         .groupBy("gram")
         .agg(count(lit(1)).as("n_occ"),
           countDistinct("doc_id").as("n_docs"))
@@ -2943,13 +2943,12 @@ object LlmOps extends QueryModule {
     // divergence risk (~n²/2⁶⁴; zero at any tested SF, deterministic
     // either way).
     "llm32b_span_dup_hashed" -> ((s, d) => {
+      // r22: native word_ngrams kernel on BOTH passes (see llm32) — the
+      // two gram derivations were 2 × 0.57 s of llm32b's 1.7 s (G32
+      // probe), all interpreted-HOF overhead.
       def grams = Tables.documents(s, d)
-        .select(col("doc_id"),
-          filter(split(col("text"), " "), t => t =!= "").as("t"))
-        .filter(size(col("t")) >= 8)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - 7),
-          i => concat_ws(" ", slice(col("t"), i, lit(8))))).as("gram"))
+        .select(col("doc_id"), explode(call_function("word_ngrams",
+          col("text"), lit(8), lit(true))).as("gram"))
       val counts = grams
         .select(xxhash64(col("gram")).as("h"), col("doc_id"))
         .groupBy("h")
@@ -3082,12 +3081,13 @@ object LlmOps extends QueryModule {
         .groupBy(lower(trim(col("text"))).as("k"))
         .agg(min("doc_id").as("doc_id")).select("doc_id")
       val deduped = gated.join(keepIds, Seq("doc_id"), "left_semi")
+      // r22: native word_ngrams kernel, EMPTIES KEPT (drop_empty=false):
+      // llm37's grams deliberately ride the raw split — a window across a
+      // multi-space run reproduces the source spacing — and the kernel's
+      // zero-copy slice path is exact for that variant (see llm32).
       val grams = base
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 8)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("w")) - 7),
-            i => concat_ws(" ", slice(col("w"), i, lit(8))))).as("gram"))
+        .select(col("doc_id"), explode(call_function("word_ngrams",
+          col("text"), lit(8), lit(false))).as("gram"))
       val bench = grams.filter(col("doc_id") % 50 === 0)
         .select("gram").distinct()
       val contamIds = grams.filter(col("doc_id") % 50 =!= 0)
@@ -3168,12 +3168,9 @@ object LlmOps extends QueryModule {
     // collision caveat as llm32b (~n²/2⁶⁴, deterministic either way).
     "llm36_novelty" -> ((s, d) => {
       val perDoc = Tables.documents(s, d)
-        .select(col("doc_id"),
-          filter(split(col("text"), " "), t => t =!= "").as("t"))
-        .filter(size(col("t")) >= 8)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - 7),
-          i => concat_ws(" ", slice(col("t"), i, lit(8))))).as("gram"))
+        // r22: native word_ngrams kernel (see llm32)
+        .select(col("doc_id"), explode(call_function("word_ngrams",
+          col("text"), lit(8), lit(true))).as("gram"))
         .groupBy(xxhash64(col("gram")).as("g"), col("doc_id"))
         .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("g")
