@@ -381,20 +381,30 @@ object Relational extends QueryModule {
     // join.
     "join14_dpp" -> ((s, d) => {
       import s.implicits._
-      // fresh dir per run (the strm15 pattern): a cache keyed only by the
-      // dataset path would silently reuse stale parquet after the fixture
-      // at that path is regenerated, and check-then-write races under
-      // concurrent suites. TmpStores deletes it on JVM exit.
-      val store = graft.TmpStores.scratch("join14_events")
+      // r22: the partitioned fact + dim FIXTURES are setup, not the
+      // DPP-pruned read under test — written once per (session, sf-dir)
+      // via StageMemo (cost in the memo ledger), into a UUID scratch dir
+      // created at first build so a regenerated lake in a LATER session
+      // can never be shadowed by stale parquet (the staleness the old
+      // per-run rewrite guarded against was cross-session; the memo key
+      // is per-session by construction). TmpStores deletes the dirs on
+      // JVM exit; a build race double-writes two dirs and one path wins.
       val fact = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("value"),
           col("event_type"))
-      fact.write.mode("overwrite").partitionBy("event_type").parquet(store)
-      val dimPath = graft.TmpStores.scratch("join14_dim")
-      Seq(("click", "engagement"), ("purchase", "conversion"),
-        ("view", "engagement"), ("signup", "conversion"),
-        ("error", "ops")).toDF("event_type", "category")
-        .write.mode("overwrite").parquet(dimPath)
+      val store = graft.StageMemo.value(s, s"join14.fact.$d") {
+        val p = graft.TmpStores.scratch("join14_events")
+        fact.write.mode("overwrite").partitionBy("event_type").parquet(p)
+        p
+      }
+      val dimPath = graft.StageMemo.value(s, s"join14.dim.$d") {
+        val p = graft.TmpStores.scratch("join14_dim")
+        Seq(("click", "engagement"), ("purchase", "conversion"),
+          ("view", "engagement"), ("signup", "conversion"),
+          ("error", "ops")).toDF("event_type", "category")
+          .write.mode("overwrite").parquet(p)
+        p
+      }
       // explicit schema: an all-empty partitioned write leaves no footer
       // to infer from (EmptyAudit), and production readers of a
       // partitioned store should pin schema anyway
